@@ -219,7 +219,182 @@ object Queries {
         |SEMI JOIN ($targetKeysSql) t ON o.o_orderkey = t.o_orderkey""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc
+  // ------------------------------------------------------------ transforms
+
+  private val transforms: Seq[Q] = Seq(
+    Q("transform_hash_md5",
+      // Hash transform with alias, keepSource=true
+      // (keyspaces/CQLReplicator.scala:879-924).
+      (s, d) => Transforms.applyHashRules(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        Seq(Transforms.HashRule("o_orderpriority", "md5", "priority_hash", keepSource = true))),
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  md5(o_orderpriority) AS priority_hash FROM orders""".stripMargin)),
+
+    Q("transform_hash_sha256",
+      // keepSource=false: the source column is replaced by the alias.
+      (s, d) => Transforms.applyHashRules(
+        Tables.customer(s, d).select("c_custkey", "c_name"),
+        Seq(Transforms.HashRule("c_name", "sha256", "name_hash"))),
+      Some("SELECT c_custkey, sha256(c_name) AS name_hash FROM customer")),
+
+    Q("transform_hash_xxhash64",
+      // Production-grade 64-bit hash (native codegen'd xxhash64); DuckDB
+      // has no compatible implementation, so this entry is rows-only and
+      // the fixed-value check lives in TransformsSpec.
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Transforms.hashColumn(col("o_orderpriority"), "xxhash64").as("priority_hash")),
+      None),
+
+    Q("filter_expression",
+      // User-supplied SQL predicate applied before replication
+      // (keyspaces/CQLReplicator.scala:1849-1852).
+      (s, d) => Tables.orders(s, d)
+        .filter("o_totalprice > 100000 AND o_orderstatus = 'F'")
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000 AND o_orderstatus = 'F'""".stripMargin)),
+
+    Q("field_mapping_cast",
+      // OpenSearch fieldsMapping: rename + type cast in one projection
+      // (opensearch/CQLReplicator.scala:84-88).
+      (s, d) => Transforms.fieldMapping(Tables.orders(s, d), Seq(
+        ("o_orderkey", "doc_key", "string"),
+        ("o_orderdate", "order_day", "date"),
+        ("o_custkey", "customer_id", "long"))),
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS doc_key,
+        |  CAST(o_orderdate AS DATE) AS order_day,
+        |  CAST(o_custkey AS BIGINT) AS customer_id FROM orders""".stripMargin)),
+
+    Q("composite_key_concat",
+      // DynamoDB pk#sk composite key (dynamodb/CQLReplicator.scala:465-467).
+      (s, d) => Tables.lineitem(s, d).select(
+        Transforms.compositeKey(Seq(col("l_orderkey"), col("l_linenumber"))).as("pk"),
+        col("l_quantity")),
+      Some("SELECT concat_ws('#', l_orderkey, l_linenumber) AS pk, l_quantity FROM lineitem")),
+
+    Q("blob_to_hex",
+      // CQL 0x-hex literal rendering of binary payloads
+      // (keyspaces/CQLReplicator.scala:628-639); binary derived from text.
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        Transforms.blobToHex(encode(col("c_name"), "UTF-8")).as("name_hex")),
+      Some("SELECT c_custkey, '0x' || lower(hex(c_name)) AS name_hex FROM customer")),
+
+    Q("json_field_extract",
+      // JSON value extraction (UDT/JSON handling on the replication path).
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_value")),
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_value FROM events""".stripMargin)),
+
+    Q("row_to_json",
+      // INSERT JSON statement body (keyspaces/CQLReplicator.scala:815-852).
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Transforms.rowToJson(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority")).as("doc")),
+      Some("""SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+        |    o_orderstatus := o_orderstatus,
+        |    o_orderpriority := o_orderpriority)) AS VARCHAR) AS doc FROM orders""".stripMargin)),
+
+    Q("counter_deltas",
+      // Counter-column semantics: the target value is the sum of deltas per
+      // key (keyspaces/CQLReplicator.scala:926-936). Decimal sum keeps the
+      // result independent of partition merge order.
+      (s, d) => Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("counter_value"),
+          count(lit(1)).as("n_updates")),
+      Some("""SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value,
+        |  COUNT(*) AS n_updates FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("ttl_filter",
+      // TTL add-on predicate (parquet/CQLReplicator.scala:64): only rows
+      // whose ttl exceeds the threshold replicate.
+      (s, d) => Tables.documents(s, d)
+        .filter(col("n_chars") > 300)
+        .select(col("doc_id"), col("n_chars").as("ttl")),
+      Some("SELECT doc_id, n_chars AS ttl FROM documents WHERE n_chars > 300")),
+
+    Q("column_stats",
+      // Column-stats sampler (keyspaces/CQLReplicator.scala:1683-1756) in
+      // long format: one row per profiled column, single aggregation pass.
+      (s, d) => Stats.columnStats(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
+      Some("""SELECT 'c_custkey' AS col_name, CAST(MIN(c_custkey) AS DOUBLE) AS min_v,
+        |  CAST(SUM(CAST(c_custkey AS DECIMAL(38,6))) AS DOUBLE)/COUNT(c_custkey) AS avg_v,
+        |  CAST(MAX(c_custkey) AS DOUBLE) AS max_v FROM customer
+        |UNION ALL
+        |SELECT 'c_name', CAST(MIN(LENGTH(c_name)) AS DOUBLE),
+        |  CAST(SUM(CAST(LENGTH(c_name) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(c_name),
+        |  CAST(MAX(LENGTH(c_name)) AS DOUBLE) FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', CAST(MIN(c_acctbal) AS DOUBLE),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)/COUNT(c_acctbal),
+        |  CAST(MAX(c_acctbal) AS DOUBLE) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(MIN(LENGTH(c_mktsegment)) AS DOUBLE),
+        |  CAST(SUM(CAST(LENGTH(c_mktsegment) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(c_mktsegment),
+        |  CAST(MAX(LENGTH(c_mktsegment)) AS DOUBLE) FROM customer""".stripMargin)),
+
+    Q("replication_stats",
+      // Per-tile insert/update/delete counts for a CDC cycle
+      // (keyspaces/CQLReplicator.scala:1161-1215).
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val prev = prevSnapshot(o)
+        val curr = currSnapshot(o)
+        def tiled(df: DataFrame) =
+          df.withColumn("tile", Cdc.tileMd5(col("o_orderkey"), 4))
+        Stats.replicationStats(
+          tiled(Cdc.inserts(curr, prev, pk)),
+          tiled(Cdc.updates(curr, prev, pk)),
+          tiled(Cdc.deletes(curr, prev, pk)))
+      },
+      Some(s"""WITH prev AS ($prevSnapshotSql), curr AS ($currSnapshotSql),
+        |changes AS (
+        |  SELECT o_orderkey, 'insert' AS op FROM curr ANTI JOIN prev USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT c.o_orderkey, 'update' AS op FROM curr c JOIN prev p USING (o_orderkey)
+        |    WHERE c.ts IS DISTINCT FROM p.ts
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete' AS op FROM prev ANTI JOIN curr USING (o_orderkey))
+        |SELECT (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+        |   + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 4 AS tile,
+        |  op, COUNT(*) AS n
+        |FROM changes GROUP BY 1, 2""".stripMargin)),
+
+    Q("large_object_offload",
+      // Wide-column offload with content-hash xref
+      // (keyspaces/CQLReplicator.scala:682-725). Output = the narrow table
+      // that replaces the original; payload side spec-tested.
+      (s, d) => Transforms.offloadColumn(Tables.documents(s, d), "text")._1
+        .select("doc_id", "lang", "source", "n_chars", "xref"),
+      Some("""SELECT doc_id, lang, source, n_chars, md5("text") AS xref
+        |FROM documents""".stripMargin)),
+
+    Q("compress_columns",
+      // Non-PK column packing (keyspaces/CQLReplicator.scala:727-757) with
+      // DEFLATE; the oracle can't reproduce the codec bytes, so the query
+      // proves the round-trip instead: inflate(deflate(text)) == text,
+      // plus the original payload size.
+      (s, d) => {
+        val packed = Transforms.compressColumn(Tables.documents(s, d), "text", "packed")
+        Transforms.decompressColumn(packed, "packed", "unpacked")
+          .select(
+            col("doc_id"),
+            octet_length(col("text")).as("payload_bytes"),
+            (col("unpacked") === col("text")).as("roundtrip_ok"))
+      },
+      Some("""SELECT doc_id, octet_length(encode("text")) AS payload_bytes,
+        |  TRUE AS roundtrip_ok FROM documents""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ transforms
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

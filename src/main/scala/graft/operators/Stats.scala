@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiling/observability aggregates from the reference: the column-stats
+  * sampler (glue/sbin/keyspaces/CQLReplicator.scala:1683-1756) and the
+  * per-tile replication stats (:1161-1215).
+  *
+  * The reference emits stats as wide one-row JSON; we emit long format
+  * (one row per column) — same information, joinable, and a single
+  * wide-aggregate pass over the data either way.
+  */
+object Stats {
+
+  /** Per-column min/avg/max in one aggregation pass. Numeric columns
+    * profile the value, string columns the length (reference :1724-1737).
+    * avg is computed as an exact decimal sum divided as double, so the
+    * result is independent of partitioning/merge order.
+    */
+  def columnStats(df: DataFrame): DataFrame = {
+    val profiled = df.schema.fields.flatMap { f =>
+      val base: Option[Column] = f.dataType match {
+        case _: NumericType => Some(col(f.name).cast("double"))
+        case StringType     => Some(length(col(f.name)).cast("double"))
+        case BinaryType     => Some(length(col(f.name)).cast("double"))
+        case _              => None // timestamps etc: fixed width, not profiled
+      }
+      base.map(f.name -> _)
+    }
+    val aggs = profiled.flatMap { case (name, c) =>
+      Seq(
+        min(c).as(s"${name}__min"),
+        (sum(c.cast(DecimalType(38, 6))).cast("double") / count(c)).as(s"${name}__avg"),
+        max(c).as(s"${name}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = profiled.map { case (name, _) =>
+      struct(lit(name).as("col_name"),
+        col(s"${name}__min").as("min_v"),
+        col(s"${name}__avg").as("avg_v"),
+        col(s"${name}__max").as("max_v"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  /** Replication cycle stats: per-tile inserted/updated/deleted key counts
+    * (the reference accumulates these incrementally per tile via S3 JSON
+    * merge, :1177-1192; one groupBy computes the whole cycle at once).
+    * Inputs are the change-set DataFrames with a `tile` column.
+    */
+  def replicationStats(inserts: DataFrame, updates: DataFrame,
+                       deletes: DataFrame): DataFrame = {
+    def count1(df: DataFrame, op: String): DataFrame =
+      df.select(col("tile"), lit(op).as("op"))
+    count1(inserts, "insert")
+      .unionByName(count1(updates, "update"))
+      .unionByName(count1(deletes, "delete"))
+      .groupBy("tile", "op").agg(count(lit(1)).as("n"))
+  }
+}

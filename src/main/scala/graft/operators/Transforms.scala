@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row/column transforms from the reference's replication path:
+  * column hashing with alias/keepSource
+  * (glue/sbin/keyspaces/CQLReplicator.scala:879-924),
+  * user filter expressions (:1849-1852), field mapping rename+cast
+  * (glue/sbin/opensearch/CQLReplicator.scala:84-88), composite key concat
+  * (glue/sbin/dynamodb/CQLReplicator.scala:465-467), blob hex rendering
+  * (keyspaces:628-639), JSON statement rendering (:815-852), non-PK column
+  * compression (:727-757), and large-object offload (:682-725).
+  *
+  * Everything is a Column/DataFrame combinator so plans stay inside
+  * whole-stage codegen; the only JVM-side work is the compression codec,
+  * which runs in a typed map over pre-packed binary.
+  */
+object Transforms {
+
+  /** One hash-transform rule, mirroring the reference's TransformExpression
+    * (keyspaces:96). `keepSource=false` replaces the column with the alias.
+    */
+  final case class HashRule(column: String, rule: String, alias: String,
+                            keepSource: Boolean = false)
+
+  /** The reference's hashValue dispatcher (keyspaces:879-896) as native
+    * codegen'd expressions — no UDFs.
+    */
+  def hashColumn(c: Column, rule: String): Column = rule.toLowerCase match {
+    case "md5"                                      => md5(c.cast("string"))
+    case "sha-1" | "sha1"                           => sha1(c.cast("string"))
+    case "sha-2" | "sha2" | "sha-256" | "sha256"    => sha2(c.cast("string"), 256)
+    case "xxhash64"                                 => xxhash64(c.cast("string"))
+    case "murmurhash3" | "murmur3"                  => hash(c.cast("string"))
+    case other => throw new IllegalArgumentException(s"unknown hash rule: $other")
+  }
+
+  def applyHashRules(df: DataFrame, rules: Seq[HashRule]): DataFrame =
+    rules.foldLeft(df) { (d, r) =>
+      val withAlias = d.withColumn(r.alias, hashColumn(col(r.column), r.rule))
+      if (r.keepSource || r.column == r.alias) withAlias
+      else withAlias.drop(r.column)
+    }
+
+  /** OpenSearch-style field mapping: (source, target, targetType) triples
+    * applied as a single projection (rename + cast in one select, so column
+    * pruning reaches the scan).
+    */
+  def fieldMapping(df: DataFrame, mapping: Seq[(String, String, String)]): DataFrame =
+    df.select(mapping.map { case (src, tgt, tpe) => col(src).cast(tpe).as(tgt) }: _*)
+
+  /** DynamoDB-style composite key: values joined by a separator. */
+  def compositeKey(cols: Seq[Column], separator: String = "#"): Column =
+    concat_ws(separator, cols.map(_.cast("string")): _*)
+
+  /** Binary rendered as the CQL `0x…` lowercase-hex literal. */
+  def blobToHex(c: Column): Column = concat(lit("0x"), lower(hex(c)))
+
+  /** Row rendered as a JSON document (INSERT JSON shape). */
+  def rowToJson(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** Large-object offload: wide column replaced by a deterministic
+    * reference key; payloads become their own narrow table keyed by the
+    * same reference. The reference uses a random timeuuid (keyspaces:688);
+    * a content hash keeps the operator pure and retry-idempotent.
+    */
+  def offloadColumn(df: DataFrame, lobColumn: String,
+                    xrefName: String = "xref"): (DataFrame, DataFrame) = {
+    val withRef = df.withColumn(xrefName, md5(col(lobColumn).cast("string")))
+    (withRef.drop(lobColumn),
+      withRef.select(col(xrefName), col(lobColumn).as("payload")))
+  }
+
+  // -------------------------------------------------------------- codec
+
+  /** DEFLATE-compress UTF-8 text (stand-in for the reference's LZ4 pack of
+    * non-PK columns; java.util.zip so no extra dependency). Used inside
+    * typed maps — keep out of hot aggregation paths.
+    */
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](Math.max(64, bytes.length + 64))
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 16)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(bytes)
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 16)
+    var done = false
+    while (!done) {
+      val n = inf.inflate(buf)
+      out.write(buf, 0, n)
+      if (inf.finished()) done = true
+      else if (n == 0 && inf.needsInput())
+        throw new IllegalStateException("truncated deflate stream")
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Packs `payloadCol` (string) into a compressed binary column named
+    * `target`, mirroring compressNonPrimaryColumns (keyspaces:727-757).
+    * Distributed per-row map; no state, no shuffle.
+    */
+  def compressColumn(df: DataFrame, payloadCol: String, target: String): DataFrame = {
+    val codec = udf((s: String) => if (s == null) null else deflate(s.getBytes("UTF-8")))
+    df.withColumn(target, codec(col(payloadCol)))
+  }
+
+  def decompressColumn(df: DataFrame, packedCol: String, target: String): DataFrame = {
+    val codec = udf((b: Array[Byte]) => if (b == null) null else new String(inflate(b), "UTF-8"))
+    df.withColumn(target, codec(col(packedCol)))
+  }
+}

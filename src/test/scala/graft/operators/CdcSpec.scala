@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, java.lang.Long)*) =
+    rows.toDF("id", "ts")
+
+  test("inserts/deletes/updates partition the change space") {
+    val prev = snap(1L -> 10L, 2L -> 20L, 3L -> null, 4L -> 40L)
+    val curr = snap(1L -> 10L, 2L -> 21L, 3L -> 30L, 5L -> 50L)
+    assert(Cdc.inserts(curr, prev, Seq("id")).select("id").as[Long].collect().sorted
+      === Array(5L))
+    assert(Cdc.deletes(curr, prev, Seq("id")).select("id").as[Long].collect().sorted
+      === Array(4L))
+    // null -> 30 is an update (null-safe compare); 1 is unchanged
+    assert(Cdc.updates(curr, prev, Seq("id")).select("id").as[Long].collect().sorted
+      === Array(2L, 3L))
+  }
+
+  test("applyDelta reconstructs curr exactly") {
+    val prev = snap(1L -> 10L, 2L -> 20L, 3L -> null, 4L -> 40L)
+    val curr = snap(1L -> 10L, 2L -> 21L, 3L -> 30L, 5L -> 50L)
+    val merged = Cdc.applyDelta(
+      prev,
+      Cdc.inserts(curr, prev, Seq("id")),
+      Cdc.updates(curr, prev, Seq("id")),
+      Cdc.deletes(curr, prev, Seq("id")),
+      Seq("id"))
+    assert(merged.orderBy("id").as[(Long, Option[Long])].collect()
+      === curr.orderBy("id").as[(Long, Option[Long])].collect())
+  }
+
+  test("tile assignment is total, deterministic, and in range") {
+    val df = spark.range(1000).select(col("id"))
+    val t1 = df.select(Cdc.tileXxhash64(Seq(col("id")), 8).as("t"))
+    val t2 = df.select(Cdc.tileXxhash64(Seq(col("id")), 8).as("t"))
+    assert(t1.as[Long].collect() === t2.as[Long].collect())
+    assert(t1.agg(min("t"), max("t")).as[(Long, Long)].head() === ((0L, 7L)))
+    // all 8 tiles populated on 1000 keys
+    assert(t1.distinct().count() === 8)
+  }
+
+  test("reconcile missing/extra/common are disjoint and complete") {
+    val src = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val tgt = Seq(2L, 3L, 9L).toDF("id")
+    assert(Cdc.reconcileMissing(src, tgt, Seq("id")).as[Long].collect().sorted === Array(1L, 4L))
+    assert(Cdc.reconcileExtra(src, tgt, Seq("id")).as[Long].collect().sorted === Array(9L))
+    assert(Cdc.reconcileCommon(src, tgt, Seq("id")).as[Long].collect().sorted === Array(2L, 3L))
+  }
+}

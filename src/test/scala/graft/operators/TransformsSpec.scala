@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashColumn fixed values per rule") {
+    val df = Seq("abc").toDF("v")
+    def one(rule: String): Any =
+      df.select(Transforms.hashColumn(col("v"), rule)).head().get(0)
+    assert(one("md5") === "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("sha1") === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("sha256") === "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // Spark-native 64-bit/32-bit hashes: pinned so the tiling contract
+    // can't silently change across Spark upgrades.
+    assert(one("xxhash64") === 1423657621850124518L)
+    assert(one("murmur3") === 1322437556)
+  }
+
+  test("applyHashRules drops or keeps the source per rule") {
+    val df = Seq((1L, "x")).toDF("id", "secret")
+    val dropped = Transforms.applyHashRules(df,
+      Seq(Transforms.HashRule("secret", "md5", "h")))
+    assert(dropped.columns.toSet === Set("id", "h"))
+    val kept = Transforms.applyHashRules(df,
+      Seq(Transforms.HashRule("secret", "md5", "h", keepSource = true)))
+    assert(kept.columns.toSet === Set("id", "secret", "h"))
+  }
+
+  test("deflate/inflate round-trips arbitrary text") {
+    val texts = Seq("", "a", "hello world " * 1000, "héllo ünïcode 世界")
+    texts.foreach { t =>
+      val packed = Transforms.deflate(t.getBytes("UTF-8"))
+      assert(new String(Transforms.inflate(packed), "UTF-8") === t)
+    }
+    // compression actually compresses repetitive payloads
+    val big = "spark " * 10000
+    assert(Transforms.deflate(big.getBytes("UTF-8")).length < big.length / 10)
+  }
+
+  test("offloadColumn splits payload and keeps a joinable xref") {
+    val df = Seq((1L, "small", "WIDE" * 100), (2L, "tiny", "LOAD" * 100))
+      .toDF("id", "meta", "payload")
+    val (narrow, lob) = Transforms.offloadColumn(df, "payload")
+    assert(narrow.columns.toSet === Set("id", "meta", "xref"))
+    val rejoined = narrow.join(lob, "xref").select("id", "meta", "payload")
+    assert(rejoined.count() === 2)
+    assert(rejoined.filter(col("id") === 1L).select("payload").as[String].head()
+      === "WIDE" * 100)
+  }
+
+  test("compositeKey matches the pk#sk contract") {
+    val df = Seq((12L, 3)).toDF("pk", "sk")
+    assert(df.select(Transforms.compositeKey(Seq(col("pk"), col("sk"))))
+      .as[String].head() === "12#3")
+  }
+}
