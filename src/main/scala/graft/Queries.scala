@@ -394,7 +394,189 @@ object Queries {
         |  TRUE AS roundtrip_ok FROM documents""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ transforms
+  // --------------------------------------------- LLM-training-data pipeline
+
+  /** DuckDB cosine with the exact evaluation-order shape of [[Ann.cosine]]
+    * (elementwise double products summed left-to-right, then divided by
+    * each norm in turn) so doubles match bit-for-bit before rounding.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       | / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Exhaustive 3-gram-shingle Jaccard pairs >= t — the oracle for both the
+    * exhaustive and the LSH dedup plans (LSH is exact-verified, so with
+    * full-recall parameters the outputs are identical).
+    */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, len(ws) - 2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+       |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= $threshold""".stripMargin
+
+  private val llmPipeline: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, d) => TextDedup.exactGroups(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_dups FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("dedup_ngram_jaccard",
+      // Exhaustive word-3-gram Jaccard pairs via shared-shingle join.
+      (s, d) => TextDedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8),
+      Some(jaccardPairsSql(0.8))),
+
+    Q("dedup_minhash_lsh",
+      // 128 permutations, 32 bands x 4 rows: P(miss) < 1e-14 at s >= 0.9
+      // (the data's near-dup pairs all sit at jaccard >= 0.9), so the
+      // exact-verified LSH output equals the exhaustive oracle.
+      (s, d) => TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+      Some(jaccardPairsSql(0.8))),
+
+    Q("dedup_simhash",
+      // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
+      // rows-only here and fixed-value + near-dup-hamming checks in
+      // TextDedupSpec.
+      (s, d) => TextDedup.simhash(Tables.documents(s, d), "doc_id", "text"),
+      None),
+
+    Q("dedup_embedding_cosine",
+      (s, d) => Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin)),
+
+    Q("ann_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+          "vec_id", "embedding", k = 5)
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin)),
+
+    Q("ann_ivf_assign",
+      // Coarse quantizer: every 25th vector doubles as a centroid.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, centroid_id, ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, centroid_id) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin)),
+
+    Q("ann_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.ivfTopK(emb, assign, emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND q.vec_id % 37 = 0 AND n.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("lang_id",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tok
+        |  FROM (SELECT lang, tok, ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY c DESC, tok) AS rn FROM f) WHERE rn <= 5),
+        |hits AS (SELECT t.doc_id, p.plang, COUNT(*) AS score
+        |  FROM t JOIN prof p USING (tok) GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, plang
+        |  FROM (SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, plang) AS rn FROM hits) WHERE rn = 1)
+        |SELECT d.doc_id, COALESCE(p.plang, 'und') AS pred_lang
+        |FROM documents d LEFT JOIN pred p USING (doc_id)""".stripMargin)),
+
+    Q("text_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  ROUND(0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+        |    + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4)
+        |    AS quality
+        |FROM documents""".stripMargin)),
+
+    Q("token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d),
+        "doc_id", "text", "n_chars"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  (n_chars + 3) // 4 AS bpe_tokens FROM documents""".stripMargin)),
+
+    Q("doc_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin)),
+
+    Q("multimodal_meta",
+      // Binary payload plumbing; the decode stage is the spec-tested
+      // mapPartitions stub (Multimodal.decodeStub) — SQL checks the
+      // metadata projection. Text is ASCII, so the oracle's
+      // text-substring header equals the byte slice.
+      (s, d) => Multimodal.payloadMeta(
+        Tables.documents(s, d).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload"),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+        |  octet_length(encode(text)) // 256 + 1 AS n_frames
+        |FROM documents""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

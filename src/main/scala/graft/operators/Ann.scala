@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact cosine pairs, brute-force top-k
+  * (the correctness baseline), and IVF coarse quantization (the scale
+  * path: broadcast centroids, per-bucket search).
+  *
+  * Cosine is computed with codegen'd higher-order array expressions —
+  * float elements widened to double, summed left-to-right, divided by each
+  * norm in a fixed order — so any engine evaluating the same IEEE sequence
+  * reproduces it exactly.
+  */
+object Ann {
+
+  /** Sequential-sum dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity; evaluation order dot/normA/normB (matches the
+    * oracle expression shape).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** All vector pairs (id_a < id_b) with cosine >= threshold. Exhaustive —
+    * the embedding near-dup correctness baseline. At scale, pre-bucket with
+    * [[ivfAssign]] and join within buckets instead.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Brute-force cosine top-k: every query scored against every candidate,
+    * ranked per query (cosine desc, candidate id asc). Queries are expected
+    * to be a small DataFrame → broadcast side of the join.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_raw").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** IVF coarse quantization: assign each vector to its nearest centroid by
+    * cosine (ties → smallest centroid id). Centroids broadcast; one scan of
+    * the vectors, no shuffle except the ranking window on vec id.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String,
+                centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cts = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    v.join(broadcast(cts))
+      .withColumn("cos_raw", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_raw").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** IVF-restricted top-k: each query searches only vectors assigned to its
+    * own centroid bucket. `assignments` is (vec_id, centroid_id) from
+    * [[ivfAssign]]. The candidate join shuffles on centroid_id — buckets
+    * are co-located, so per-bucket search scales with bucket size, not
+    * corpus size.
+    */
+  def ivfTopK(emb: DataFrame, assignments: DataFrame, queryIds: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    val q = assigned.join(broadcast(queryIds.select(col(idCol).as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
+    val scored = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("centroid_id"))
+      .join(q, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_raw").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque binary columns with
+  * typed metadata, plus a partition-wise "decode" stage.
+  *
+  * The real decode (image/audio codecs) is STUBBED — the container has no
+  * media libraries — but the Spark-side shape is real: binary column +
+  * metadata projection stay in codegen; the decode runs as a typed
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs) so a
+  * real codec drops in per-partition with zero plan changes.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  final case class MediaFeature(doc_id: Long, n_bytes: Int,
+                                checksum: Long, n_frames: Int)
+
+  /** Pure-SQL metadata over a binary payload column: byte length, header
+    * magic (first 4 bytes, lower hex), frame-count estimate from a fixed
+    * 256-byte frame size.
+    */
+  def payloadMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+      lower(hex(substring(col(payloadCol), 1, 4))).as("header_hex"),
+      (octet_length(col(payloadCol)).cast("long") / lit(256) + 1).cast("long").as("n_frames"))
+
+  /** STUB decode: deterministic fake features standing in for a real codec.
+    * `???`-equivalent marker: replace the body of `decodeOne` with e.g. a
+    * JPEG decode + feature extraction; the partition-batched dataflow
+    * around it is production-shaped (no driver collect, no shuffle).
+    */
+  def decodeStub(ds: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map(decodeOne))
+  }
+
+  private def decodeOne(r: MediaRow): MediaFeature = {
+    // STUB: stands in for codec work; polynomial checksum keeps it
+    // deterministic and cheap.
+    var sum = 0L
+    var i = 0
+    while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
+    MediaFeature(r.doc_id, r.payload.length, sum, r.payload.length / 256 + 1)
+  }
+
+  /** documents.text rendered as an opaque binary payload — the testdata has
+    * no real media column, so the text bytes play that role.
+    */
+  def payloadsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

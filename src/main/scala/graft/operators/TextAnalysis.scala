@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID from
+  * token-frequency profiles, heuristic quality scoring, token counting,
+  * and normalized-document fingerprinting.
+  *
+  * All pure string/array expressions (whole-stage codegen); lang-ID's
+  * profile table is tiny and broadcast into the scoring join.
+  */
+object TextAnalysis {
+
+  /** Heuristic stopword list used by the quality score (drawn from the
+    * corpus vocabulary; any fixed list works — it is part of the operator's
+    * contract, not learned).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Data-driven language ID: build a per-language profile (top
+    * `profileSize` tokens by frequency, ties broken by token) from the
+    * labeled corpus, then classify each document by profile-token hit count
+    * (ties broken by language code). Profiles are tiny → broadcast join;
+    * the heavy side is one explode + two aggregations.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, profileSize: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val profile = freq
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") <= profileSize)
+      .select(col("lang").as("plang"), col("tok"))
+    val hits = toks.join(broadcast(profile), "tok")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val pred = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Heuristic quality score in [0,1]: half from length saturation
+    * (n_tokens/200 capped at 1), half from non-stopword density. Exact
+    * double arithmetic in a fixed evaluation order so the oracle matches
+    * bit-for-bit before rounding.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = split(text, " ")
+    val nTok = size(ws)
+    val stop = size(filter(ws, t => t.isin(Stopwords: _*)))
+    val lenScore = least(lit(1.0), nTok.cast("double") / lit(200.0))
+    val stopRatio = stop.cast("double") / nTok
+    round(lit(0.5) * lenScore + lit(0.5) * (lit(1.0) - stopRatio), 4)
+  }
+
+  /** Whitespace token count plus the chars/4 BPE-ish estimate (integer
+    * arithmetic only — no fp divergence).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  nCharsCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      ((col(nCharsCol) + 3) / lit(4)).cast("long").as("bpe_tokens"))
+
+  /** Normalized-document fingerprint: lowercase, trim, collapse internal
+    * whitespace, md5. Identical docs modulo spacing/case share a
+    * fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+}
