@@ -576,7 +576,80 @@ object Queries {
         |FROM documents""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline
+  // ------------------------------------------------- streaming (batch form)
+
+  private val streamingBatch: Seq[Q] = Seq(
+    Q("events_window_agg",
+      // Tumbling-window per-type stats; graft.streaming.EventPipelines
+      // runs the same transform over a watermarked stream.
+      (s, d) => graft.streaming.EventPipelines.windowAggCore(Tables.events(s, d)),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("events_dedup_latest",
+      // Upsert compaction: newest event per (user, type); stream form is
+      // mapGroupsWithState. DuckDB orders by micro-truncated ts to match
+      // Spark's microsecond timestamps (parquet stores nanos).
+      (s, d) => graft.streaming.EventPipelines.latestPerKeyBatch(Tables.events(s, d)),
+      Some("""SELECT user_id, event_type, event_id, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) = 1""".stripMargin)),
+
+    Q("events_sessionize",
+      // 30-min-gap sessions per user; stream form is flatMapGroupsWithState
+      // with event-time timeout.
+      (s, d) => graft.streaming.EventPipelines.sessionizeBatch(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |l AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM l)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(tus) // 1000000 AS session_start_s,
+        |  MAX(tus) // 1000000 AS session_end_s
+        |FROM s GROUP BY 1, 2""".stripMargin))
+  )
+
+  // ----------------------------------------------------- analytics headline
+
+  private val analytics: Seq[Q] = Seq(
+    Q("join_revenue_nation",
+      // Multi-join revenue rollup (bench headline for join planning):
+      // lineitem ⋈ orders ⋈ customer shuffle on keys, nation/region
+      // broadcast. Mirrors the reference's enriched-replication joins at
+      // TPC-H Q5 shape.
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 6))).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline ++ streamingBatch ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

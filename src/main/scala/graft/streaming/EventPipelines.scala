@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream pipelines with one semantic definition and two physical
+  * forms: a batch DataFrame plan (what Verify/Bench run and the DuckDB
+  * oracle checks) and a Structured Streaming form (watermarks + windowed
+  * aggregation, mapGroupsWithState, flatMapGroupsWithState) proven
+  * equivalent in EventPipelinesSpec via MemoryStream.
+  *
+  * Re-expresses the reference's continuous replication loop (per-tile
+  * micro-batch discovery/replication, glue/sbin/keyspaces/
+  * CQLReplicator.scala:1161-1215) as real Structured Streaming: the ledger
+  * state machine becomes keyed state, the incremental stats become
+  * windowed aggregates.
+  */
+object EventPipelines {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start_s: Long,
+                              session_end_s: Long, n_events: Long)
+
+  final case class LatestOut(user_id: Long, event_type: String,
+                             event_id: Long, value: Double)
+
+  /** Epoch micros from a Timestamp without losing sub-millisecond digits
+    * (getTime alone truncates to millis — the batch side compares full
+    * microsecond event time).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  // --------------------------------------------------------- window agg
+
+  /** Tumbling 1-hour per-type counts/sums. Works unchanged on a batch or
+    * streaming DataFrame; decimal sum keeps the result partition-order
+    * independent.
+    */
+  def windowAggCore(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming form: watermark bounds state; late events beyond 2 hours are
+    * dropped and closed windows are finalized.
+    */
+  def windowAggStream(events: DataFrame): DataFrame =
+    windowAggCore(events.withWatermark("ts", "2 hours"))
+
+  // ------------------------------------------------------- latest-per-key
+
+  /** Batch: newest event per (user, type) — upsert/CDC compaction. Ordered
+    * by (event time, event_id) so concurrent-timestamp ties are stable.
+    */
+  def latestPerKeyBatch(events: DataFrame): DataFrame =
+    events.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+
+  /** Streaming form: keyed state holds the current winner; each micro-batch
+    * folds its events into the state and emits the (possibly unchanged)
+    * latest row — update-mode upsert semantics.
+    */
+  def latestPerKeyStream(events: Dataset[Event]): Dataset[LatestOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[Event, LatestOut](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), it, state: GroupState[Event]) =>
+          val newest = (state.getOption.iterator ++ it).maxBy(e => (tsMicros(e.ts), e.event_id))
+          state.update(newest)
+          LatestOut(uid, etype, newest.event_id, newest.value)
+      }
+  }
+
+  // ----------------------------------------------------------- sessionize
+
+  /** Batch: 30-min-gap session windows per user via lag + running sum.
+    * Micro-precision epoch arithmetic (integer) so batch, stream, and
+    * oracle agree exactly.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("min_tus"), max(col("tus")).as("max_tus"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        expr("min_tus div 1000000").as("session_start_s"),
+        expr("max_tus div 1000000").as("session_end_s"))
+  }
+
+  /** Keyed session state (public: Spark's codegen'd state serializer needs
+    * accessible constructor/accessors).
+    */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Streaming form: per-user open-session state; events close a session
+    * when the gap is exceeded, the event-time timeout flushes the final
+    * one once the watermark passes lastTs + gap.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.startUs / 1000000, s.lastUs / 1000000, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tus = tsMicros(e.ts)
+              open match {
+                case Some(s) if tus - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = tus, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.startUs / 1000000, s.lastUs / 1000000, s.n)
+                  open = Some(OpenSession(tus, tus, 1))
+                case None =>
+                  open = Some(OpenSession(tus, tus, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

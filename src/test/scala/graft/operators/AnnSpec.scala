@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+
+  private def vecs = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),     // near 0
+      (2L, Array(0.0f, 1.0f)),     // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f))     // opposite of 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: exact values on axis-aligned vectors") {
+    val row = vecs.filter(col("vec_id") === 0).alias("a")
+      .crossJoin(vecs.filter(col("vec_id") === 2).alias("b"))
+      .select(Ann.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .head()
+    assert(math.abs(row.getDouble(0)) < 1e-12)
+  }
+
+  test("cosinePairs returns ordered pairs above threshold") {
+    val pairs = Ann.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val out = Ann.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(out.map(_._1) == List(1L, 2L, 3L)) // near, orthogonal, opposite
+    assert(out.map(_._2) == List(1L, 2L, 3L))
+  }
+
+  test("ivfAssign picks the nearest centroid; ivfTopK stays in-bucket") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val assign = Ann.ivfAssign(vecs, centroids,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val m = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (-1,0) is closer to centroid (0,1) (cos 0) than to (1,0) (cos -1)
+    assert(m(1L) == 0L && m(2L) == 2L && m(0L) == 0L && m(3L) == 2L)
+    val topk = Ann.ivfTopK(vecs, assign, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(1)).toSet
+    // bucket of centroid 0 contains {0,1}; 2 and 3 are in the other bucket
+    assert(topk == Set(1L))
+  }
+
+  test("multimodal decodeStub is deterministic over payload bytes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, Array.fill[Byte](600)(7))).toDS()
+    val out = Multimodal.decodeStub(ds).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_bytes == 5 && out(1L).n_frames == 1)
+    assert(out(2L).n_bytes == 600 && out(2L).n_frames == 3)
+    val again = Multimodal.decodeStub(ds).collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(out.view.mapValues(_.checksum).toMap == again)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),           // exact dup of 1
+      (3L, "a b c d e f"),         // near dup of 1 (shingle jaccard 3/4)
+      (4L, "x y z w q r s t")      // unrelated
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word 3-grams, empty below 3 words") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("exactGroups keeps min id and counts dups") {
+    val m = TextDedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(1L) == 2L)                     // keep_id 1 has 2 copies
+    assert(m.values.sum == 4L)
+  }
+
+  test("jaccardPairs finds exact and near dups above threshold") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("minhashLshPairs equals the exhaustive jaccard pairs on real docs") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 128, 32, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("simhash: identical docs share fingerprints, near dups are close") {
+    val fp = TextDedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+    // stable across evaluations
+    val fp2 = TextDedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+  }
+}

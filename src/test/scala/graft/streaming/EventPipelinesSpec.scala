@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.EventPipelines._
+
+/** Stream/batch equivalence: each streaming pipeline fed through a
+  * MemoryStream must produce exactly what the batch plan computes on the
+  * same rows.
+  */
+class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
+
+  private def ev(id: Long, sec: Long, uid: Long, tpe: String, v: Double): Event =
+    Event(id, new Timestamp(sec * 1000L), uid, tpe, v)
+
+  private val sample: Seq[Event] = Seq(
+    ev(1, 10, 1, "click", 1.0),
+    ev(2, 20, 1, "click", 2.0),
+    ev(3, 15, 1, "view", 3.0),
+    ev(4, 3600 + 10, 1, "click", 4.0),   // second hour window
+    ev(5, 7200 + 5, 2, "click", 5.0),
+    ev(6, 7200 + 5, 2, "click", 6.0),    // same ts tie -> higher id wins
+    ev(7, 7200 + 2000, 2, "view", 7.0)   // >30min after id 5/6: new session
+  )
+
+  test("windowAggStream equals batch on the same data (complete mode)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    in.addData(sample)
+    val q = windowAggStream(in.toDF())
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wagg").collect().map(_.toSeq).toSet
+    val batch = windowAggCore(sample.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("latestPerKeyStream upserts to the batch answer across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    val q = latestPerKeyStream(in.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(sample.take(4)); q.processAllAvailable()
+      in.addData(sample.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in update mode appends every upsert; last write per key
+    // is the live state.
+    val rows = spark.table("latest").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val finalState = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => (k, vs.maxBy(_._2)._1._2) }.toSet
+    val batch = latestPerKeyBatch(sample.toDF()).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toSet
+    assert(finalState == batch && batch.nonEmpty)
+    // tie on ts resolved toward larger event_id
+    assert(batch.contains(((2L, "click"), (6L, 6.0))))
+  }
+
+  test("sessionizeStream emits the batch sessions once the watermark passes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    val q = sessionizeStream(in.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(sample)
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark so event-time
+      // timeouts flush every open session
+      in.addData(ev(99, 1000000, 999, "x", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(100, 2000000, 999, "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 999).toSet
+    val batch = sessionizeBatch(sample.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
