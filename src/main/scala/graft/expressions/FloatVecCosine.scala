@@ -1,0 +1,85 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over two float-vector columns as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * The composable form (`zip_with` + `aggregate` higher-order functions) is
+  * CodegenFallback — every element evaluation is an interpreted lambda call
+  * — which dominates the ANN operators' runtime. This expression emits
+  * three tight primitive loops instead (~20x less per-row cost) while
+  * keeping the exact IEEE evaluation order of the composable form and of
+  * the DuckDB oracle: elementwise double products summed left-to-right,
+  * then dot / sqrt(normA) / sqrt(normB).
+  *
+  * Lives under org.apache.spark.sql to reach the private[sql]
+  * Column<->Expression bridge; depends only on public Spark internals
+  * semantics (Expression, ArrayData).
+  */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i); $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double $v = (double) $b.getFloat($i); $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for graft's native expressions. */
+object GraftExpressions {
+  def floatVecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecCosine(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -15,18 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential-sum dot product of two float-array columns in double. */
+  /** Sequential-sum dot product of two float-array columns in double
+    * (composable higher-order form; interpreted — prefer [[cosine]] in hot
+    * paths, which is a codegen'd native expression).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  /** Cosine similarity; evaluation order dot/normA/normB (matches the
-    * oracle expression shape).
+  /** Cosine similarity via the native codegen'd expression; identical IEEE
+    * evaluation order to the higher-order form (dot summed left-to-right,
+    * then / sqrt(normA) / sqrt(normB)).
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.floatVecCosine(a, b)
 
   /** All vector pairs (id_a < id_b) with cosine >= threshold. Exhaustive —
     * the embedding near-dup correctness baseline. At scale, pre-bucket with

@@ -1,27 +1,30 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM-training-data pipelines: exact dedup,
   * exhaustive n-gram-Jaccard pairs, MinHash+LSH candidate generation with
   * exact verification, and SimHash fingerprints.
   *
-  * Everything is declarative: shingling/minhashing are codegen'd
-  * higher-order array expressions evaluated in one scan; candidate
+  * Hot paths avoid higher-order array functions entirely — Spark evaluates
+  * those as interpreted lambdas (CodegenFallback), which measured ~10x
+  * slower than the equivalent relational form. Shingling is posexplode +
+  * lead() windows, minhashing is a 128-column min-aggregate, banding is
+  * multi-argument xxhash64 — all whole-stage-codegen territory. Candidate
   * generation is an equi-join on (band, bandHash) so Catalyst shuffles on
-  * the bucket key. At 100 TB the LSH path is the one that survives —
-  * exhaustive pair enumeration exists as the correctness oracle and for
-  * small corpora.
+  * the bucket key; at 100 TB the LSH path is the one that survives, and
+  * the exhaustive pair enumeration exists as its correctness oracle.
   */
 object TextDedup {
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles as an array column. Documents shorter
-    * than n words produce an empty set (mirrors the oracle's lateral range
-    * producing no rows).
+  /** Distinct word n-gram shingles as an array column (spec/API surface;
+    * the distributed paths use [[shingleTable]]). Documents shorter than n
+    * words produce an empty set.
     */
   def shingles(text: Column, n: Int): Column = {
     val ws = split(text, " ")
@@ -40,11 +43,26 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exploded (doc_id, shingle) relation with per-doc set sizes. */
-  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("s"))
+  /** Exploded distinct (doc_id, shingle) relation. posexplode + lead()
+    * instead of an array-transform expression: the window runs inside
+    * codegen and the token explosion shuffles once on doc_id.
+    */
+  def shingleTable(docs: DataFrame, idCol: String,
+                                      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val base = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    if (n == 1) base.select(col("doc_id"), col("tok").as("s")).distinct()
+    else {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+      base.select(col("doc_id") +: col("tok") +: leads: _*)
+        .filter(col(s"l${n - 1}").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"l$i")): _*).as("s"))
+        .distinct()
+    }
+  }
 
   /** Exhaustive pairs with n-gram-set Jaccard >= threshold. Candidate pairs
     * come from a self-join on shared shingles (never O(n^2) when shingle
@@ -75,52 +93,63 @@ object TextDedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash signatures as (doc_id, sig array<long>[numPerm]). Shingles are
-    * exploded and hashed ONCE with xxhash64; permutation i is the cheap
-    * re-mix xxhash64(h, i) folded by a min-aggregate (128 longs of state
-    * per doc, map-side partial agg, one shuffle on doc_id). This shape
-    * matters: a nested higher-order expression would re-evaluate the
-    * string hashing once per permutation — 128x the work.
+  /** MinHash signature columns m0..m{numPerm-1} per doc_id from a
+    * (doc_id, s) shingle relation. Each shingle is hashed ONCE with
+    * xxhash64; permutation i is the cheap re-mix xxhash64(h, i) folded by a
+    * min-aggregate (numPerm longs of state per doc, map-side partial agg,
+    * one shuffle on doc_id). An array-lambda formulation would re-hash the
+    * strings once per permutation AND run interpreted.
     */
-  def minhashSignatures(docsWithShingles: DataFrame, numPerm: Int): DataFrame = {
-    val hashed = docsWithShingles
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+  def minhashSignatureCols(shingleRows: DataFrame, numPerm: Int): DataFrame = {
+    val hashed = shingleRows.select(col("doc_id"), xxhash64(col("s")).as("h"))
     val minCols = (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH band keys: array of (band, bandHash) structs; equal band rows in
-    * two signatures collide on the same key.
-    */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-    }: _*)
+  /** Signature as one array<long> column (API/spec convenience). */
+  def minhashSignatures(shingleRows: DataFrame, numPerm: Int): DataFrame =
+    minhashSignatureCols(shingleRows, numPerm)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
 
   /** MinHash+LSH near-dup pairs, exact-verified: banding proposes candidate
     * pairs (equi-join on the band bucket), then the exact shingle-set
-    * Jaccard is recomputed per candidate with `array_intersect` — so the
-    * output equals the exhaustive [[jaccardPairs]] whenever the LSH
-    * parameters give full recall at the threshold.
+    * Jaccard is recomputed per candidate via a shingle join — so the output
+    * equals the exhaustive [[jaccardPairs]] whenever the LSH parameters
+    * give full recall at the threshold.
     *
-    * Scale shape: one scan computes signatures; candidates shuffle on
-    * (band, bandHash); verification joins candidates back to the shingle
-    * arrays by doc id. No O(n^2) stage.
+    * Scale shape: one scan + one window computes shingles; signatures
+    * shuffle on doc_id; candidates shuffle on (band, bandHash);
+    * verification joins the (small) candidate set back to the shingle
+    * relation. No O(n^2) stage anywhere.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numPerm: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      persistIntermediate: Boolean = false): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     val rowsPerBand = numPerm / bands
-    val withSets = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = minhashSignatures(withSets, numPerm)
-      .select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("k"))
+    // The shingle relation feeds three consumers (signatures + both sides
+    // of the verification join). AQE's runtime stage reuse already
+    // collapses the duplicated shuffles; persistIntermediate=true instead
+    // caches the relation (MEMORY_AND_DISK) — measured SLOWER at small
+    // scale (cache build dominates) but the right trade when the upstream
+    // scan is expensive (wide tables, remote storage).
+    val shPlan = shingleTable(docs, idCol, textCol, n)
+    val sh = if (persistIntermediate)
+      shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shPlan
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sigs = minhashSignatureCols(sh, numPerm)
+    // Band hash = one multi-argument xxhash64 over the band's signature
+    // rows — codegen'd, no intermediate array.
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("k"))
       .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -128,15 +157,12 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = withSets
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
   }
 
   // ------------------------------------------------------------- SimHash
