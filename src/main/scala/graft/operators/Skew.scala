@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: deterministic key salting.
+  *
+  * AQE's skew-join splitting (on by default) handles most cases at
+  * runtime; explicit salting remains the tool when a single hot key
+  * overwhelms even split partitions — e.g. a null-heavy join column or a
+  * celebrity user_id. The left (large, skewed) side gets a deterministic
+  * salt derived from its whole row; the right side is replicated once per
+  * salt value. Join output is exactly the unsalted join's.
+  */
+object Skew {
+
+  /** Equi-join with the left side salted `saltFactor` ways. Deterministic:
+    * the salt hashes the left row's non-key columns (falling back to the
+    * keys when there are none) rather than using rand(), so retries and
+    * speculative tasks agree.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val nonKey = left.columns.filterNot(keys.contains)
+    val saltSource: Seq[Column] =
+      (if (nonKey.nonEmpty) nonKey.toSeq else keys).map(col)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(saltSource: _*), lit(saltFactor)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+}

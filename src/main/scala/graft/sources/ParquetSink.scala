@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Parquet target support, re-expressing the reference's size-controlled
+  * file output (glue/sbin/parquet/CQLReplicator.scala:698-740
+  * estimateAndCoalesce) and giving CDC snapshots a bucketed layout so the
+  * per-PK diff joins need no shuffle.
+  */
+object ParquetSink {
+
+  /** Estimated on-disk size of `df`'s output. Prefers Catalyst's logical
+    * statistics (free — propagated from file sizes through operators);
+    * falls back to row-count x sampled average row width when the plan has
+    * no usable estimate. The reference samples one row and multiplies
+    * (parquet/CQLReplicator.scala:712-718); plan stats are strictly better
+    * and cost nothing.
+    */
+  def estimateBytes(df: DataFrame): Long = {
+    val fromStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (fromStats > 0 && fromStats < BigInt(Long.MaxValue)) fromStats.toLong
+    else {
+      val sample = df.limit(1000)
+      val rows = sample.count()
+      if (rows == 0) 0L
+      else {
+        val avg = sample.select(
+          sum(length(to_json(struct(sample.columns.map(col): _*))))).head().getLong(0) / rows
+        avg * df.count()
+      }
+    }
+  }
+
+  /** Number of output files that keeps each parquet file near
+    * `targetFileBytes` (the reference's targetFileSizeMB contract). At
+    * least 1; parquet compression typically shrinks the estimate, so this
+    * errs toward slightly smaller files rather than gigantic ones.
+    */
+  def targetPartitions(df: DataFrame, targetFileBytes: Long): Int =
+    math.max(1, math.ceil(estimateBytes(df).toDouble / targetFileBytes).toInt)
+
+  /** Writes `df` as parquet with size-controlled files. coalesce (not
+    * repartition) when shrinking: it folds partitions without a shuffle.
+    * Growing the file count needs a real repartition — round-robin keeps
+    * sizes even.
+    */
+  def writeSizeControlled(df: DataFrame, path: String,
+                          targetFileBytes: Long = 128L << 20,
+                          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val n = targetPartitions(df, targetFileBytes)
+    val current = df.rdd.getNumPartitions
+    val sized = if (n < current) df.coalesce(n)
+                else if (n > current) df.repartition(n)
+                else df
+    sized.write.mode(mode).parquet(path)
+  }
+
+  /** Persists a CDC snapshot bucketed (and sorted) by its primary key.
+    * Both snapshots of a diff written this way co-locate equal PKs in
+    * equal bucket ids, so Cdc.inserts/deletes/updates plan as bucket-local
+    * sort-merge joins — no shuffle of the 100 TB sides (SURVEY §3).
+    * Bucketed tables require the table catalog, hence saveAsTable.
+    */
+  def writeBucketedSnapshot(df: DataFrame, tableName: String,
+                            pkCols: Seq[String], buckets: Int,
+                            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, pkCols.head, pkCols.tail: _*)
+      .sortBy(pkCols.head, pkCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

@@ -3,9 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.operators.TextDedup
-
 /** Dev probe for stage-level timing of the hot operators (not part of the
   * driver contract).
   */
@@ -26,22 +23,15 @@ object Probe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
-    val docs = Tables.documents(spark, sfDir)
-
-    time("warmup scan")(docs.count())
-    val sh = graft.operators.TextDedup.shingleTable(docs, "doc_id", "text", 3)
-    time("shingleTable")(sh.count())
-    time("shingleTable again")(sh.count())
-    time("minhash sig cols")(TextDedup.minhashSignatureCols(sh, 128).count())
-    time("full lsh pairs")(
-      TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.8).count())
-    if (sys.env.contains("EXPLAIN")) {
-      val plan = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
-        .queryExecution.executedPlan.toString
-      println("[plan] exchanges=" + "Exchange".r.findAllIn(plan).length +
-        " reused=" + "ReusedExchange".r.findAllIn(plan).length +
+    for (name <- sys.env.getOrElse("AUDIT", "q1_pricing_agg").split(",")) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()   // force AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"[audit] $name: exchanges=" + "Exchange hashpartitioning".r.findAllIn(plan).length +
+        " broadcasts=" + "BroadcastExchange".r.findAllIn(plan).length +
         " wscg=" + "WholeStageCodegen".r.findAllIn(plan).length)
-      println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan ")).mkString("\n"))
+      plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(6).foreach(l => println("[audit]   " + l.trim.take(240)))
     }
     spark.stop()
   }

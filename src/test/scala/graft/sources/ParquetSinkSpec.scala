@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{Cdc, Skew}
+
+class ParquetSinkSpec extends SparkSpec {
+
+  test("writeSizeControlled produces roughly target-sized files") {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-sink").toString + "/orders"
+    ParquetSink.writeSizeControlled(orders, dir, targetFileBytes = 64 << 10)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val total = files.map(_.length()).sum
+    val reread = spark.read.parquet(dir)
+    assert(reread.count() == orders.count())
+    // each file within a loose factor of the 64 KiB target
+    assert(files.forall(_.length() < 8 * (64 << 10)), s"files: ${files.map(_.length()).toSeq}")
+    assert(total > 0)
+  }
+
+  test("bucketed snapshots diff without an exchange on the big sides") {
+    val spark0 = spark
+    import spark0.implicits._
+    // drop both catalog entries AND any orphaned location left by a
+    // killed prior run (saveAsTable refuses to reuse the directory)
+    for (t <- Seq("snap_prev", "snap_curr")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val prev = (1L to 1000L).map(k => (k, k % 97)).toDF("pk", "ts")
+    val curr = (5L to 1004L).map(k => (k, k % 89)).toDF("pk", "ts")
+    ParquetSink.writeBucketedSnapshot(prev, "snap_prev", Seq("pk"), 4)
+    ParquetSink.writeBucketedSnapshot(curr, "snap_curr", Seq("pk"), 4)
+    val p = spark.table("snap_prev")
+    val c = spark.table("snap_curr")
+    val diff = Cdc.updates(c, p, Seq("pk"))
+    diff.count() // materialize so AQE finalizes
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed diff should not shuffle:\n$plan")
+    // and it is still correct
+    val expected = curr.as("c").join(p.as("p"), Seq("pk"))
+      .filter(!(col("c.ts") <=> col("p.ts"))).count()
+    assert(diff.count() == expected)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val right = Seq((1, 10.0), (2, 20.0), (4, 40.0)).toDF("k", "w")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltFactor = 4)
+      .collect().map(_.toSeq).toSet
+    val plain = left.join(right, Seq("k")).collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
