@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.FloatVecCosine
+
+/** Spark extension entry point: makes graft's native expressions available
+  * to pure-SQL users.
+  *
+  *   spark.sql.extensions=graft.GraftSparkExtensions
+  *
+  * or at runtime on a live session: `GraftSparkExtensions.register(spark)`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSparkExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftSparkExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[FloatVecCosine].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples — the shape both
+    * SparkSessionExtensions.injectFunction and FunctionRegistry expect.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_vec_cosine"),
+      info("float_vec_cosine",
+        "float_vec_cosine(a, b) - cosine similarity of two float vectors"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_vec_cosine takes exactly 2 arguments")
+        FloatVecCosine(children.head, children(1))
+      }))
+
+  /** Registers the functions on an already-built session (extensions
+    * normally apply only at session construction).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

@@ -142,6 +142,24 @@ object Queries {
         |   + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 8 AS tile
         |FROM orders""".stripMargin)),
 
+    Q("tile_resize",
+      // Tile recompute on totalTiles change (keyspaces/CQLReplicator
+      // .scala:2082-2223): keys re-hash to a new tile count; output is the
+      // (old_tile, new_tile) movement matrix the resize planner needs.
+      (s, d) => Tables.orders(s, d)
+        .select(
+          Cdc.tileMd5(col("o_orderkey"), 8).as("old_tile"),
+          Cdc.tileMd5(col("o_orderkey"), 13).as("new_tile"))
+        .groupBy("old_tile", "new_tile").agg(count(lit(1)).as("n_keys")),
+      Some("""WITH t AS (SELECT
+        |  (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+        |   + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 8 AS old_tile,
+        |  (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+        |   + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 13 AS new_tile
+        |FROM orders)
+        |SELECT old_tile, new_tile, COUNT(*) AS n_keys
+        |FROM t GROUP BY 1, 2""".stripMargin)),
+
     Q("tile_counts",
       // Discovery stats: primary keys per tile
       // (keyspaces/CQLReplicator.scala:2282-2284).
