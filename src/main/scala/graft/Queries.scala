@@ -319,6 +319,38 @@ object Queries {
         |    o_orderstatus := o_orderstatus,
         |    o_orderpriority := o_orderpriority)) AS VARCHAR) AS doc FROM orders""".stripMargin)),
 
+    Q("empty_blob_correct",
+      // Empty-blob correction (keyspaces/CQLReplicator.scala:170-208):
+      // zero-length binary payloads must render as the CQL empty-blob
+      // literal "0x", not "". The hex rendering absorbs the correction:
+      // hex of empty bytes is empty, leaving exactly the "0x" prefix.
+      (s, d) => Tables.customer(s, d).select(
+        col("c_custkey"),
+        Transforms.blobToHex(encode(
+          when(col("c_custkey") % 10 === 0, lit("")).otherwise(col("c_name")),
+          "UTF-8")).as("payload_hex")),
+      Some("""SELECT c_custkey,
+        |  '0x' || lower(hex(encode(CASE WHEN c_custkey % 10 = 0
+        |    THEN '' ELSE c_name END))) AS payload_hex
+        |FROM customer""".stripMargin)),
+
+    Q("udt_to_json_text",
+      // UDT -> JSON-text conversion (keyspaces/CQLReplicator.scala:185-196):
+      // a nested structured value is stringified in place inside the outer
+      // row document.
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        to_json(struct(
+          col("o_orderkey"),
+          to_json(struct(
+            col("o_orderstatus").as("status"),
+            col("o_custkey").as("cust"))).as("udt"))).as("doc")),
+      Some("""SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+        |    udt := CAST(to_json(struct_pack(status := o_orderstatus,
+        |      cust := o_custkey)) AS VARCHAR))) AS VARCHAR) AS doc
+        |FROM orders""".stripMargin)),
+
     Q("counter_deltas",
       // Counter-column semantics: the target value is the sum of deltas per
       // key (keyspaces/CQLReplicator.scala:926-936). Decimal sum keeps the
