@@ -370,6 +370,22 @@ object Queries {
         .select(col("doc_id"), col("n_chars").as("ttl")),
       Some("SELECT doc_id, n_chars AS ttl FROM documents WHERE n_chars > 300")),
 
+    Q("ttl_value_join",
+      // TTL-value retrieval (parquet/CQLReplicator.scala:735-760): the
+      // reference loops per-PK CQL lookups inside mapPartitions; the
+      // Spark-first form is a key join against the TTL-bearing source —
+      // broadcast or shuffle as sizes dictate. TTL emulated
+      // deterministically from the key.
+      (s, d) => {
+        val keys = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+        val ttlSource = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") % 86400).as("ttl_value"))
+        keys.join(ttlSource, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderkey % 86400 AS ttl_value
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)),
+
     Q("column_stats",
       // Column-stats sampler (keyspaces/CQLReplicator.scala:1683-1756) in
       // long format: one row per profiled column, single aggregation pass.
