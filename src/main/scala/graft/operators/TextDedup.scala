@@ -48,11 +48,18 @@ object TextDedup {
     * codegen and the token explosion shuffles once on doc_id.
     */
   def shingleTable(docs: DataFrame, idCol: String,
-                                      textCol: String, n: Int): DataFrame = {
+                   textCol: String, n: Int): DataFrame =
+    gramRows(docs, idCol, textCol, n).distinct()
+
+  /** Non-distinct (doc_id, s) gram rows shared by the string and hashed
+    * shingle relations.
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     val base = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    if (n == 1) base.select(col("doc_id"), col("tok").as("s")).distinct()
+    if (n == 1) base.select(col("doc_id"), col("tok").as("s"))
     else {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
@@ -60,7 +67,6 @@ object TextDedup {
         .filter(col(s"l${n - 1}").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"l$i")): _*).as("s"))
-        .distinct()
     }
   }
 
@@ -100,11 +106,24 @@ object TextDedup {
     * one shuffle on doc_id). An array-lambda formulation would re-hash the
     * strings once per permutation AND run interpreted.
     */
-  def minhashSignatureCols(shingleRows: DataFrame, numPerm: Int): DataFrame = {
-    val hashed = shingleRows.select(col("doc_id"), xxhash64(col("s")).as("h"))
+  def minhashSignatureCols(shingleRows: DataFrame, numPerm: Int): DataFrame =
+    minhashSignatureColsFromHashes(
+      shingleRows.select(col("doc_id"), xxhash64(col("s")).as("h")), numPerm)
+
+  /** As [[minhashSignatureCols]] but over pre-hashed shingles (doc_id, h). */
+  def minhashSignatureColsFromHashes(hashedRows: DataFrame, numPerm: Int): DataFrame = {
     val minCols = (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    hashedRows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
+
+  /** Distinct (doc_id, h) with h = xxhash64(shingle): the hash is applied
+    * BEFORE the distinct so the dedup shuffle and every downstream join
+    * move longs, not shingle strings.
+    */
+  def shingleHashTable(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    gramRows(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
 
   /** Signature as one array<long> column (API/spec convenience). */
   def minhashSignatures(shingleRows: DataFrame, numPerm: Int): DataFrame =
@@ -129,18 +148,24 @@ object TextDedup {
                       persistIntermediate: Boolean = false): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     val rowsPerBand = numPerm / bands
-    // The shingle relation feeds three consumers (signatures + both sides
-    // of the verification join). AQE's runtime stage reuse already
-    // collapses the duplicated shuffles; persistIntermediate=true instead
-    // caches the relation (MEMORY_AND_DISK) — measured SLOWER at small
-    // scale (cache build dominates) but the right trade when the upstream
-    // scan is expensive (wide tables, remote storage).
-    val shPlan = shingleTable(docs, idCol, textCol, n)
+    // Shingles collapse to 64-bit hashes BEFORE the distinct: every
+    // downstream shuffle/join carries 8-byte keys instead of strings, and
+    // set semantics survive because a 64-bit collision inside one corpus
+    // is ~(distinct shingles)^2 / 2^65 — ~1e-9 here, and it would only
+    // perturb one candidate's Jaccard by one count.
+    //
+    // The relation feeds three consumers (signatures + both sides of the
+    // verification join). AQE's runtime stage reuse already collapses the
+    // duplicated shuffles; persistIntermediate=true instead caches the
+    // relation (MEMORY_AND_DISK) — measured SLOWER at small scale (cache
+    // build dominates) but the right trade when the upstream scan is
+    // expensive (wide tables, remote storage).
+    val shPlan = shingleHashTable(docs, idCol, textCol, n)
     val sh = if (persistIntermediate)
       shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shPlan
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sigs = minhashSignatureCols(sh, numPerm)
+    val sigs = minhashSignatureColsFromHashes(sh, numPerm)
     // Band hash = one multi-argument xxhash64 over the band's signature
     // rows — codegen'd, no intermediate array.
     val bandStructs = (0 until bands).map { b =>
@@ -160,7 +185,7 @@ object TextDedup {
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, threshold)
   }
