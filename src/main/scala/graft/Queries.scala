@@ -642,6 +642,34 @@ object Queries {
         |FROM documents""".stripMargin))
   )
 
+  private val multimodalFrames: Seq[Q] = Seq(
+    Q("multimodal_frames",
+      // Frame sampling (video-frame / audio-window analogue): payloads
+      // explode into fixed 256-byte frames relationally — no UDF — so the
+      // expensive per-frame decode (Multimodal.frameFeatures, the batched
+      // mapPartitions stub) only ever sees frames that survive upstream
+      // filters. Oracle checks the slicing arithmetic.
+      (s, d) => {
+        val sliced = Multimodal.frameSlices(
+          Tables.documents(s, d).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", frameBytes = 256)
+        sliced.select(col("doc_id"), col("frame_idx"),
+          lower(hex(substring(col("frame"), 1, 8))).as("frame_head"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+        |  unnest(generate_series(0,
+        |    (octet_length(encode(text)) + 255) // 256 - 1)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  lower(hex(encode(substring(text,
+        |    CAST(frame_idx * 256 + 1 AS INT), 8)))) AS frame_head,
+        |  CAST(LEAST(256, octet_length(encode(text)) - frame_idx * 256) AS BIGINT)
+        |    AS frame_bytes
+        |FROM f""".stripMargin))
+  )
+
   // ------------------------------------------------- streaming (batch form)
 
   private val streamingBatch: Seq[Q] = Seq(
@@ -715,7 +743,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline ++ streamingBatch ++ analytics
+  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

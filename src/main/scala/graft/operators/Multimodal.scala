@@ -59,4 +59,47 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  // ------------------------------------------------------------- frames
+
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  final case class FrameFeature(doc_id: Long, frame_idx: Long, feature: Long)
+
+  /** Frame sampling: one payload row explodes into fixed-size byte frames
+    * (video-frame / audio-window analogue). Pure relational — explode over
+    * a frame-index sequence plus binary substring — so slicing runs
+    * distributed with no UDF; the expensive per-frame decode happens later
+    * in [[frameFeatures]] only on the frames that survive whatever
+    * filtering sits between.
+    */
+  def frameSlices(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int = 256): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(payloadCol).as("p"))
+      .withColumn("n_frames",
+        expr(s"(octet_length(p) + ${frameBytes - 1}) div $frameBytes"))
+      .filter(col("n_frames") > 0) // empty payloads produce no frames
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"),
+        col("p"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(p, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)")
+          .as("frame"))
+
+  /** STUB per-frame decode/feature-extract (batched mapPartitions — where a
+    * real codec or model batch-inference call drops in).
+    */
+  def frameFeatures(frames: Dataset[FrameRow]): Dataset[FrameFeature] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        // STUB: stands in for per-frame decode + embedding
+        var sum = 0L
+        var i = 0
+        while (i < f.frame.length) { sum = sum * 131 + (f.frame(i) & 0xff); i += 1 }
+        FrameFeature(f.doc_id, f.frame_idx, sum)
+      }
+    }
+  }
 }

@@ -53,6 +53,26 @@ class AnnSpec extends SparkSpec {
     assert(topk == Set(1L))
   }
 
+  test("frameSlices partitions the payload exactly; frameFeatures is deterministic") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, Array.tabulate[Byte](600)(_.toByte)),
+                 (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val frames = Multimodal.frameSlices(df, "doc_id", "payload", frameBytes = 256)
+    val byDoc = frames.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .groupBy(_._1)
+    assert(byDoc(1L).map(_._3.length).sorted.toSeq == Seq(88, 256, 256))
+    assert(byDoc(2L).map(_._3.length).toSeq == Seq(3))
+    // reassembling the frames in order gives the original payload
+    val rebuilt = byDoc(1L).sortBy(_._2).flatMap(_._3)
+    assert(rebuilt.toSeq == Array.tabulate[Byte](600)(_.toByte).toSeq)
+    val feats = Multimodal.frameFeatures(frames.as[Multimodal.FrameRow]).collect()
+    // the 600-byte ramp repeats with period 256, so frames 0 and 1 of doc 1
+    // are byte-identical and must share a feature; the other two differ
+    assert(feats.length == 4 && feats.map(_.feature).distinct.length == 3)
+  }
+
   test("multimodal decodeStub is deterministic over payload bytes") {
     val spark0 = spark
     import spark0.implicits._
