@@ -54,11 +54,11 @@ object Ann {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_raw", cosine(col("qv"), col("nv")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos_raw").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    // TopKPerGroup (custom Catalyst operator): bounded per-partition heaps
+    // with a partial stage before the shuffle — the window row_number form
+    // would sort every candidate per query; identical rank semantics.
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"))
@@ -101,11 +101,8 @@ object Ann {
       .join(q, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_raw", cosine(col("qv"), col("nv")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos_raw").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"))
