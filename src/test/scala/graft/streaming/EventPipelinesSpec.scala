@@ -66,6 +66,27 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(batch.contains(((2L, "click"), (6L, 6.0))))
   }
 
+  test("windowAggStream over a parquet FILE stream equals the batch result") {
+    import java.nio.file.{Files, Paths}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = windowAggStream(stream)
+      .writeStream.format("memory").queryName("fwagg")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fwagg").collect().map(_.toSeq).toSet
+    val batch = windowAggCore(graft.Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionizeStream emits the batch sessions once the watermark passes") {
     val spark0 = spark
     import spark0.implicits._
