@@ -82,4 +82,18 @@ object GraftExpressions {
   def floatVecCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** DEFLATE/INFLATE as codegen'd StaticInvoke expressions — the codec
+    * stays a plain JVM method but the call site lives inside whole-stage
+    * codegen (no UDF serialization, no codegen break).
+    */
+  def deflate(bin: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.operators.GraftCodec.getClass, BinaryType, "deflate",
+      Seq(ExpressionUtils.expression(bin)), Seq(BinaryType)))
+
+  def inflate(bin: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.operators.GraftCodec.getClass, BinaryType, "inflate",
+      Seq(ExpressionUtils.expression(bin)), Seq(BinaryType)))
 }

@@ -109,15 +109,25 @@ object Transforms {
 
   /** Packs `payloadCol` (string) into a compressed binary column named
     * `target`, mirroring compressNonPrimaryColumns (keyspaces:727-757).
-    * Distributed per-row map; no state, no shuffle.
+    * The codec call is a codegen'd StaticInvoke (not a UDF), so the
+    * projection stays inside whole-stage codegen. Distributed per-row map;
+    * no state, no shuffle.
     */
-  def compressColumn(df: DataFrame, payloadCol: String, target: String): DataFrame = {
-    val codec = udf((s: String) => if (s == null) null else deflate(s.getBytes("UTF-8")))
-    df.withColumn(target, codec(col(payloadCol)))
-  }
+  def compressColumn(df: DataFrame, payloadCol: String, target: String): DataFrame =
+    df.withColumn(target, org.apache.spark.sql.graft.GraftExpressions.deflate(
+      encode(col(payloadCol), "UTF-8")))
 
-  def decompressColumn(df: DataFrame, packedCol: String, target: String): DataFrame = {
-    val codec = udf((b: Array[Byte]) => if (b == null) null else new String(inflate(b), "UTF-8"))
-    df.withColumn(target, codec(col(packedCol)))
-  }
+  def decompressColumn(df: DataFrame, packedCol: String, target: String): DataFrame =
+    df.withColumn(target, decode(
+      org.apache.spark.sql.graft.GraftExpressions.inflate(col(packedCol)), "UTF-8"))
+}
+
+/** JVM codec entry points for the StaticInvoke expressions (top-level
+  * object: the compiler emits static forwarders codegen can call).
+  */
+object GraftCodec {
+  def deflate(bytes: Array[Byte]): Array[Byte] =
+    if (bytes == null) null else Transforms.deflate(bytes)
+  def inflate(bytes: Array[Byte]): Array[Byte] =
+    if (bytes == null) null else Transforms.inflate(bytes)
 }
