@@ -237,6 +237,33 @@ object Queries {
         |SEMI JOIN ($targetKeysSql) t ON o.o_orderkey = t.o_orderkey""".stripMargin))
   )
 
+  private val reconcilePipeline: Seq[Q] = Seq(
+    Q("pk_reconcile_pipeline",
+      // The reference's full reconciliation pipeline (PrimaryKeyReconcili-
+      // ation.scala:375-412 applyPipeline): filter -> PK transform (hash
+      // with alias) -> group/tile column -> anti-join distinct on
+      // (group, transformed pk). Composed entirely from the library's own
+      // operators.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def pipeline(df: DataFrame) = df
+          .select(md5(col("o_orderkey").cast("string")).as("pk_t"))
+          .withColumn("grp", Cdc.tileMd5(col("pk_t"), 4))
+        val src = pipeline(o.filter("o_totalprice > 50000"))
+        val tgt = pipeline(o.filter(col("o_orderkey") % 13 =!= 5))
+        Cdc.reconcileMissing(src, tgt, Seq("grp", "pk_t"))
+      },
+      Some("""WITH src AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS pk_t
+        |    FROM orders WHERE o_totalprice > 50000),
+        |s2 AS (SELECT pk_t, (ascii(substr(md5(pk_t), 1, 1)) * 256
+        |    + ascii(substr(md5(pk_t), 2, 1))) % 4 AS grp FROM src),
+        |tgt AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS pk_t
+        |    FROM orders WHERE o_orderkey % 13 <> 5),
+        |t2 AS (SELECT pk_t, (ascii(substr(md5(pk_t), 1, 1)) * 256
+        |    + ascii(substr(md5(pk_t), 2, 1))) % 4 AS grp FROM tgt)
+        |SELECT grp, pk_t FROM s2 ANTI JOIN t2 USING (grp, pk_t)""".stripMargin))
+  )
+
   // ------------------------------------------------------------ transforms
 
   private val transforms: Seq[Q] = Seq(
@@ -743,7 +770,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ analytics
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
