@@ -434,6 +434,26 @@ object Queries {
         |  CAST(SUM(CAST(LENGTH(c_mktsegment) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(c_mktsegment),
         |  CAST(MAX(LENGTH(c_mktsegment)) AS DOUBLE) FROM customer""".stripMargin)),
 
+    Q("column_stats_totals",
+      // Row-width estimate from the sampler: per-column min/avg/max summed
+      // across columns (keyspaces/CQLReplicator.scala:1690-1717
+      // addTotalColumns). Additions in schema order for fp parity.
+      (s, d) => Stats.columnStatsTotals(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
+      Some("""SELECT
+        |  CAST(MIN(c_custkey) AS DOUBLE) + CAST(MIN(LENGTH(c_name)) AS DOUBLE)
+        |    + CAST(MIN(c_acctbal) AS DOUBLE) + CAST(MIN(LENGTH(c_mktsegment)) AS DOUBLE)
+        |    AS row_min_total,
+        |  CAST(SUM(CAST(c_custkey AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_custkey)
+        |    + CAST(SUM(CAST(LENGTH(c_name) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_name)
+        |    + CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal)
+        |    + CAST(SUM(CAST(LENGTH(c_mktsegment) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_mktsegment)
+        |    AS row_avg_total,
+        |  CAST(MAX(c_custkey) AS DOUBLE) + CAST(MAX(LENGTH(c_name)) AS DOUBLE)
+        |    + CAST(MAX(c_acctbal) AS DOUBLE) + CAST(MAX(LENGTH(c_mktsegment)) AS DOUBLE)
+        |    AS row_max_total
+        |FROM customer""".stripMargin)),
+
     Q("replication_stats",
       // Per-tile insert/update/delete counts for a CDC cycle
       // (keyspaces/CQLReplicator.scala:1161-1215).

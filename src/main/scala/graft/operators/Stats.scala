@@ -20,7 +20,34 @@ object Stats {
     * result is independent of partitioning/merge order.
     */
   def columnStats(df: DataFrame): DataFrame = {
-    val profiled = df.schema.fields.flatMap { f =>
+    val (profiled, wide) = profiledWide(df)
+    val stacked = profiled.map { case (name, _) =>
+      struct(lit(name).as("col_name"),
+        col(s"${name}__min").as("min_v"),
+        col(s"${name}__avg").as("avg_v"),
+        col(s"${name}__max").as("max_v"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  /** Row-width estimate: sums of the per-column min/avg/max over all
+    * profiled columns (reference addTotalColumns, :1690-1717). Additions
+    * run in schema order so the doubles are engine-reproducible.
+    */
+  def columnStatsTotals(df: DataFrame): DataFrame = {
+    val (profiled, wide) = profiledWide(df)
+    def total(suffix: String) = profiled
+      .map { case (name, _) =>
+        coalesce(col(s"${name}__$suffix").cast("double"), lit(0.0))
+      }.reduce(_ + _)
+    wide.select(
+      total("min").as("row_min_total"),
+      total("avg").as("row_avg_total"),
+      total("max").as("row_max_total"))
+  }
+
+  private def profiledWide(df: DataFrame): (Seq[(String, Column)], DataFrame) = {
+    val profiled = df.schema.fields.toSeq.flatMap { f =>
       val base: Option[Column] = f.dataType match {
         case _: NumericType => Some(col(f.name).cast("double"))
         case StringType     => Some(length(col(f.name)).cast("double"))
@@ -35,14 +62,7 @@ object Stats {
         (sum(c.cast(DecimalType(38, 6))).cast("double") / count(c)).as(s"${name}__avg"),
         max(c).as(s"${name}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = profiled.map { case (name, _) =>
-      struct(lit(name).as("col_name"),
-        col(s"${name}__min").as("min_v"),
-        col(s"${name}__avg").as("avg_v"),
-        col(s"${name}__max").as("max_v"))
-    }
-    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+    (profiled, df.agg(aggs.head, aggs.tail: _*))
   }
 
   /** Replication cycle stats: per-tile inserted/updated/deleted key counts
