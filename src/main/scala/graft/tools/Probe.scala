@@ -23,6 +23,30 @@ object Probe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    if (sys.env.contains("TOPK")) {
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.range(20000000L).select(
+        (col("id") % 40).as("g"),
+        (col("id") * 2654435761L % 1000000007L).as("score"),
+        col("id"))
+      df.write.format("noop").mode("overwrite").save() // warm
+      def t(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[topk] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t("window row_number k=10") {
+        df.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+          .filter(col("rank") <= 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("TopKPerGroup k=10") {
+        org.apache.spark.sql.graft.TopKPerGroup(df, Seq(col("g")),
+            Seq(col("score").desc, col("id")), 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
     for (name <- sys.env.getOrElse("AUDIT", "q1_pricing_agg").split(",")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()   // force AQE final plan
