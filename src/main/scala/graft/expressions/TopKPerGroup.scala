@@ -89,9 +89,14 @@ case class TopKPerGroupExec(
       val ordering = RowOrdering.create(order, childOutput)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       it.foreach { row =>
-        val key = grouping(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](ordering.on(r => r: InternalRow)))
+        val key = grouping(row) // reused buffer: copy only on first sight
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](ordering.on(r => r: InternalRow))
+            heaps.put(key.copy(), h)
+            h
+        }
         heap.enqueue(toUnsafe(row).copy())
         if (heap.size > kk) heap.dequeue()
       }
@@ -123,6 +128,8 @@ object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
             k: Int, rankName: String = "rank"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty,
+      "TopKPerGroup needs at least one group column (for a global top-k use orderBy.limit)")
     val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =
