@@ -755,6 +755,35 @@ object Queries {
         |FROM s GROUP BY 1, 2""".stripMargin))
   )
 
+  private val asofBlock: Seq[Q] = Seq(
+    Q("events_asof_attribution",
+      // Backward as-of join (click -> most recent view per user within
+      // 24h): one union + window pass, no pairwise join; DuckDB's native
+      // ASOF JOIN is the cross-paradigm oracle.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        AsOf.asofBackward(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"),
+          "user_id", "event_id", "tus", toleranceUs = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |r0 AS (SELECT user_id, tus, MAX(event_id) AS view_id FROM e
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |l AS (SELECT event_id AS left_id, user_id, tus FROM e
+        |  WHERE event_type = 'click')
+        |SELECT l.left_id, l.user_id, l.tus,
+        |  CASE WHEN r0.tus IS NOT NULL AND l.tus - r0.tus <= 86400000000
+        |    THEN r0.view_id END AS matched_id,
+        |  CASE WHEN r0.tus IS NOT NULL AND l.tus - r0.tus <= 86400000000
+        |    THEN l.tus - r0.tus END AS gap_us
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.tus <= l.tus""".stripMargin))
+  )
+
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
@@ -790,7 +819,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ analytics
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
