@@ -784,6 +784,34 @@ object Queries {
         |  ON l.user_id = r0.user_id AND r0.tus <= l.tus""".stripMargin))
   )
 
+  private val rangeJoinBlock: Seq[Q] = Seq(
+    Q("range_join_windows",
+      // Point-in-interval join: events against 200 synthetic 30-min
+      // windows every 2h from 2024-01-01. The operator buckets time so
+      // the inequality join becomes an equi-join on the bucket (a raw
+      // inequality join would plan broadcast-nested-loop).
+      (s, d) => {
+        val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+        val windows = s.range(0, 200).select(
+          col("id").as("window_id"),
+          (lit(base) + col("id") * 7200000000L).as("w_start"),
+          (lit(base) + col("id") * 7200000000L + 1800000000L).as("w_end"))
+        val points = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+        RangeJoin.pointInInterval(points, windows, "tus", "w_start", "w_end",
+            bucketUs = 7200000000L)
+          .groupBy("window_id").agg(count(lit(1)).as("n_events"))
+      },
+      Some("""WITH w AS (SELECT CAST(gs AS BIGINT) AS window_id,
+        |    1704067200000000 + gs * 7200000000 AS w_start,
+        |    1704067200000000 + gs * 7200000000 + 1800000000 AS w_end
+        |  FROM generate_series(0, 199) t(gs)),
+        |e AS (SELECT event_id, epoch_ns(ts) // 1000 AS tus FROM events)
+        |SELECT w.window_id, COUNT(*) AS n_events
+        |FROM e JOIN w ON e.tus >= w.w_start AND e.tus <= w.w_end
+        |GROUP BY 1""".stripMargin))
+  )
+
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
@@ -819,7 +847,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ analytics
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
