@@ -812,6 +812,26 @@ object Queries {
         |GROUP BY 1""".stripMargin))
   )
 
+  private val sketchBlock: Seq[Q] = Seq(
+    Q("sketch_group_profile",
+      // HLL++ distinct + approximate median per event type — the
+      // discovery-pass estimators for 100 TB profiling. Approximate by
+      // construction, so rows-only here; SketchesSpec bounds the error
+      // against exact answers.
+      (s, d) => Sketches.groupProfile(Tables.events(s, d),
+        "event_type", "user_id", "value"),
+      None),
+
+    Q("heavy_hitters_users",
+      // Heavy hitters at 2% support; exact groupBy form (lazy broadcast
+      // total, no driver action) that a CMS sketch would approximate.
+      (s, d) => Sketches.heavyHitters(
+        Tables.events(s, d).select("user_id"), "user_id", 0.02),
+      Some("""SELECT user_id, COUNT(*) AS freq FROM events
+        |GROUP BY 1
+        |HAVING COUNT(*) >= 0.02 * (SELECT COUNT(*) FROM events)""".stripMargin))
+  )
+
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
@@ -847,7 +867,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ analytics
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
