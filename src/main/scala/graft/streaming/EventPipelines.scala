@@ -83,6 +83,45 @@ object EventPipelines {
       }
   }
 
+  // ------------------------------------------------- stream-stream join
+
+  /** Batch form of click→view attribution: every (click, view) pair of the
+    * same user with the view inside the lookback window before the click.
+    * (The as-of variant keeping only the latest view is operators.AsOf.)
+    */
+  def attributionBatch(clicks: DataFrame, views: DataFrame,
+                       windowMinutes: Int): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"interval $windowMinutes minutes"))
+      .select("click_id", "user_id", "view_id")
+  }
+
+  /** Streaming form: watermarked stream-stream interval join — the time
+    * bound lets Spark expire view-side state once the watermark passes the
+    * lookback window, so state stays proportional to the window, not the
+    * stream.
+    */
+  def attributionStream(clicks: DataFrame, views: DataFrame,
+                        windowMinutes: Int): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"interval $windowMinutes minutes"))
+      .select("click_id", "user_id", "view_id")
+  }
+
   // ----------------------------------------------------------- sessionize
 
   /** Batch: 30-min-gap session windows per user via lag + running sum.

@@ -66,6 +66,35 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(batch.contains(((2L, "click"), (6L, 6.0))))
   }
 
+  test("attributionStream (stream-stream interval join) equals the batch join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val clicks = Seq(ev(1, 1000, 1, "click", 1.0), ev(2, 5000, 1, "click", 1.0),
+      ev(3, 1500, 2, "click", 1.0))
+    val views = Seq(ev(10, 400, 1, "view", 0.0), ev(11, 900, 1, "view", 0.0),
+      ev(12, 4000, 1, "view", 0.0), ev(13, 90, 2, "view", 0.0))
+    val inC = MemoryStream[Event](spark0)
+    val inV = MemoryStream[Event](spark0)
+    val q = attributionStream(inC.toDF(), inV.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inC.addData(clicks); inV.addData(views); q.processAllAvailable()
+      // advance both watermarks far enough to flush all joined results
+      inC.addData(ev(98, 1000000, 99, "click", 0.0))
+      inV.addData(ev(99, 1000000, 99, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 != 99).toSet
+    val batch = attributionBatch(clicks.toDF(), views.toDF(), 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // click 1 (t=1000s) sees views at 400 and 900 but not 4000
+    assert(batch.filter(_._1 == 1L).map(_._3) == Set(10L, 11L))
+  }
+
   test("ReplicationPipeline lands upsert deltas as parquet per micro-batch") {
     import java.nio.file.Files
     val spark0 = spark
