@@ -23,6 +23,25 @@ object Probe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
+    if (sys.env.contains("AQECMP")) {
+      val names = Seq("q1_pricing_agg", "snapshot_diff_updates", "pk_reconcile_missing",
+        "join_revenue_nation", "dedup_minhash_lsh", "events_sessionize")
+      def runAll(label: String): Unit = {
+        val t0 = System.nanoTime()
+        names.foreach { n =>
+          graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        println(f"[aqe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      runAll("warmup")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      runAll("aqe on ")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      runAll("aqe off")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      runAll("aqe on2")
+      spark.stop(); return
+    }
     if (sys.env.contains("TOPK")) {
       import org.apache.spark.sql.expressions.Window
       val df = spark.range(20000000L).select(
