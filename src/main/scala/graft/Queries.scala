@@ -212,6 +212,22 @@ object Queries {
       },
       Some(currSnapshotSql)),
 
+    Q("delete_propagation",
+      // Delete propagation to a secondary target (opensearch/
+      // CQLReplicator.scala:300-320): the CDC delete set rendered as
+      // per-key delete statements the target consumer executes.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.deletes(currSnapshot(o), prevSnapshot(o), pk)
+          .select(col("o_orderkey"),
+            to_json(struct(col("o_orderkey"), lit("delete").as("op"))).as("stmt"))
+      },
+      Some(s"""SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+        |    op := 'delete')) AS VARCHAR) AS stmt
+        |FROM ($prevSnapshotSql) p
+        |ANTI JOIN ($currSnapshotSql) c USING (o_orderkey)""".stripMargin)),
+
     Q("pk_reconcile_missing",
       (s, d) => {
         val o = Tables.orders(s, d)

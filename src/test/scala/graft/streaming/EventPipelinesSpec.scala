@@ -122,6 +122,23 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(replayed == batch && batch.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark dedupes replayed events in a stream") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    val q = in.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(sample); q.processAllAvailable()
+      in.addData(sample.take(3)) // at-least-once replay of early events
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_wm").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == sample.map(_.event_id).sorted) // replay suppressed
+  }
+
   test("windowAggStream over a parquet FILE stream equals the batch result") {
     import java.nio.file.{Files, Paths}
     val sfDir = "/root/testdata/sf0.001"
