@@ -701,7 +701,7 @@ object Queries {
       Some("""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
-        |  octet_length(encode(text)) // 256 + 1 AS n_frames
+        |  (octet_length(encode(text)) + 255) // 256 AS n_frames
         |FROM documents""".stripMargin))
   )
 

@@ -20,15 +20,16 @@ object Multimodal {
                                 checksum: Long, n_frames: Int)
 
   /** Pure-SQL metadata over a binary payload column: byte length, header
-    * magic (first 4 bytes, lower hex), frame-count estimate from a fixed
-    * 256-byte frame size.
+    * magic (first 4 bytes, lower hex), frame count at a fixed 256-byte
+    * frame size — ceil division, consistent with [[frameSlices]] (an exact
+    * multiple of 256 is that many frames, empty is zero).
     */
   def payloadMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
       octet_length(col(payloadCol)).cast("long").as("n_bytes"),
       lower(hex(substring(col(payloadCol), 1, 4))).as("header_hex"),
-      (octet_length(col(payloadCol)).cast("long") / lit(256) + 1).cast("long").as("n_frames"))
+      expr(s"(octet_length($payloadCol) + 255) div 256").cast("long").as("n_frames"))
 
   /** STUB decode: deterministic fake features standing in for a real codec.
     * `???`-equivalent marker: replace the body of `decodeOne` with e.g. a
@@ -47,7 +48,7 @@ object Multimodal {
     var sum = 0L
     var i = 0
     while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
-    MediaFeature(r.doc_id, r.payload.length, sum, r.payload.length / 256 + 1)
+    MediaFeature(r.doc_id, r.payload.length, sum, (r.payload.length + 255) / 256)
   }
 
   /** documents.text rendered as an opaque binary payload — the testdata has

@@ -18,10 +18,18 @@ object Skew {
     * the salt hashes the left row's non-key columns (falling back to the
     * keys when there are none) rather than using rand(), so retries and
     * speculative tasks agree.
+    *
+    * Only left-preserving join types are allowed: the right side is
+    * replicated per salt value, so right/full outer joins would emit each
+    * unmatched right row saltFactor times.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val nonKey = left.columns.filterNot(keys.contains)
     val saltSource: Seq[Column] =
       (if (nonKey.nonEmpty) nonKey.toSeq else keys).map(col)
