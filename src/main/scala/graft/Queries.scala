@@ -647,6 +647,20 @@ object Queries {
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("embedding_quantize_int8",
+      // Storage-path int8 quantization of the embedding table (4x size cut
+      // before ANN indexing); long format so the oracle compares scalars.
+      (s, d) => Ann.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, m, unnest(generate_series(1, len(embedding))) AS i,
+        |    embedding FROM e WHERE m > 0)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / m) AS INT) AS q,
+        |  round(m, 6) AS max_abs
+        |FROM d""".stripMargin)),
+
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),
       Some("""WITH t AS (SELECT doc_id, lang,
