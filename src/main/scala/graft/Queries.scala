@@ -661,6 +661,21 @@ object Queries {
         |  round(m, 6) AS max_abs
         |FROM d""".stripMargin)),
 
+    Q("ann_ivf_refined_assign",
+      // IVF assignment after one deterministic Lloyd iteration — the
+      // production quantizer (seeded init + refine) rather than raw
+      // sampled centroids. Refined centroids are double-mean derived, so
+      // no portable SQL oracle: rows-only here, exactness spec-tested in
+      // AnnSpec (kmeansRefine reaches exact member means, reproducibly).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val refined = Ann.kmeansRefine(emb,
+          emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", iters = 1)
+        Ann.ivfAssign(emb, refined, "vec_id", "embedding", "centroid_id", "cv")
+      },
+      None),
+
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),
       Some("""WITH t AS (SELECT doc_id, lang,

@@ -99,6 +99,39 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Deterministic Lloyd refinement of IVF centroids: a fixed number of
+    * assign→mean iterations. Means use decimal sums (partition-order
+    * independent) and dimensions reassemble via sorted structs (no
+    * collect_list order dependence), so the refined centroids are
+    * bit-reproducible. Centroids stay tiny → every iteration is one
+    * broadcast-join scan of the vectors plus a (centroid, dim) aggregate.
+    */
+  def kmeansRefine(emb: DataFrame, initCentroids: DataFrame,
+                   idCol: String, vecCol: String,
+                   centroidIdCol: String, centroidVecCol: String,
+                   iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    var cents = initCentroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    for (_ <- 0 until iters) {
+      val assign = ivfAssign(emb, cents, idCol, vecCol, "centroid_id", "cv")
+        .select("vec_id", "centroid_id")
+      val members = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .join(assign, "vec_id")
+      val dimMeans = members
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("mean"))
+      cents = dimMeans
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), s => s.getField("mean").cast("float")).as("cv"))
+    }
+    cents
+  }
+
   /** IVF-restricted top-k: each query searches only vectors assigned to its
     * own centroid bucket. `assignments` is (vec_id, centroid_id) from
     * [[ivfAssign]]. The candidate join shuffles on centroid_id — buckets

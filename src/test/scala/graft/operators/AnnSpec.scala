@@ -53,6 +53,28 @@ class AnnSpec extends SparkSpec {
     assert(topk == Set(1L))
   }
 
+  test("kmeansRefine moves centroids to exact member means, reproducibly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two tight clusters around the axes; init centroids off-center
+    val data = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(1.0f, -0.1f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(-0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val init = Seq((0L, Array(0.9f, 0.3f)), (1L, Array(0.3f, 0.9f)))
+      .toDF("centroid_id", "embedding")
+    val refined = Ann.kmeansRefine(data, init, "vec_id", "embedding",
+        "centroid_id", "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // cluster {0,1} mean = (1.0, 0.0); cluster {2,3} mean = (0.0, 1.0)
+    assert(refined(0L) == Seq(1.0f, 0.0f))
+    assert(refined(1L) == Seq(0.0f, 1.0f))
+    val again = Ann.kmeansRefine(data, init, "vec_id", "embedding",
+        "centroid_id", "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(refined == again)
+  }
+
   test("frameSlices partitions the payload exactly; frameFeatures is deterministic") {
     val spark0 = spark
     import spark0.implicits._
