@@ -661,6 +661,32 @@ object Queries {
         |  round(m, 6) AS max_abs
         |FROM d""".stripMargin)),
 
+    Q("dedup_embedding_bucketed",
+      // The scale path for embedding near-dup: pairs generated only
+      // within IVF buckets (the exhaustive dedup_embedding_cosine is its
+      // recall oracle). Same sampled centroids as the other IVF entries.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN embeddings e USING (vec_id))
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  ROUND(${cosSql("x.embedding", "y.embedding")}, 4) AS cosine
+        |FROM av x JOIN av y
+        |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin)),
+
     Q("ann_ivf_refined_assign",
       // IVF assignment after one deterministic Lloyd iteration — the
       // production quantizer (seeded init + refine) rather than raw

@@ -99,6 +99,28 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Embedding near-dup pairs restricted to IVF buckets: candidates are
+    * pairs assigned to the same centroid, so pair generation scales with
+    * bucket size instead of corpus size (the exhaustive [[cosinePairs]] is
+    * the recall oracle — bucketing trades recall at bucket borders for the
+    * O(n^2) cut, exactly like LSH banding for text).
+    */
+  def bucketedCosinePairs(emb: DataFrame, assignments: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    val a = withBucket.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("centroid_id"))
+    val b = withBucket.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("centroid_id"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic Lloyd refinement of IVF centroids: a fixed number of
     * assign→mean iterations. Means use decimal sums (partition-order
     * independent) and dimensions reassemble via sorted structs (no
