@@ -37,7 +37,10 @@ object Bench {
 
     run("q1_pricing_agg") // warmup, untimed
 
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 benches a subset (same timing path).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = Queries.all.map(_.name).filterNot(exclude)
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val t0 = System.nanoTime()
       run(name)

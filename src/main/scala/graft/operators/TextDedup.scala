@@ -144,44 +144,44 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numPerm: Int, bands: Int,
-                      threshold: Double,
-                      persistIntermediate: Boolean = false): DataFrame = {
+                      threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
-    val rowsPerBand = numPerm / bands
-    // Shingles collapse to 64-bit hashes BEFORE the distinct: every
+    // Shingles collapse to 64-bit hashes BEFORE the set-dedup: every
     // downstream shuffle/join carries 8-byte keys instead of strings, and
     // set semantics survive because a 64-bit collision inside one corpus
     // is ~(distinct shingles)^2 / 2^65 — ~1e-9 here, and it would only
     // perturb one candidate's Jaccard by one count.
     //
-    // The relation feeds three consumers (signatures + both sides of the
-    // verification join). AQE's runtime stage reuse already collapses the
-    // duplicated shuffles; persistIntermediate=true instead caches the
-    // relation (MEMORY_AND_DISK) — measured SLOWER at small scale (cache
-    // build dominates) but the right trade when the upstream scan is
-    // expensive (wide tables, remote storage).
-    val shPlan = shingleHashTable(docs, idCol, textCol, n)
-    val sh = if (persistIntermediate)
-      shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shPlan
+    // The minhash signature + banding collapse into ONE typed aggregate
+    // (MinHashAgg) emitting the band-key array directly. The declarative
+    // alternative — numPerm min(xxhash64(h, i)) columns + one xxhash64 per
+    // band — is semantically identical but makes every plan above it
+    // numPerm columns wide, and the per-column analysis/codegen costs
+    // measured larger than the entire data pass at bench scale. Keeping
+    // plans narrow also keeps every stage's generated code small and
+    // cache-friendly.
+    //
+    // The shingle relation feeds three consumers (band keys, sizes, both
+    // verification sides). Explicitly caching it — grouped or un-grouped —
+    // measured SLOWER than recompute at bench scale (columnar cache build
+    // of array columns dominates); AQE's runtime exchange reuse already
+    // dedupes the token-explode shuffle, which is the expensive part.
+    val sh = shingleHashTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sigs = minhashSignatureColsFromHashes(sh, numPerm)
-    // Band hash = one multi-argument xxhash64 over the band's signature
-    // rows — codegen'd, no intermediate array.
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"m$i")): _*).as("bh"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("k"))
-      .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val banded = sh.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.MinHashAggFunctions
+        .minhashBandKeys(col("h"), numPerm, bands).as("bk"))
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bh")))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Exact verification: join the (tiny) candidate set back to the
+    // shingle relation; the shared-hash count is the exact set
+    // intersection, so the Jaccard is bit-identical to the exhaustive
+    // baseline.
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
@@ -193,18 +193,19 @@ object TextDedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprints: per-token xxhash64, term-frequency
-    * weighted bit votes, sign of each vote becomes the bit. One groupBy
-    * over (doc, token) then one wide aggregation — two shuffles, both on
-    * doc_id, independent of corpus width.
+    * weighted bit votes, sign of each vote becomes the bit. A TF-weighted
+    * vote is identical to summing ±1 per token OCCURRENCE, so no (doc,
+    * token) pre-aggregation is needed — one explode feeding one wide
+    * per-doc aggregate (64 longs of map-side state per doc), a single
+    * shuffle independent of corpus width.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 64).map { j =>

@@ -50,6 +50,32 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact && exact.nonEmpty)
   }
 
+  test("MinHashAgg band keys equal the declarative xxhash64 formulation") {
+    import org.apache.spark.sql.graft.MinHashAggFunctions
+    val numPerm = 16
+    val bands = 4
+    val hashed = TextDedup.shingleHashTable(docs, "doc_id", "text", 3)
+    // declarative reference: numPerm min(xxhash64(h, i)) columns, band key
+    // = multi-arg xxhash64 over each band's rows
+    val minCols = (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val expected = sig.select(col("doc_id") +: (0 until bands).map { b =>
+      xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"m$i")): _*).as(s"bk$b")
+    }: _*).collect().map(r => r.getLong(0) -> (1 to bands).map(r.getLong)).toMap
+    val got = hashed.groupBy("doc_id")
+      .agg(MinHashAggFunctions.minhashBandKeys(col("h"), numPerm, bands).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.view.mapValues(_.toSeq).toMap ==
+      expected.view.mapValues(_.toSeq).toMap)
+    // and the signature variant matches the raw min columns
+    val gotSig = hashed.groupBy("doc_id")
+      .agg(MinHashAggFunctions.minhashSig(col("h"), numPerm).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expSig = sig.collect()
+      .map(r => r.getLong(0) -> (1 to numPerm).map(r.getLong).toSeq).toMap
+    assert(gotSig == expSig)
+  }
+
   test("simhash: identical docs share fingerprints, near dups are close") {
     val fp = TextDedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
