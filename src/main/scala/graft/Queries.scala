@@ -903,6 +903,112 @@ object Queries {
         |HAVING COUNT(*) >= 0.02 * (SELECT COUNT(*) FROM events)""".stripMargin))
   )
 
+  // ------------------------------------------------- curation (round 2)
+
+  private val curation: Seq[Q] = Seq(
+    Q("dedup_clusters",
+      // Near-dup PAIRS -> duplicate CLUSTERS: connected components (min-
+      // label propagation + pointer jumping, log-diameter rounds) over the
+      // exact-verified LSH pairs, canonical survivor flagged. The oracle
+      // recomputes the transitive closure with a recursive CTE.
+      (s, d) => Clustering.dedupClusters(
+        TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+        "doc_a", "doc_b"),
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
+
+    Q("tfidf_top_terms",
+      // Per-doc top-5 terms by TF-IDF (idf = ln(N/df)); one fixed double
+      // evaluation order so ranks and rounded scores match bit-for-bit.
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d),
+        "doc_id", "text", k = 5),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, ROUND(score, 4) AS tfidf
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin)),
+
+    Q("ngram_top_bigrams",
+      // Corpus-wide top-100 bigrams: distributed top-k (sort-limit pushes
+      // partial top-k map-side), total order (cnt desc, ngram).
+      (s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d),
+          "doc_id", "text", n = 2)
+        .orderBy(col("cnt").desc, col("ngram")).limit(100),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |  i -> ws[i] || ' ' || ws[i+1])) AS ngram FROM w)
+        |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin)),
+
+    Q("sample_hash",
+      // Deterministic ~10% Bernoulli sample by key hash: reproducible on
+      // any engine/partitioning, pure pushed-down filter.
+      (s, d) => Sampling.hashSample(Tables.orders(s, d), "o_orderkey", 0.1)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER < 6553""".stripMargin)),
+
+    Q("sample_stratified",
+      // Exactly 20 docs per language, chosen by hash order — deterministic
+      // stratified sampling for corpus balancing.
+      (s, d) => Sampling.stratifiedSample(Tables.documents(s, d),
+          "lang", "doc_id", perStratum = 20)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
+        |      doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin)),
+
+    Q("pii_redact",
+      // Pattern-based masking + span count (the PII-scrub shape; the
+      // pattern is the caller's contract). Fully codegen'd string ops.
+      (s, d) => TextAnalysis.redact(
+          Tables.events(s, d).select(col("event_id"), col("props")),
+          "props", "[0-9]+", "<NUM>")
+        .select(col("event_id"), col("redacted"), col("n_masked")),
+      Some("""SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events""".stripMargin)),
+
+    Q("percentile_profile",
+      // Exact interpolated percentiles per group (Spark `percentile` and
+      // DuckDB `quantile_cont` share linear-interpolation semantics —
+      // probed bit-exact). The sampler's distribution profile at full
+      // precision; at 100 TB the approximate sketch variant is
+      // sketch_group_profile.
+      (s, d) => Tables.orders(s, d).groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin))
+  )
+
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
@@ -938,7 +1044,7 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ analytics
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

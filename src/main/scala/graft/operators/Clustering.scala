@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair relation — the step that turns
+  * near-duplicate PAIRS (from LSH / embedding bucketing) into duplicate
+  * CLUSTERS with one canonical survivor per cluster, which is what a
+  * dedup pipeline actually acts on at 100 TB.
+  *
+  * Algorithm: iterated min-label propagation with pointer jumping
+  * (label <- min over neighbours' labels and the label's own label),
+  * O(log(diameter)) rounds. Every round is two shuffle joins + one
+  * aggregate — all declarative, AQE-optimized; the driver only decides
+  * WHEN to stop (a count per round), it never touches row data. Dedup
+  * graphs are unions of small cliques, so convergence is 1-2 rounds in
+  * practice; maxIter bounds adversarial chains.
+  */
+object Clustering {
+
+  /** (node, component) for every node in `pairs`, component = min node id
+    * reachable. `pairs` columns: (aCol, bCol), one row per undirected edge.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 16): DataFrame = {
+    val spark = pairs.sparkSession
+    // Undirected edge list, both directions; self-loops are harmless.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("node"), least(col("node"), col("mind")).as("comp"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbour propagation: candidate = min over neighbours' components
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("comp")).as("ncomp"))
+      // pointer jumping: candidate = component of my component
+      val viaPointer = labels.as("l")
+        .join(labels.as("p"), col("l.comp") === col("p.node"))
+        .select(col("l.node").as("node"), col("p.comp").as("pcomp"))
+      val next = labels
+        .join(viaEdges, Seq("node"), "left")
+        .join(viaPointer, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")),
+            coalesce(col("pcomp"), col("comp"))).as("comp"))
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("node"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels = next
+      // One driver-side stage per round decides termination only — the
+      // iterative-algorithm pattern (same shape as ML training loops).
+      converged = changed == 0
+      iter += 1
+      if (!converged && iter % 4 == 0) {
+        // keep lineage bounded over long chains
+        labels = labels.localCheckpoint(true)
+      }
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** Duplicate clusters from near-dup pairs: every clustered doc with its
+    * cluster id (= min doc id in the cluster) and a keep flag on the
+    * canonical survivor.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+}

@@ -76,4 +76,51 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
+
+  /** Top-k terms per document by TF-IDF (idf = ln(N/df), N = corpus size,
+    * df = documents containing the term). Two aggregations + one broadcast
+    * of the scalar N; the per-doc top-k is a bounded window. All double
+    * arithmetic in one fixed order (tf * ln(N/df)) so ranks and rounded
+    * scores reproduce bit-for-bit on any engine.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+        round(col("score"), 4).as("tfidf"))
+  }
+
+  /** Mask every match of `pattern` and count the masked spans — the
+    * PII-redaction shape (emails, phone numbers, ids); the pattern is the
+    * caller's contract. Pure string expressions, fully codegen'd, no
+    * shuffle.
+    */
+  def redact(df: DataFrame, textCol: String, pattern: String,
+             replacement: String): DataFrame =
+    df.withColumn("redacted",
+        regexp_replace(col(textCol), pattern, replacement))
+      .withColumn("n_masked",
+        regexp_count(col(textCol), lit(pattern)).cast("long"))
+
+  /** Corpus-wide n-gram frequencies (NON-distinct, unlike the dedup
+    * shingle relation): posexplode + lead window, then one count
+    * aggregation — the vocabulary/phrase-mining primitive.
+    */
+  def ngramCounts(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    TextDedup.gramRows(docs, idCol, textCol, n)
+      .groupBy(col("s").as("ngram")).agg(count(lit(1)).as("cnt"))
 }

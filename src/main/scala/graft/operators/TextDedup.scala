@@ -52,10 +52,10 @@ object TextDedup {
     gramRows(docs, idCol, textCol, n).distinct()
 
   /** Non-distinct (doc_id, s) gram rows shared by the string and hashed
-    * shingle relations.
+    * shingle relations (and TextAnalysis.ngramCounts).
     */
-  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame = {
+  private[operators] def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     val base = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))

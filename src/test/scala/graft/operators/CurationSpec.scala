@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("connectedComponents labels each clique with its min id") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two cliques {1,2,3} (via chain) and {10,11}, isolated pair {20,21};
+    // a chain 30-31-32-33 exercises multi-hop propagation
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (32L, 33L)).toDF("doc_a", "doc_b")
+    val got = Clustering.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+  }
+
+  test("dedupClusters flags exactly one survivor per cluster") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pairs = Seq((5L, 3L), (5L, 9L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val rows = Clustering.dedupClusters(pairs, "doc_a", "doc_b").collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    assert(byCluster.keySet == Set(3L, 7L))
+    byCluster.values.foreach { members =>
+      assert(members.count(_.getBoolean(2)) == 1)
+      assert(members.filter(_.getBoolean(2)).map(_.getLong(0)).head ==
+        members.map(_.getLong(0)).min)
+    }
+  }
+
+  test("hashSample is deterministic and rate-proportional") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 2000L).toDF("k")
+    val a = Sampling.hashSample(df, "k", 0.1).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "k", 0.1).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 100 && a.size < 350) // ~200 expected
+    // monotone: a smaller rate selects a subset
+    val c = Sampling.hashSample(df, "k", 0.05).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratifiedSample returns exactly perStratum rows per stratum") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    val out = Sampling.stratifiedSample(df, "g", "k", 7)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L))
+    // deterministic
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      Sampling.stratifiedSample(df, "g", "k", 7).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("tfidf ranks rare terms above common ones") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in all docs -> idf 0; doc 1's top must be 'rare'
+    assert(top(1L) == "rare")
+    assert(top(3L) == "other")
+  }
+
+  test("redact masks all spans and counts them") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "call 12345 or 678"), (2L, "no digits")).toDF("id", "t")
+    val out = TextAnalysis.redact(df, "t", "[0-9]+", "<NUM>")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("call <NUM> or <NUM>", 2L)))
+    assert(out(2L) == (("no digits", 0L)))
+  }
+
+  test("ngramCounts counts non-distinct bigrams") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val m = TextAnalysis.ngramCounts(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a b" -> 3L, "b a" -> 1L))
+  }
+}
