@@ -23,13 +23,21 @@ object Clustering {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 16): DataFrame = {
-    val spark = pairs.sparkSession
     // Undirected edge list, both directions; self-loops are harmless.
+    // Eager localCheckpoint TRUNCATES LINEAGE: the edge relation is tiny
+    // relative to the corpus (only near-dup docs appear) while its
+    // upstream plan (e.g. the whole LSH pipeline) is huge — without the
+    // cut, every iteration's logical plan embeds the full upstream tree
+    // and each round re-pays optimizer + codegen over it. Same pattern
+    // per iteration: constant-size plans, constant-depth lineage (the
+    // GraphX/ML iterative-algorithm discipline).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mind"))
       .select(col("node"), least(col("node"), col("mind")).as("comp"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -49,19 +57,17 @@ object Clustering {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")),
             coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      // One driver-side count per round decides termination only (the
+      // iterative-algorithm pattern, as in ML training loops); both
+      // inputs are checkpointed, so it scans two tiny label sets.
       val changed = next.as("n")
         .join(labels.as("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
       labels = next
-      // One driver-side stage per round decides termination only — the
-      // iterative-algorithm pattern (same shape as ML training loops).
       converged = changed == 0
       iter += 1
-      if (!converged && iter % 4 == 0) {
-        // keep lineage bounded over long chains
-        labels = labels.localCheckpoint(true)
-      }
     }
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }

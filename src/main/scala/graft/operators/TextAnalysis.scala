@@ -95,10 +95,11 @@ object TextAnalysis {
       .withColumn("score",
         col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
-      .filter(col("rank") <= k)
+    // Bounded per-group heaps (TopKPerGroup) instead of the row_number
+    // window: shuffle carries <= k rows per doc per partition and no
+    // full-group sort materializes; rank semantics are identical.
+    org.apache.spark.sql.graft.TopKPerGroup(
+        scored, Seq(col("doc_id")), Seq(col("score").desc, col("term")), k)
       .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
         round(col("score"), 4).as("tfidf"))
   }
