@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.FloatVecCosine
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{FloatVecCosine, MinHashAgg}
+import org.apache.spark.sql.types.IntegerType
 
 /** Spark extension entry point: makes graft's native expressions available
   * to pure-SQL users.
@@ -33,7 +34,28 @@ object GraftSparkExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_vec_cosine takes exactly 2 arguments")
         FloatVecCosine(children.head, children(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(h, numPerm) - aggregate: MinHash signature (array<long>) over 64-bit shingle hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashAgg(children.head, intArg(children(1), "numPerm"))
+      }),
+    (FunctionIdentifier("minhash_band_keys"),
+      info("minhash_band_keys",
+        "minhash_band_keys(h, numPerm, bands) - aggregate: LSH band keys (array<long>) over 64-bit shingle hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "minhash_band_keys takes exactly 3 arguments")
+        MinHashAgg(children.head, intArg(children(1), "numPerm"),
+          intArg(children(2), "bands"))
       }))
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
 
   /** Registers the functions on an already-built session (extensions
     * normally apply only at session construction).

@@ -70,4 +70,22 @@ object functions {
   /** Inverse of [[deflateCol]]. */
   def inflateCol(bin: Column): Column =
     org.apache.spark.sql.graft.GraftExpressions.inflate(bin)
+
+  /** Aggregate: MinHash signature (array<long>, `numPerm` permutation
+    * minima) over a group's 64-bit shingle hashes.
+    */
+  def minhashSig(h: Column, numPerm: Int): Column =
+    org.apache.spark.sql.graft.MinHashAggFunctions.minhashSig(h, numPerm)
+
+  /** Aggregate: LSH band keys (array<long>, one xxhash64 per band) over a
+    * group's 64-bit shingle hashes.
+    */
+  def minhashBandKeys(h: Column, numPerm: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.MinHashAggFunctions.minhashBandKeys(h, numPerm, bands)
+
+  /** Engine-portable UNIFORM 16-bit content-hash bucket (deterministic
+    * sampling / splits).
+    */
+  def hashBucket(key: Column): Column =
+    graft.operators.Sampling.hashBucket(key)
 }

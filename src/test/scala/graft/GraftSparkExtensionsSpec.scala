@@ -14,6 +14,31 @@ class GraftSparkExtensionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("minhash aggregates are callable from SQL after registration") {
+    GraftSparkExtensions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("doc_id", "h")
+      .createOrReplaceTempView("sh")
+    val sig = spark.sql(
+      "SELECT doc_id, minhash_sig(h, 8) AS sig FROM sh GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L).length == 8 && sig(2L).length == 8)
+    // doc 2's shingles are a subset of doc 1's -> every minimum <=
+    assert(sig(1L).zip(sig(2L)).forall { case (a, b) => a <= b })
+    val bk = spark.sql(
+      "SELECT doc_id, minhash_band_keys(h, 8, 4) AS bk FROM sh GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bk(1L).length == 4)
+    // SQL form matches the Column-API form
+    import org.apache.spark.sql.functions.col
+    val viaCols = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("doc_id", "h")
+      .groupBy("doc_id")
+      .agg(graft.functions.minhashBandKeys(col("h"), 8, 4).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bk.view.mapValues(_.toSeq).toMap == viaCols.view.mapValues(_.toSeq).toMap)
+  }
+
   test("extensions class injects on a fresh session builder") {
     // the class itself must be instantiable by spark.sql.extensions
     val ext = new GraftSparkExtensions
