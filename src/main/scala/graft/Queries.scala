@@ -196,6 +196,31 @@ object Queries {
         |JOIN ($prevSnapshotSql) p USING (o_orderkey)
         |WHERE c.ts IS DISTINCT FROM p.ts""".stripMargin)),
 
+    Q("snapshot_store_changes",
+      // Full snapshot LIFECYCLE exercised end-to-end: two versions of the
+      // orders snapshot land in a versioned parquet store (the reference's
+      // Iceberg tile-snapshot machinery re-expressed), then CDC between
+      // the two snapshot IDs comes back as one I/D/U change relation. The
+      // oracle recomputes the triple from the same snapshot definitions.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-snapstore-q").toString
+        graft.sources.SnapshotStore.write(prevSnapshot(o), root, "orders_snap", 1L)
+        graft.sources.SnapshotStore.write(currSnapshot(o), root, "orders_snap", 2L)
+        graft.sources.SnapshotStore.changes(s, root, "orders_snap", 1L, 2L,
+          Seq("o_orderkey"))
+      },
+      Some(s"""SELECT c.*, 'I' AS op FROM ($currSnapshotSql) c
+        |ANTI JOIN ($prevSnapshotSql) p USING (o_orderkey)
+        |UNION ALL
+        |SELECT p.*, 'D' AS op FROM ($prevSnapshotSql) p
+        |ANTI JOIN ($currSnapshotSql) c USING (o_orderkey)
+        |UNION ALL
+        |SELECT c.o_orderkey, c.ts, 'U' AS op FROM ($currSnapshotSql) c
+        |JOIN ($prevSnapshotSql) p USING (o_orderkey)
+        |WHERE c.ts IS DISTINCT FROM p.ts""".stripMargin)),
+
     Q("delta_merge_apply",
       // Reconstructs curr from prev + the change set; oracle is the curr
       // snapshot itself, proving diff+apply round-trips exactly.

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def freshRoot = Files.createTempDirectory("graft-snapstore").toString
+
+  test("write/list/read/latest round-trip snapshots") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val s1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
+    val s2 = Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("k", "ts")
+    SnapshotStore.write(s1, root, "t", 1L)
+    SnapshotStore.write(s2, root, "t", 2L)
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L, 2L))
+    assert(SnapshotStore.latestId(spark, root, "t").contains(2L))
+    assert(SnapshotStore.read(spark, root, "t", 1L).count() == 2)
+    assert(SnapshotStore.readLatest(spark, root, "t").count() == 3)
+    // immutability: re-writing an id refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(s1, root, "t", 2L)
+    }
+  }
+
+  test("changes between ids classifies I/D/U like the Cdc diff") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    // k=1 unchanged, k=2 updated, k=3 deleted, k=4 inserted,
+    // k=5 null->value (null-safe update)
+    val prev = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (5L, None: Option[Long])).toDF("k", "ts")
+    val curr = Seq((1L, Some(10L)), (2L, Some(21L)), (4L, Some(40L)),
+      (5L, Some(50L))).toDF("k", "ts")
+    SnapshotStore.write(prev, root, "t", 10L)
+    SnapshotStore.write(curr, root, "t", 11L)
+    val got = SnapshotStore.changes(spark, root, "t", 10L, 11L, Seq("k"))
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(got == Set(("I", 4L), ("D", 3L), ("U", 2L), ("U", 5L)))
+  }
+
+  test("expire keeps the newest snapshots and deletes the rest") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    (1L to 4L).foreach { i =>
+      SnapshotStore.write(Seq((i, i)).toDF("k", "ts"), root, "t", i)
+    }
+    val dropped = SnapshotStore.expire(spark, root, "t", keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(3L, 4L))
+    assert(SnapshotStore.read(spark, root, "t", 3L).count() == 1)
+  }
+
+  test("migrateLegacy adopts an unversioned dataset as snapshot 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val legacy = freshRoot + "/legacy"
+    Seq((1L, 1L), (2L, 2L)).toDF("k", "ts").write.parquet(legacy)
+    SnapshotStore.migrateLegacy(spark, legacy, root, "t")
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(0L))
+    assert(SnapshotStore.read(spark, root, "t", 0L).count() == 2)
+    // legacy data untouched
+    assert(spark.read.parquet(legacy).count() == 2)
+  }
+}
