@@ -603,6 +603,16 @@ object Queries {
       (s, d) => TextDedup.simhash(Tables.documents(s, d), "doc_id", "text"),
       None),
 
+    Q("dedup_simhash_pairs",
+      // SimHash scale path: hamming<=3 near-dup pairs via bit-band
+      // blocking (pigeonhole: 4 bands -> 100% recall at the bound).
+      // xxhash64-based fingerprints aren't DuckDB-reproducible, so
+      // rows-only; TextDedupSpec proves exact equality with the
+      // exhaustive hamming enumeration.
+      (s, d) => TextDedup.simhashPairs(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3),
+      None),
+
     Q("dedup_embedding_cosine",
       (s, d) => Ann.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

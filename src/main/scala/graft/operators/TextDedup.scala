@@ -216,4 +216,41 @@ object TextDedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, found by
+    * bit-band blocking: the 64-bit fingerprint splits into `maxHamming+1`
+    * equal bands, and by pigeonhole two fingerprints within the distance
+    * bound agree EXACTLY on at least one band — so candidates come from an
+    * equi-join on (band, band bits) and recall is 100% by construction,
+    * with the exact hamming filter applied after. Same shuffle shape as
+    * MinHash LSH banding: no O(n^2) stage, candidates scale with real
+    * duplication.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, "maxHamming must be in [0, 8)")
+    val bands = maxHamming + 1
+    val width = 64 / bands // trailing bits join the last band's shift range
+    val fp = simhash(docs, idCol, textCol)
+    val bandStructs = (0 until bands).map { b =>
+      val lo = b * width
+      val hi = if (b == bands - 1) 64 else lo + width
+      // band value = fingerprint bits [lo, hi): shift right, mask
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("k"))
+      .select(col("doc_id"), col("simhash"),
+        col("k.band").as("band"), col("k.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

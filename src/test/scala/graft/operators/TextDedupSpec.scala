@@ -76,6 +76,23 @@ class TextDedupSpec extends SparkSpec {
     assert(gotSig == expSig)
   }
 
+  test("simhashPairs finds all pairs within the hamming bound, none beyond") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val maxH = 3
+    val got = TextDedup.simhashPairs(d, "doc_id", "text", maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive reference: all pairs of fingerprints within the bound
+    val fps = TextDedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= maxH
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus contains exact dups -> hamming 0
+    assert(got.forall(_._3 <= maxH))
+  }
+
   test("simhash: identical docs share fingerprints, near dups are close") {
     val fp = TextDedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
