@@ -419,6 +419,55 @@ object Queries {
         |      cust := o_custkey)) AS VARCHAR))) AS VARCHAR) AS doc
         |FROM orders""".stripMargin)),
 
+    Q("ddb_typed_attributes",
+      // DynamoDB AttributeValue JSON with S/N/B type tags
+      // (dynamodb/CQLReplicator.scala:157-258 value canonicalization,
+      // :1638-1743 type tagging): timestamps → epoch-millis N, text → S,
+      // money → decimal-text N, binary payload → base64 B. One codegen'd
+      // projection, no shuffle.
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Transforms.ddbTypedAttributes(Seq(
+          ("o_orderkey", col("o_orderkey"), "bigint"),
+          ("o_orderdate", col("o_orderdate"), "timestamp"),
+          ("o_orderstatus", col("o_orderstatus"), "text"),
+          ("o_totalprice", col("o_totalprice"), "decimal"),
+          ("payload", encode(col("o_orderpriority"), "UTF-8"), "blob")
+        )).as("attrs")),
+      Some("""SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(
+        |    o_orderkey := struct_pack(N := CAST(o_orderkey AS VARCHAR)),
+        |    o_orderdate := struct_pack(N := CAST(epoch_ms(o_orderdate) AS VARCHAR)),
+        |    o_orderstatus := struct_pack(S := o_orderstatus),
+        |    o_totalprice := struct_pack(N := CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+        |    payload := struct_pack(B := to_base64(encode(o_orderpriority)))
+        |  )) AS VARCHAR) AS attrs
+        |FROM orders""".stripMargin)),
+
+    Q("cql_insert_render",
+      // Full CQL INSERT statement text per rowToStatement
+      // (parquet/CQLReplicator.scala:600-632): text quoted with ''-escaping
+      // (formatString, dynamodb:210-212), timestamps as epoch millis,
+      // numerics bare.
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Transforms.cqlInsertStatement("ks.orders", Seq(
+          ("o_orderkey", col("o_orderkey"), "bigint"),
+          ("o_orderdate", col("o_orderdate"), "timestamp"),
+          ("o_orderstatus", col("o_orderstatus"), "text"),
+          ("o_orderpriority", col("o_orderpriority"), "text"),
+          ("o_totalprice", col("o_totalprice"), "decimal")
+        )).as("stmt")),
+      Some("""SELECT o_orderkey,
+        |  'INSERT INTO ks.orders (o_orderkey, o_orderdate, o_orderstatus, o_orderpriority, o_totalprice) VALUES ('
+        |  || CAST(o_orderkey AS VARCHAR) || ', '
+        |  || CAST(epoch_ms(o_orderdate) AS VARCHAR) || ', '
+        |  || '''' || replace(o_orderstatus, '''', '''''') || ''', '
+        |  || '''' || replace(o_orderpriority, '''', '''''') || ''', '
+        |  || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |  || ');' AS stmt
+        |FROM orders""".stripMargin)),
+
     Q("counter_deltas",
       // Counter-column semantics: the target value is the sum of deltas per
       // key (keyspaces/CQLReplicator.scala:926-936). Decimal sum keeps the
@@ -1041,7 +1090,35 @@ object Queries {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  COUNT(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin))
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    Q("doc_repetition",
+      // Intra-document repetition quality signals (Gopher-style filter
+      // rules): duplicate-token fraction and top-token dominance per doc.
+      (s, d) => TextAnalysis.repetitionProfile(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_share
+        |FROM tc GROUP BY doc_id""".stripMargin)),
+
+    Q("corpus_mix",
+      // Corpus composition: per (source, lang) doc counts, char/token
+      // totals, share of corpus — the data-mixing report.
+      (s, d) => TextAnalysis.corpusMix(
+        Tables.documents(s, d), "source", "lang", "text", "n_chars"),
+      Some("""WITH agg AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, total_chars, total_tokens,
+        |  ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+        |FROM agg""".stripMargin))
   )
 
   // ----------------------------------------------------- analytics headline

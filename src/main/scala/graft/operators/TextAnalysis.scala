@@ -124,4 +124,46 @@ object TextAnalysis {
                   n: Int): DataFrame =
     TextDedup.gramRows(docs, idCol, textCol, n)
       .groupBy(col("s").as("ngram")).agg(count(lit(1)).as("cnt"))
+
+  /** Intra-document repetition profile (Gopher-style quality rules):
+    * token total, distinct-token count, duplicate-token fraction, and
+    * top-token dominance (most frequent token's share). One explode and
+    * two aggregations, both partial-aggregated map-side and shuffled on
+    * doc id only — no O(n²), no HOF lambdas.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_ratio"),
+        round(col("top_cnt").cast("double") /
+          col("n_tokens").cast("double"), 4).as("top_token_share"))
+  }
+
+  /** Corpus composition report: per (source, lang) document counts, char
+    * and whitespace-token totals, and each cell's share of the corpus —
+    * the data-mixing summary a sampling plan starts from. Heavy input,
+    * tiny output: one partial-aggregated groupBy; the share is a window
+    * over the already-aggregated (small) relation.
+    */
+  def corpusMix(docs: DataFrame, sourceCol: String, langCol: String,
+                textCol: String, nCharsCol: String): DataFrame = {
+    val agg = docs.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nCharsCol)).cast("long").as("total_chars"),
+        sum(size(split(col(textCol), " ")).cast("long")).cast("long")
+          .as("total_tokens"))
+    agg.withColumn("doc_share",
+      round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 6))
+  }
 }

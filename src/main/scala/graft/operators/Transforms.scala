@@ -62,6 +62,69 @@ object Transforms {
   /** Row rendered as a JSON document (INSERT JSON shape). */
   def rowToJson(cols: Column*): Column = to_json(struct(cols: _*))
 
+  // ----------------------------------------------- value rendering (DDB/CQL)
+
+  /** Canonical string form of a value per the reference's convertDDBValue /
+    * convertValue dispatch (glue/sbin/dynamodb/CQLReplicator.scala:157-258):
+    * timestamps → epoch-millis strings, dates → ISO strings, booleans →
+    * "true"/"false", numerics → their decimal text, blobs → base64. All
+    * native codegen'd functions; `cqlType` is the declared source type, as
+    * in the reference's column-metadata dispatch.
+    */
+  def ddbCanonicalString(c: Column, cqlType: String): Column =
+    cqlType.toLowerCase match {
+      // NTZ parquet timestamps cast through session-TZ (UTC) first
+      case "timestamp"                  => unix_millis(c.cast("timestamp")).cast("string")
+      case "date"                       => c.cast("date").cast("string")
+      case "blob"                       => base64(c)
+      case "boolean"                    => c.cast("boolean").cast("string")
+      case "decimal"                    => c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+      case _                            => c.cast("string")
+    }
+
+  /** DynamoDB AttributeValue JSON with type tags, the shape
+    * createAttributeValue builds (dynamodb:1638-1743): strings → {"S": v},
+    * numerics/timestamps → {"N": v}, blobs → {"B": base64}. One
+    * `to_json(struct(...))` so the whole rendering is a single codegen'd
+    * projection.
+    */
+  def ddbTypedAttributes(cols: Seq[(String, Column, String)]): Column = {
+    val tagged = cols.map { case (name, c, cqlType) =>
+      val tag = cqlType.toLowerCase match {
+        case "blob"                                         => "B"
+        case "boolean"                                      => "BOOL"
+        case t if Set("text", "varchar", "ascii", "uuid",
+                      "timeuuid", "date")(t)                => "S"
+        case _                                              => "N"
+      }
+      struct(ddbCanonicalString(c, cqlType).as(tag)).as(name)
+    }
+    to_json(struct(tagged: _*))
+  }
+
+  /** CQL literal rendering per the reference's convertValue/formatString
+    * (dynamodb:180-216): strings quoted with `''` escaping, blobs as 0x-hex,
+    * timestamps as epoch millis, numerics bare.
+    */
+  def cqlLiteral(c: Column, cqlType: String): Column =
+    cqlType.toLowerCase match {
+      case "text" | "varchar" | "ascii" | "date" =>
+        concat(lit("'"), regexp_replace(ddbCanonicalString(c, cqlType), "'", "''"), lit("'"))
+      case "blob" => blobToHex(c)
+      case t      => ddbCanonicalString(c, t)
+    }
+
+  /** Full CQL INSERT statement text, the rowToStatement shape
+    * (glue/sbin/parquet/CQLReplicator.scala:600-632). */
+  def cqlInsertStatement(table: String, cols: Seq[(String, Column, String)]): Column = {
+    val names = cols.map(_._1).mkString(", ")
+    val values = cols.map { case (_, c, t) => cqlLiteral(c, t) }
+    concat(
+      lit(s"INSERT INTO $table ($names) VALUES ("),
+      concat_ws(", ", values: _*),
+      lit(");"))
+  }
+
   /** Large-object offload: wide column replaced by a deterministic
     * reference key; payloads become their own narrow table keyed by the
     * same reference. The reference uses a random timeuuid (keyspaces:688);
