@@ -203,15 +203,13 @@ object TextDedup {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"b$j")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fp.as("simhash"))
+    // One typed aggregate (SimHashAgg) folds the 64 bit votes into the
+    // fingerprint long directly — the 64-sum-column declarative form is
+    // semantically identical (spec-verified) but pays per-column
+    // planning/codegen costs through every downstream stage.
+    toks.groupBy("doc_id").agg(
+      org.apache.spark.sql.graft.SimHashAggFunctions.simhashFp(col("h"))
+        .as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

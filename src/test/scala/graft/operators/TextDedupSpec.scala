@@ -104,4 +104,24 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp == fp2)
   }
+
+  test("SimHashAgg equals the declarative 64-sum-column fingerprint") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val toks = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j")
+    }
+    val declarative = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val typed = TextDedup.simhash(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typed == declarative)
+  }
 }
