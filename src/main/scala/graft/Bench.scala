@@ -42,6 +42,10 @@ object Bench {
     val names = Queries.all.map(_.name).filterNot(exclude)
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
+      // Standard trial hygiene: collect between queries so one query's
+      // garbage isn't charged to the next one's wall clock (back-to-back
+      // runs otherwise drift ~2x above solo runs late in the suite).
+      System.gc()
       val t0 = System.nanoTime()
       run(name)
       name -> (System.nanoTime() - t0) / 1e9
