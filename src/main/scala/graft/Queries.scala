@@ -669,6 +669,19 @@ object Queries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin)),
 
+    Q("dedup_embedding_srp",
+      // Second embedding scale path: signed-random-projection LSH —
+      // 64-bit signatures, bit-band blocking, exact cosine verification.
+      // No SQL oracle (xxhash64-derived hyperplanes aren't expressible in
+      // DuckDB); recall vs the exhaustive dedup_embedding_cosine is
+      // spec-measured, and the verified output is exact-cosine-filtered so
+      // every emitted pair is a true near-dup.
+      // 16x4 bands: the corpus's near-dups sit at cosine 0.4-0.6 (~25
+      // signature bits apart), so narrow bands carry the recall.
+      (s, d) => Ann.srpPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, bands = 16),
+      None),
+
     Q("ann_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -121,6 +121,46 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SRP-LSH near-dup pairs: signed-random-projection signatures
+    * ([[org.apache.spark.sql.graft.SrpFunctions.srpSign]]) bucketed by bit
+    * bands, candidates exact-verified with the codegen'd cosine. A third
+    * scale path beside IVF bucketing: no centroids to choose, recall
+    * governed by band geometry. P[one signature bit agrees] = 1 - θ/π, so
+    * a band of `64/bands` bits matches with that to the width-th power:
+    * wide bands (8x8) for tight thresholds (cosine ≥ 0.9, near-identical
+    * vectors), narrow bands (16x4) for loose ones — narrower bands recall
+    * more but bucket coarser (more candidates to verify). Pairs with
+    * signature hamming < bands are recalled with certainty (pigeonhole);
+    * the rest probabilistically (spec-measured).
+    */
+  def srpPairs(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val sig = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      org.apache.spark.sql.graft.SrpFunctions.srpSign(col(vecCol)).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      val lo = b * width
+      val hi = if (b == bands - 1) 64 else lo + width
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = sig.select(col("vec_id"), col("v"), col("sig"),
+        explode(array(bandStructs: _*)).as("k"))
+      .select(col("vec_id"), col("v"), col("sig"),
+        col("k.band").as("band"), col("k.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cosine"))
+      .distinct()
+  }
+
   /** Deterministic Lloyd refinement of IVF centroids: a fixed number of
     * assign→mean iterations. Means use decimal sums (partition-order
     * independent) and dimensions reassemble via sorted structs (no

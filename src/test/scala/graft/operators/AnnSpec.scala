@@ -53,6 +53,25 @@ class AnnSpec extends SparkSpec {
     assert(topk == Set(1L))
   }
 
+  test("srpPairs: precision 1.0 (exact-verified), recall measured vs exhaustive") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val exhaustive = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = Ann.srpPairs(emb, "vec_id", "embedding", 0.4, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact cosine verification => no false positives, ever
+    assert(srp.subsetOf(exhaustive))
+    // 16x4 banding at this corpus's cosine 0.4-0.6 pairs: per-band match
+    // P = (1-theta/pi)^4 ~ 0.16-0.25, over 16 bands -> expected recall >0.9
+    assert(exhaustive.nonEmpty)
+    val recall = srp.size.toDouble / exhaustive.size
+    assert(recall >= 0.8, s"recall $recall below 0.8 ($srp of $exhaustive)")
+    // deterministic across evaluations
+    val srp2 = Ann.srpPairs(emb, "vec_id", "embedding", 0.4, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srp == srp2)
+  }
+
   test("kmeansRefine moves centroids to exact member means, reproducibly") {
     val spark0 = spark
     import spark0.implicits._
