@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Cdc
@@ -112,4 +112,70 @@ object SnapshotStore {
   def migrateLegacy(spark: SparkSession, legacyPath: String,
                     root: String, table: String, id: Long = 0L): Unit =
     write(spark.read.parquet(legacyPath), root, table, id)
+
+  // ------------------------------------------------------ streaming feed
+
+  /** One landed snapshot row in the streaming feed: `snap` is the
+    * partition-directory id the row arrived under. Public: the state
+    * serializer codegen requires a public class.
+    */
+  final case class SnapRow(pk: Long, ts: java.lang.Long, snap: Long)
+
+  /** One change emitted by the feed: op = I (first sighting of the key)
+    * or U (null-safe ts change). `snap` is the snapshot that introduced
+    * the change.
+    */
+  final case class ChangeOut(pk: Long, op: String, ts: java.lang.Long,
+                             snap: Long)
+
+  /** Streaming upsert feed over the store: snapshots landing under
+    * `root/table/snap=<id>/` become a file stream, and per-PK keyed state
+    * (flatMapGroupsWithState) turns row arrivals into I/U changes — the
+    * continuous form of [[changes]], with the ledger's "what did I last
+    * replicate for this key" as checkpointed state instead of a control
+    * table (the reference's discovery loop, keyspaces:1161-1215).
+    *
+    * Deletes are intentionally absent: detecting absence requires a
+    * snapshot-boundary barrier, which is the batch [[changes]] contract
+    * (same split as the reference: delete propagation is its own pass).
+    * Rows inside one micro-batch are folded in snapshot order, so a
+    * trigger that catches up over several snapshots emits the same net
+    * I/U set the pairwise batch diffs would.
+    */
+  def upsertFeed(spark: SparkSession, root: String, table: String,
+                 pkCol: String, tsCol: String = "ts"): Dataset[ChangeOut] = {
+    import spark.implicits._
+    val schema = readLatest(spark, root, table).schema
+      .add("snap", org.apache.spark.sql.types.LongType)
+    val rows = spark.readStream
+      .schema(schema)
+      .option("basePath", tableDir(root, table))
+      .parquet(s"${tableDir(root, table)}/snap=*")
+      .select(col(pkCol).cast("long").as("pk"),
+        col(tsCol).cast("long").as("ts"), col("snap"))
+      .as[SnapRow]
+    // Null ts is a legal value (column never written); GroupState can't
+    // hold null, so it's stored as a sentinel. state.exists still
+    // distinguishes "key never seen" from "seen with null ts".
+    val NullTs = Long.MinValue
+    rows.groupByKey(_.pk)
+      .flatMapGroupsWithState[Long, ChangeOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (pk, it, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          def enc(ts: java.lang.Long): Long = if (ts == null) NullTs else ts
+          val arrivals = it.toSeq.sortBy(_.snap)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeOut]
+          var seen = state.exists
+          var last: Long = if (seen) state.get else NullTs
+          arrivals.foreach { r =>
+            if (!seen) { out += ChangeOut(pk, "I", r.ts, r.snap); seen = true }
+            else if (last != enc(r.ts))
+              out += ChangeOut(pk, "U", r.ts, r.snap)
+            last = enc(r.ts)
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
 }

@@ -45,6 +45,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got == Set(("I", 4L), ("D", 3L), ("U", 2L), ("U", 5L)))
   }
 
+  test("upsertFeed streams landed snapshots as the I/U change set") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val prev = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (5L, None: Option[Long])).toDF("k", "ts")
+    val curr = Seq((1L, Some(10L)), (2L, Some(21L)), (4L, Some(40L)),
+      (5L, Some(50L))).toDF("k", "ts")
+    SnapshotStore.write(prev, root, "t", 1L)
+    val feed = SnapshotStore.upsertFeed(spark, root, "t", "k")
+    val q = feed.writeStream.format("memory").queryName("snapfeed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // snapshot 2 lands while the stream runs
+      SnapshotStore.write(curr, root, "t", 2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("snapfeed").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    // first snapshot: every key is an insert; second: null-safe U only
+    assert(got == Set(
+      ("I", 1L, 1L), ("I", 2L, 1L), ("I", 3L, 1L), ("I", 5L, 1L),
+      ("I", 4L, 2L), ("U", 2L, 2L), ("U", 5L, 2L)))
+    // matches the batch diff minus deletes (absence needs the batch barrier)
+    val batch = SnapshotStore.changes(spark, root, "t", 1L, 2L, Seq("k"))
+      .filter(col("op") =!= "D")
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    val streamedAtSnap2 = got.collect { case (op, k, 2L) => (op, k) }
+    assert(streamedAtSnap2 == batch)
+  }
+
   test("expire keeps the newest snapshots and deletes the rest") {
     val spark0 = spark
     import spark0.implicits._
