@@ -625,6 +625,26 @@ object Queries {
        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= $threshold""".stripMargin
 
+  /** IVF-bucketed cosine near-dup pairs (the dedup_embedding_bucketed
+    * relation), reused by the embedding-cluster oracle.
+    */
+  private def bucketedCosPairsSql(threshold: Double): String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |        FROM embeddings WHERE vec_id % 25 = 0),
+       |scored AS (SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.cv")} AS cos
+       |  FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT vec_id, centroid_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+       |  FROM assign a JOIN embeddings e USING (vec_id))
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ROUND(${cosSql("x.embedding", "y.embedding")}, 4) AS cosine
+       |FROM av x JOIN av y
+       |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |WHERE ${cosSql("x.embedding", "y.embedding")} >= $threshold""".stripMargin
+
   private val llmPipeline: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => TextDedup.exactGroups(Tables.documents(s, d), "doc_id", "text"),
@@ -768,21 +788,30 @@ object Queries {
           "vec_id", "embedding", "vec_id", "embedding")
         Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4)
       },
-      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
-        |scored AS (SELECT e.vec_id, c.centroid_id,
-        |    ${cosSql("e.embedding", "c.cv")} AS cos
-        |  FROM embeddings e CROSS JOIN c),
-        |assign AS (SELECT vec_id, centroid_id
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
-        |  FROM assign a JOIN embeddings e USING (vec_id))
-        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        |  ROUND(${cosSql("x.embedding", "y.embedding")}, 4) AS cosine
-        |FROM av x JOIN av y
-        |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-        |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin)),
+      Some(bucketedCosPairsSql(0.4))),
+
+    Q("embedding_clusters",
+      // Operator composability: the generic connected-component clustering
+      // runs unchanged over embedding near-dup pairs (IVF-bucketed, so the
+      // whole pipeline is the scale path). doc_id = generic member id.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Clustering.dedupClusters(
+          Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
+          "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4)}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
 
     Q("ann_ivf_refined_assign",
       // IVF assignment after one deterministic Lloyd iteration — the
@@ -1137,6 +1166,30 @@ object Queries {
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
+    Q("join_skew_salted",
+      // The explicit skew path: lineitem⋈orders with the left side salted
+      // 8 ways (hot-key insurance beyond AQE's runtime splitting). Salting
+      // is semantically transparent, so the oracle is the PLAIN join —
+      // the query result proving the rewrite changes the shuffle layout,
+      // not the answer.
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+          col("l_extendedprice"), col("l_discount"))
+        val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_orderpriority"))
+        Skew.saltedJoin(l, o, Seq("k"), saltFactor = 8)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 6))).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin)),
+
     Q("join_revenue_nation",
       // Multi-join revenue rollup (bench headline for join planning):
       // lineitem ⋈ orders ⋈ customer shuffle on keys, nation/region
