@@ -133,8 +133,12 @@ object TextAnalysis {
     */
   def repetitionProfile(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
+    // One exchange, before the explode: hash-partitioning on doc_id
+    // satisfies both downstream groupings (doc_id,tok) and (doc_id), so
+    // the un-exploded docs shuffle once and both aggregations are local.
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("n_tokens"),
