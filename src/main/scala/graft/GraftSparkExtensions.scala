@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{FloatVecCosine, MinHashAgg}
+import org.apache.spark.sql.graft.{FloatVecCosine, GraftVecOps, MinHashAgg, SimHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Spark extension entry point: makes graft's native expressions available
@@ -49,6 +49,24 @@ object GraftSparkExtensions {
         require(children.length == 3, "minhash_band_keys takes exactly 3 arguments")
         MinHashAgg(children.head, intArg(children(1), "numPerm"),
           intArg(children(2), "bands"))
+      }),
+    (FunctionIdentifier("simhash_fp"),
+      info("simhash_fp",
+        "simhash_fp(h) - aggregate: 64-bit SimHash fingerprint over 64-bit token hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_fp takes exactly 1 argument")
+        SimHashAgg(children.head)
+      }),
+    (FunctionIdentifier("srp_sign"),
+      info("srp_sign",
+        "srp_sign(vec) - 64-bit signed-random-projection signature of a float vector"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "srp_sign takes exactly 1 argument")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          GraftVecOps.getClass, org.apache.spark.sql.types.LongType, "srpSign",
+          children,
+          Seq(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
       }))
 
   private def intArg(e: Expression, name: String): Int = e match {

@@ -83,6 +83,18 @@ object functions {
   def minhashBandKeys(h: Column, numPerm: Int, bands: Int): Column =
     org.apache.spark.sql.graft.MinHashAggFunctions.minhashBandKeys(h, numPerm, bands)
 
+  /** Aggregate: 64-bit SimHash fingerprint over a group's 64-bit token
+    * hashes.
+    */
+  def simhashFp(h: Column): Column =
+    org.apache.spark.sql.graft.SimHashAggFunctions.simhashFp(h)
+
+  /** 64-bit signed-random-projection signature of a float vector
+    * (cosine-LSH bucketing key).
+    */
+  def srpSign(vec: Column): Column =
+    org.apache.spark.sql.graft.SrpFunctions.srpSign(vec)
+
   /** Engine-portable UNIFORM 16-bit content-hash bucket (deterministic
     * sampling / splits).
     */

@@ -39,6 +39,31 @@ class GraftSparkExtensionsSpec extends SparkSpec {
     assert(bk.view.mapValues(_.toSeq).toMap == viaCols.view.mapValues(_.toSeq).toMap)
   }
 
+  test("simhash_fp and srp_sign are callable from SQL after registration") {
+    GraftSparkExtensions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sdocs")
+    val fp = spark.sql(
+      """SELECT doc_id, simhash_fp(xxhash64(tok)) AS fp
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM sdocs)
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    // matches the operator form
+    val viaOp = graft.operators.TextDedup.simhash(
+      Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == viaOp)
+    val srp = spark.sql(
+      """SELECT srp_sign(array(CAST(1.0 AS FLOAT), CAST(-2.5 AS FLOAT))) AS s,
+        |       srp_sign(array(CAST(1.0 AS FLOAT), CAST(-2.5 AS FLOAT))) AS s2""".stripMargin)
+      .head()
+    assert(srp.getLong(0) == srp.getLong(1)) // deterministic
+  }
+
   test("extensions class injects on a fresh session builder") {
     // the class itself must be instantiable by spark.sql.extensions
     val ext = new GraftSparkExtensions
