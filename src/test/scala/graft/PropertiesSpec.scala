@@ -69,6 +69,73 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("applying the CDC diff to prev reproduces curr, for random snapshots") {
+    val spark0 = spark
+    import spark0.implicits._
+    // random prev/curr with overlapping keys and null-able ts
+    val rowGen = Gen.zip(Gen.choose(0L, 60L),
+      Gen.option(Gen.choose(0L, 5L)))
+    for (seed <- 0 until 3) {
+      val prevRows = samples(rowGen, 40 + seed).distinctBy(_._1)
+      val currRows = samples(rowGen, 40)
+        .map { case (k, ts) => (k + seed, ts) }.distinctBy(_._1)
+      val prev = prevRows.toDF("k", "ts")
+      val curr = currRows.toDF("k", "ts")
+      val next = Cdc.applyDelta(prev,
+          Cdc.inserts(curr, prev, Seq("k")),
+          Cdc.updates(curr, prev, Seq("k"), "ts"),
+          Cdc.deletes(curr, prev, Seq("k")), Seq("k"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      val expect = currRows.map { case (k, ts) => (k, ts: Option[Any]) }.toSet
+      assert(next == expect, s"seed $seed")
+    }
+  }
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    for (seed <- 0 until 3) {
+      val edges = samples(edgeGen, 25 + 5 * seed).distinct
+      if (edges.nonEmpty) {
+        val got = graft.operators.Clustering
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference union-find with min-label roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        assert(got == expect, s"seed $seed")
+      }
+    }
+  }
+
+  test("cqlLiteral text quoting survives embedded quotes (spec unescape)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val strs = samples(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('\'')))
+      .map(_.mkString), 150).distinct.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val out = strs.toDF("id", "s")
+      .select(col("id"), Transforms.cqlLiteral(col("s"), "text").as("lit"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    strs.foreach { case (i, s) =>
+      val lit = out(i)
+      assert(lit.head == '\'' && lit.last == '\'')
+      assert(lit.drop(1).dropRight(1).replace("''", "'") == s, s"id $i")
+    }
+  }
+
   test("FloatVecCosine codegen matches a JVM-computed reference") {
     val spark0 = spark
     import spark0.implicits._
