@@ -66,6 +66,52 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCALE")) {
+      // Scale-up probe: replicate sf0.1 k times with shifted keys and
+      // measure headline operators vs the 1x base — evidence that the
+      // plans scale near-linearly in input volume (SURVEY §3).
+      import org.apache.spark.sql.DataFrame
+      val k = sys.env("SCALE").toInt
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+      def replicate(table: String, keyCols: Seq[String]): String = {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        val shift = 10000000L
+        val parts = (0 until k).map { i =>
+          keyCols.foldLeft(base) { (d, c) =>
+            d.withColumn(c, col(c) + lit(i * shift)) }
+        }
+        val out = s"$dir/$table.parquet"
+        parts.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+        out
+      }
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("orders", Seq("o_orderkey", "o_custkey"))
+      replicate("documents", Seq("doc_id"))
+      // customers/dims stay 1x: scaling facts against fixed dims is the
+      // realistic shape (the shifted custkeys just miss the dim join).
+      // Plain file copies — no Spark rewrite (events holds nano timestamps
+      // Spark won't re-write).
+      for (t <- Seq("customer", "supplier", "part", "nation", "region",
+                    "events", "embeddings"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$dir/$t.parquet"))
+      val names = sys.env.getOrElse("SCALEQ",
+        "q1_pricing_agg,snapshot_diff_updates,tile_assign,dedup_exact,doc_fingerprint,counter_deltas").split(",")
+      for (name <- names) {
+        def run(d: String): Double = {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(sfDir); run(dir) // warm both inputs
+        val base = run(sfDir)
+        val scaled = run(dir)
+        println(f"[scale] $name: 1x=$base%.2f s ${k}x=$scaled%.2f s ratio=${scaled / base}%.1f (ideal <= $k)")
+      }
+      spark.stop(); return
+    }
     for (name <- sys.env.getOrElse("AUDIT", "q1_pricing_agg").split(",")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()   // force AQE final plan
