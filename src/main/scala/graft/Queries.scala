@@ -645,6 +645,55 @@ object Queries {
        |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
        |WHERE ${cosSql("x.embedding", "y.embedding")} >= $threshold""".stripMargin
 
+  /** The curation pipeline's five stages as a DuckDB CTE chain — shared by
+    * the end-to-end result oracle and the stage-count oracle. Mirrors
+    * [[CurationPipeline.stages]] stage for stage.
+    */
+  private val curationCtesSql: String =
+    """WITH RECURSIVE
+      |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |ae AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN ex USING (doc_id)),
+      |q AS (SELECT doc_id,
+      |    ROUND(0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+      |      + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4)
+      |      AS quality
+      |  FROM ae),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ae)
+      |  GROUP BY 1, 2),
+      |rep AS (SELECT doc_id,
+      |    ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio
+      |  FROM tc GROUP BY 1),
+      |gated AS (SELECT ae.doc_id, ae.text, ae.lang
+      |  FROM ae JOIN q USING (doc_id) JOIN rep USING (doc_id)
+      |  WHERE q.quality >= 0.5 AND rep.dup_ratio <= 0.3),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM gated),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT doc_a, doc_b
+      |  FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |          UNION ALL SELECT doc_b, doc_a FROM pr),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+      |dropped AS (SELECT node AS doc_id FROM closure GROUP BY node
+      |            HAVING node <> MIN(reach)),
+      |dd AS (SELECT g.doc_id, g.lang FROM gated g
+      |       WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)),
+      |sampled AS (SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
+      |      doc_id) AS rn
+      |  FROM dd) WHERE rn <= 20)""".stripMargin
+
   private val llmPipeline: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => TextDedup.exactGroups(Tables.documents(s, d), "doc_id", "text"),
@@ -1170,49 +1219,20 @@ object Queries {
       // pieces — is hash-checked.
       (s, d) => CurationPipeline.curate(Tables.documents(s, d),
         "doc_id", "text", "lang"),
-      Some("""WITH RECURSIVE
-        |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |ae AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN ex USING (doc_id)),
-        |q AS (SELECT doc_id,
-        |    ROUND(0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
-        |      + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-        |          t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4)
-        |      AS quality
-        |  FROM ae),
-        |tc AS (SELECT doc_id, tok, COUNT(*) AS c
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ae)
-        |  GROUP BY 1, 2),
-        |rep AS (SELECT doc_id,
-        |    ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio
-        |  FROM tc GROUP BY 1),
-        |gated AS (SELECT ae.doc_id, ae.text, ae.lang
-        |  FROM ae JOIN q USING (doc_id) JOIN rep USING (doc_id)
-        |  WHERE q.quality >= 0.5 AND rep.dup_ratio <= 0.3),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM gated),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(1, len(ws) - 2),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pr AS (SELECT doc_a, doc_b
-        |  FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |          UNION ALL SELECT doc_b, doc_a FROM pr),
-        |closure(node, reach) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
-        |dropped AS (SELECT node AS doc_id FROM closure GROUP BY node
-        |            HAVING node <> MIN(reach)),
-        |dd AS (SELECT g.doc_id, g.lang FROM gated g
-        |       WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped))
-        |SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
-        |      doc_id) AS rn
-        |  FROM dd) WHERE rn <= 20""".stripMargin))
+      Some(s"""$curationCtesSql
+        |SELECT doc_id, lang FROM sampled""".stripMargin)),
+
+    Q("curation_stage_counts",
+      // Per-stage survivor counts — the pipeline's replication-stats
+      // shape (what the reference's Stats objects record per tile).
+      (s, d) => CurationPipeline.stageCounts(Tables.documents(s, d),
+        "doc_id", "text", "lang"),
+      Some(s"""$curationCtesSql
+        |SELECT CAST(0 AS BIGINT) AS stage, 'input' AS name, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT 1, 'exact_dedup', COUNT(*) FROM ae
+        |UNION ALL SELECT 2, 'quality_gates', COUNT(*) FROM gated
+        |UNION ALL SELECT 3, 'near_dedup', COUNT(*) FROM dd
+        |UNION ALL SELECT 4, 'stratified_sample', COUNT(*) FROM sampled""".stripMargin))
   )
 
   // ----------------------------------------------------- analytics headline

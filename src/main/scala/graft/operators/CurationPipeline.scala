@@ -34,9 +34,15 @@ object CurationPipeline {
       jaccardThreshold: Double = 0.8,
       perLangSample: Int = 20)
 
-  /** Curated (doc_id, lang) relation after all five stages. */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-             langCol: String, cfg: Config = Config()): DataFrame = {
+  /** The pipeline's intermediate relations, exposed so callers can count,
+    * inspect, or branch any stage without re-deriving it.
+    */
+  final case class Stages(input: DataFrame, afterExact: DataFrame,
+                          gated: DataFrame, deduped: DataFrame,
+                          sampled: DataFrame)
+
+  def stages(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, cfg: Config = Config()): Stages = {
     val base = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("text"), col(langCol).as("lang"))
 
@@ -62,7 +68,32 @@ object CurationPipeline {
     val deduped = gated.join(dropped, Seq("doc_id"), "left_anti")
 
     // 5. deterministic stratified sample per language
-    Sampling.stratifiedSample(deduped, "lang", "doc_id", cfg.perLangSample)
+    val sampled = Sampling.stratifiedSample(deduped, "lang", "doc_id",
+        cfg.perLangSample)
       .select(col("doc_id"), col("lang"))
+    Stages(base, afterExact, gated, deduped, sampled)
+  }
+
+  /** Curated (doc_id, lang) relation after all five stages. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, cfg: Config = Config()): DataFrame =
+    stages(docs, idCol, textCol, langCol, cfg).sampled
+
+  /** Per-stage survivor counts — the pipeline's replication-stats shape
+    * (what the reference's Stats objects record per tile, keyspaces:
+    * 759-785). One relation, ordered by stage.
+    */
+  def stageCounts(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, cfg: Config = Config()): DataFrame = {
+    val st = stages(docs, idCol, textCol, langCol, cfg)
+    def c(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
+          col("n_docs"))
+    c(0, "input", st.input)
+      .unionByName(c(1, "exact_dedup", st.afterExact))
+      .unionByName(c(2, "quality_gates", st.gated))
+      .unionByName(c(3, "near_dedup", st.deduped))
+      .unionByName(c(4, "stratified_sample", st.sampled))
   }
 }
