@@ -1027,7 +1027,33 @@ object Queries {
         |  CASE WHEN r0.tus IS NOT NULL AND l.tus - r0.tus <= 86400000000
         |    THEN l.tus - r0.tus END AS gap_us
         |FROM l ASOF LEFT JOIN r0
-        |  ON l.user_id = r0.user_id AND r0.tus <= l.tus""".stripMargin))
+        |  ON l.user_id = r0.user_id AND r0.tus <= l.tus""".stripMargin)),
+
+    Q("events_asof_forward",
+      // Forward as-of join (view -> next click per user within 24h) — the
+      // mirror direction, same one-shuffle plan over descending time.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        AsOf.asofForward(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "event_id", "tus", toleranceUs = 86400000000L)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |r0 AS (SELECT user_id, tus, MAX(event_id) AS click_id FROM e
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (SELECT event_id AS left_id, user_id, tus FROM e
+        |  WHERE event_type = 'view')
+        |SELECT l.left_id, l.user_id, l.tus,
+        |  CASE WHEN r0.tus IS NOT NULL AND r0.tus - l.tus <= 86400000000
+        |    THEN r0.click_id END AS matched_id,
+        |  CASE WHEN r0.tus IS NOT NULL AND r0.tus - l.tus <= 86400000000
+        |    THEN r0.tus - l.tus END AS gap_us
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND r0.tus >= l.tus""".stripMargin))
   )
 
   private val rangeJoinBlock: Seq[Q] = Seq(
