@@ -960,7 +960,31 @@ object Queries {
         |    CAST(frame_idx * 256 + 1 AS INT), 8)))) AS frame_head,
         |  CAST(LEAST(256, octet_length(encode(text)) - frame_idx * 256) AS BIGINT)
         |    AS frame_bytes
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    Q("multimodal_resize",
+      // STUB resize (stride-4 byte downsample standing in for a real
+      // resampler) through the typed mapPartitions dataflow; the corpus is
+      // ASCII so the oracle's character stride is byte-accurate, and the
+      // md5 pins the exact resized bytes.
+      (s, d) => {
+        val spark0 = s
+        import spark0.implicits._
+        Multimodal.resizeStub(
+            Multimodal.payloadsFromDocuments(s, Tables.documents(s, d)), 4)
+          .toDF()
+          .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+            md5(col("resized")).as("resized_md5"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        |    array_to_string(list_transform(
+        |      generate_series(1, len(text), 4), i -> text[i]), '') AS rz
+        |  FROM documents)
+        |SELECT doc_id, orig_bytes,
+        |  CAST(octet_length(encode(rz)) AS BIGINT) AS resized_bytes,
+        |  md5(rz) AS resized_md5
+        |FROM r""".stripMargin))
   )
 
   // ------------------------------------------------- streaming (batch form)

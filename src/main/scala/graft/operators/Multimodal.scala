@@ -87,6 +87,28 @@ object Multimodal {
         expr(s"substring(p, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)")
           .as("frame"))
 
+  final case class ResizedRow(doc_id: Long, orig_bytes: Long,
+                              resized_bytes: Long, resized: Array[Byte])
+
+  /** STUB resize: deterministic stride downsample of the payload bytes
+    * (every `factor`-th byte), standing in for a real image/audio resample.
+    * Same production dataflow as [[decodeStub]]: typed mapPartitions, no
+    * shuffle, no driver involvement — swap the body for a real scaler and
+    * the plan is unchanged.
+    */
+  def resizeStub(ds: Dataset[MediaRow], factor: Int): Dataset[ResizedRow] = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      // STUB: stands in for pixel/sample-domain resampling
+      val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+      ResizedRow(r.doc_id, r.payload.length.toLong, out.length.toLong, out)
+    })
+  }
+
   /** STUB per-frame decode/feature-extract (batched mapPartitions — where a
     * real codec or model batch-inference call drops in).
     */
