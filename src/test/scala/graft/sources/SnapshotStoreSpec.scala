@@ -77,6 +77,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(streamedAtSnap2 == batch)
   }
 
+  test("upsertFeed resumes from its checkpoint without replaying old snapshots") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val ckpt = Files.createTempDirectory("graft-feed-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-feed-out").toString
+    SnapshotStore.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "ts"), root, "t", 1L)
+    // foreachBatch parquet sink (the memory sink can't recover a
+    // checkpoint); each batch appends, so output accumulates across runs
+    def startQuery() = SnapshotStore.upsertFeed(spark, root, "t", "k")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[SnapshotStore.ChangeOut], _: Long) =>
+          if (!batch.isEmpty)
+            batch.toDF().write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2) // both keys inserted
+    // snapshot 2 lands while the stream is DOWN; restart must emit only
+    // the net-new changes (state + source offsets both from checkpoint)
+    SnapshotStore.write(Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("k", "ts"),
+      root, "t", 2L)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    // k=1 unchanged after restart (no U, no replayed I), k=2 updated,
+    // k=3 inserted
+    assert(rows == Set(("I", 1L, 1L), ("I", 2L, 1L), ("U", 2L, 2L), ("I", 3L, 2L)))
+  }
+
   test("expire keeps the newest snapshots and deletes the rest") {
     val spark0 = spark
     import spark0.implicits._
