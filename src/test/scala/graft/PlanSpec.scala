@@ -39,4 +39,42 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 2)
     assert(scans.forall(_.contains("o_orderkey")), "PK filters should reach scans")
   }
+
+  test("sample_hash is a pure pushed-down filter: no exchange") {
+    val plan = finalPlan("sample_hash")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("md5"), "hash-bucket filter should reach the scan")
+  }
+
+  test("value renderings are single projections: no exchange, no join") {
+    for (name <- Seq("ddb_typed_attributes", "cql_insert_render",
+                     "row_to_json", "blob_to_hex")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name:\n$plan")
+      assert(!plan.contains("Join"), s"$name:\n$plan")
+    }
+  }
+
+  test("repetition profile shuffles once (pre-explode, on doc_id)") {
+    val plan = finalPlan("doc_repetition")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("no plan in the inventory contains a cartesian product") {
+    // Exhaustive-baseline pair generators legitimately cross-join small
+    // inputs (their scale paths are banded/bucketed); everything else must
+    // never fall back to CartesianProduct / BroadcastNestedLoopJoin on
+    // equi-joinable keys.
+    val allowed = Set("dedup_ngram_jaccard", "dedup_embedding_cosine",
+      "ann_cosine_topk", "ann_ivf_assign", "ann_ivf_topk",
+      "ann_ivf_refined_assign", "dedup_embedding_bucketed",
+      "embedding_clusters", "lang_id", "tfidf_top_terms",
+      "column_stats", "column_stats_totals")
+    for (q <- Queries.all.map(_.name).filterNot(allowed)) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+  }
 }
