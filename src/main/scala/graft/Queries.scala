@@ -990,6 +990,25 @@ object Queries {
   // ------------------------------------------------- streaming (batch form)
 
   private val streamingBatch: Seq[Q] = Seq(
+    Q("events_topk_per_user",
+      // Direct gate coverage of the custom TopKPerGroup operator (bounded
+      // partial/final heaps; the shuffle carries <= k rows per user per
+      // partition instead of every event): top-3 events by value per user.
+      (s, d) => org.apache.spark.sql.graft.TopKPerGroup(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("value")),
+          Seq(col("user_id")),
+          Seq(col("value").desc, col("event_id")), 3)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("value"), col("rank").cast("long").as("rank")),
+      Some("""SELECT user_id, event_id, ROUND(value, 4) AS value,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin)),
+
     Q("events_window_agg",
       // Tumbling-window per-type stats; graft.streaming.EventPipelines
       // runs the same transform over a watermarked stream.
