@@ -131,6 +131,25 @@ object TextDedup {
       .select(col("doc_id"),
         array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
 
+  /** LSH candidate pairs (doc_a < doc_b, distinct) from a (doc_id, h)
+    * shingle-hash relation: band keys via the typed aggregate, bucket
+    * equi-join on (band, key). Exposed for the streaming form's spec and
+    * for callers that verify candidates their own way.
+    */
+  def lshCandidatesFromHashes(sh: DataFrame, numPerm: Int,
+                              bands: Int): DataFrame = {
+    val banded = sh.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.MinHashAggFunctions
+        .minhashBandKeys(col("h"), numPerm, bands).as("bk"))
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bh")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified: banding proposes candidate
     * pairs (equi-join on the band bucket), then the exact shingle-set
     * Jaccard is recomputed per candidate via a shingle join — so the output
@@ -168,16 +187,7 @@ object TextDedup {
     // dedupes the token-explode shuffle, which is the expensive part.
     val sh = shingleHashTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val banded = sh.groupBy("doc_id")
-      .agg(org.apache.spark.sql.graft.MinHashAggFunctions
-        .minhashBandKeys(col("h"), numPerm, bands).as("bk"))
-      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bh")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = lshCandidatesFromHashes(sh, numPerm, bands)
     // Exact verification: join the (tiny) candidate set back to the
     // shingle relation; the shared-hash count is the exact set
     // intersection, so the Jaccard is bit-identical to the exhaustive
