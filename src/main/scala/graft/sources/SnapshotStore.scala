@@ -113,6 +113,28 @@ object SnapshotStore {
                     root: String, table: String, id: Long = 0L): Unit =
     write(spark.read.parquet(legacyPath), root, table, id)
 
+  /** Compacts snapshot `id` in place to ~`targetFileBytes` files (the
+    * small-file problem of frequent snapshots; the reference's
+    * writeWithSizeControl applied as maintenance). Rewrite-then-swap: the
+    * sized copy lands in a staging dir and replaces the snapshot with two
+    * renames, so readers never observe a partial snapshot. Returns the
+    * file count after compaction.
+    */
+  def compact(spark: SparkSession, root: String, table: String, id: Long,
+              targetFileBytes: Long = 128L << 20): Int = {
+    require(exists(spark, root, table, id), s"snapshot $id of $table not found")
+    val dir = new Path(snapDir(root, table, id))
+    val staging = new Path(s"${snapDir(root, table, id)}.compact-staging")
+    val old = new Path(s"${snapDir(root, table, id)}.compact-old")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetSink.writeSizeControlled(
+      spark.read.parquet(dir.toString), staging.toString, targetFileBytes)
+    require(fs.rename(dir, old), s"compaction swap failed for $dir")
+    require(fs.rename(staging, dir), s"compaction swap failed for $staging")
+    fs.delete(old, true)
+    fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   // ------------------------------------------------------ streaming feed
 
   /** One landed snapshot row in the streaming feed: `snap` is the

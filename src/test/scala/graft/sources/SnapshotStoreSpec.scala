@@ -125,6 +125,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root, "t", 3L).count() == 1)
   }
 
+  test("compact rewrites a fragmented snapshot to fewer files, same rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    // 32 partitions of tiny data -> 32 tiny files
+    val df = spark.range(0, 10000).select(col("id").as("k"),
+      (col("id") * 7).as("ts")).repartition(32)
+    SnapshotStore.write(df, root, "t", 1L)
+    val before = SnapshotStore.read(spark, root, "t", 1L)
+      .collect().map(_.toSeq).toSet
+    val nFiles = SnapshotStore.compact(spark, root, "t", 1L,
+      targetFileBytes = 512L << 20)
+    assert(nFiles < 32)
+    val after = SnapshotStore.read(spark, root, "t", 1L)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("migrateLegacy adopts an unversioned dataset as snapshot 0") {
     val spark0 = spark
     import spark0.implicits._
