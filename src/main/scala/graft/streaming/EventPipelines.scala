@@ -83,6 +83,18 @@ object EventPipelines {
       }
   }
 
+  // ------------------------------------------------- stream-static join
+
+  /** Stream-static enrichment: a streaming fact joined to a slowly-changing
+    * dimension DataFrame. The dim is re-read per micro-batch by Spark's
+    * stream-static join machinery (no state), and a small dim broadcasts —
+    * the enrich-on-ingest shape of the reference's field-mapping writes.
+    * Works unchanged on a batch `events` too.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keyCol: String): DataFrame =
+    events.join(broadcast(dim), keyCol)
+
   // ------------------------------------------------- stream-stream join
 
   /** Batch form of click→view attribution: every (click, view) pair of the

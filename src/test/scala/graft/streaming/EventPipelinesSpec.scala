@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -93,6 +94,27 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
     // click 1 (t=1000s) sees views at 400 and 900 but not 4000
     assert(batch.filter(_._1 == 1L).map(_._3) == Set(10L, 11L))
+  }
+
+  test("enrichStream (stream-static broadcast join) equals the batch join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventPipelines.enrichStream(in.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(sample: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = EventPipelines.enrichStream(sample.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
   }
 
   test("ReplicationPipeline lands upsert deltas as parquet per micro-batch") {
