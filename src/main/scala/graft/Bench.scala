@@ -48,9 +48,10 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       // One broken query must not zero the whole artifact: record the
-      // sentinel -1 and keep the suite running.
+      // sentinel -1 and keep the suite running. NonFatal only — after an
+      // OOM/LinkageError the JVM's numbers would be garbage anyway.
       try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0
       }

@@ -23,6 +23,10 @@ object Queries {
 
   // ---------------------------------------------------------------- helpers
 
+  /** snapshot_store_changes' backing stores, one per sf dir per JVM. */
+  private val snapStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Simulated "previous" snapshot of the orders table: pk + writetime-like
     * ts. Some keys absent (inserted later), some ts null (column never
     * written — exercises the null-safe update compare, reference
@@ -203,11 +207,17 @@ object Queries {
       // the two snapshot IDs comes back as one I/D/U change relation. The
       // oracle recomputes the triple from the same snapshot definitions.
       (s, d) => {
-        val o = Tables.orders(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-snapstore-q").toString
-        graft.sources.SnapshotStore.write(prevSnapshot(o), root, "orders_snap", 1L)
-        graft.sources.SnapshotStore.write(currSnapshot(o), root, "orders_snap", 2L)
+        // One store per (JVM, sfDir): repeated construction (Bench warm
+        // runs, Verify, probes) must neither leak temp dirs nor charge
+        // snapshot-WRITE I/O to what is benched as a read-side diff.
+        val root = snapStoreRoots.computeIfAbsent(d, { dir =>
+          val o = Tables.orders(s, dir)
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snapstore-q").toString
+          graft.sources.SnapshotStore.write(prevSnapshot(o), r, "orders_snap", 1L)
+          graft.sources.SnapshotStore.write(currSnapshot(o), r, "orders_snap", 2L)
+          r
+        })
         graft.sources.SnapshotStore.changes(s, root, "orders_snap", 1L, 2L,
           Seq("o_orderkey"))
       },

@@ -136,18 +136,10 @@ object Ann {
   def srpPairs(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, bands: Int = 8): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
     val sig = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       org.apache.spark.sql.graft.SrpFunctions.srpSign(col(vecCol)).as("sig"))
-    val bandStructs = (0 until bands).map { b =>
-      val lo = b * width
-      val hi = if (b == bands - 1) 64 else lo + width
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("bv"))
-    }
     val banded = sig.select(col("vec_id"), col("v"), col("sig"),
-        explode(array(bandStructs: _*)).as("k"))
+        explode(TextDedup.bitBandStructs(col("sig"), bands)).as("k"))
       .select(col("vec_id"), col("v"), col("sig"),
         col("k.band").as("band"), col("k.bv").as("bv"))
     banded.as("a")

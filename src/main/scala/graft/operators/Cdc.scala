@@ -36,9 +36,12 @@ object Cdc {
     val c = curr.alias("curr")
     val p = prev.alias("prev")
     val joinCond = pkCols.map(k => col(s"curr.$k") === col(s"prev.$k")).reduce(_ && _)
+    // Full curr row out (not just pk+ts): inserts/deletes carry full rows,
+    // so a diff union — SnapshotStore.changesBetween — stays well-typed
+    // for tables with payload columns beyond the key and timestamp.
     c.join(p, joinCond, "inner")
       .filter(!(col(s"curr.$tsCol") <=> col(s"prev.$tsCol")))
-      .select(pkCols.map(k => col(s"curr.$k")) :+ col(s"curr.$tsCol").as(tsCol): _*)
+      .select(curr.columns.map(k => col(s"curr.$k")).toSeq: _*)
   }
 
   /** Applies a change set to a snapshot: next = prev - deletes - (keys of

@@ -31,13 +31,26 @@ object Clustering {
     // and each round re-pays optimizer + codegen over it. Same pattern
     // per iteration: constant-size plans, constant-depth lineage (the
     // GraphX/ML iterative-algorithm discipline).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("mind"))
-      .select(col("node"), least(col("node"), col("mind")).as("comp"))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    // Checkpoint with block tracking so superseded rounds' cached RDDs
+    // free DETERMINISTICALLY (the ContextCleaner would eventually GC
+    // them, but a long-lived driver clustering repeatedly shouldn't
+    // accumulate block-manager entries until then). The returned labels'
+    // blocks stay cached for the caller's consumption.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(true)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def unpersistIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var (labels, labelIds) = checkpointTracked(
+      edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mind"))
+        .select(col("node"), least(col("node"), col("mind")).as("comp")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -51,13 +64,12 @@ object Clustering {
       val viaPointer = labels.as("l")
         .join(labels.as("p"), col("l.comp") === col("p.node"))
         .select(col("l.node").as("node"), col("p.comp").as("pcomp"))
-      val next = labels
+      val (next, nextIds) = checkpointTracked(labels
         .join(viaEdges, Seq("node"), "left")
         .join(viaPointer, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")),
-            coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+            coalesce(col("pcomp"), col("comp"))).as("comp")))
       // One driver-side count per round decides termination only (the
       // iterative-algorithm pattern, as in ML training loops); both
       // inputs are checkpointed, so it scans two tiny label sets.
@@ -65,10 +77,13 @@ object Clustering {
         .join(labels.as("o"), Seq("node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
+      unpersistIds(labelIds) // superseded round's blocks
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
+    unpersistIds(edgeIds)
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }
 

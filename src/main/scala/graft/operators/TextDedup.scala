@@ -225,6 +225,23 @@ object TextDedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** `array<struct<band,bv>>` of a 64-bit signature split into `bands`
+    * contiguous bit bands (the trailing band absorbs remainder bits when
+    * 64 isn't divisible). Shared blocking primitive of the SimHash and
+    * SRP pair generators — explode it and equi-join on (band, bv).
+    */
+  private[operators] def bitBandStructs(sig: Column, bands: Int): Column = {
+    require(bands > 0 && bands <= 64, "bands must be in [1, 64]")
+    val width = 64 / bands
+    array((0 until bands).map { b =>
+      val lo = b * width
+      val hi = if (b == bands - 1) 64 else lo + width
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(b).as("band"),
+        shiftright(sig, lo).bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found by
     * bit-band blocking: the 64-bit fingerprint splits into `maxHamming+1`
     * equal bands, and by pigeonhole two fingerprints within the distance
@@ -238,18 +255,9 @@ object TextDedup {
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, "maxHamming must be in [0, 8)")
     val bands = maxHamming + 1
-    val width = 64 / bands // trailing bits join the last band's shift range
     val fp = simhash(docs, idCol, textCol)
-    val bandStructs = (0 until bands).map { b =>
-      val lo = b * width
-      val hi = if (b == bands - 1) 64 else lo + width
-      // band value = fingerprint bits [lo, hi): shift right, mask
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
-    }
     val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("k"))
+        explode(bitBandStructs(col("simhash"), bands)).as("k"))
       .select(col("doc_id"), col("simhash"),
         col("k.band").as("band"), col("k.bv").as("bv"))
     banded.as("a")

@@ -46,7 +46,10 @@ object SnapshotStore {
     else fs.listStatus(dir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("snap=") => s.stripPrefix("snap=").toLong }
+      // tolerate foreign dirs (maintenance staging, manual debris): only a
+      // parseable snap=<long> is a snapshot
+      .collect { case s if s.startsWith("snap=") => s.stripPrefix("snap=") }
+      .flatMap(_.toLongOption)
       .sorted
   }
 
@@ -116,21 +119,29 @@ object SnapshotStore {
   /** Compacts snapshot `id` in place to ~`targetFileBytes` files (the
     * small-file problem of frequent snapshots; the reference's
     * writeWithSizeControl applied as maintenance). Rewrite-then-swap: the
-    * sized copy lands in a staging dir and replaces the snapshot with two
-    * renames, so readers never observe a partial snapshot. Returns the
-    * file count after compaction.
+    * sized copy lands in a staging dir OUTSIDE the `snap=` namespace (so
+    * listings and the streaming feed never see it), then replaces the
+    * snapshot with two renames. The swap leaves a brief window where the
+    * path is absent — a concurrent reader should retry; true
+    * metadata-pointer atomicity is a table-format concern, not a
+    * plain-directory one. A failed second rename rolls the original back.
+    * Returns the file count after compaction.
     */
   def compact(spark: SparkSession, root: String, table: String, id: Long,
               targetFileBytes: Long = 128L << 20): Int = {
     require(exists(spark, root, table, id), s"snapshot $id of $table not found")
     val dir = new Path(snapDir(root, table, id))
-    val staging = new Path(s"${snapDir(root, table, id)}.compact-staging")
-    val old = new Path(s"${snapDir(root, table, id)}.compact-old")
+    val staging = new Path(s"${tableDir(root, table)}/.compact-staging-$id")
+    val old = new Path(s"${tableDir(root, table)}/.compact-old-$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true); fs.delete(old, true) // stale maintenance debris
     ParquetSink.writeSizeControlled(
       spark.read.parquet(dir.toString), staging.toString, targetFileBytes)
     require(fs.rename(dir, old), s"compaction swap failed for $dir")
-    require(fs.rename(staging, dir), s"compaction swap failed for $staging")
+    if (!fs.rename(staging, dir)) {
+      fs.rename(old, dir) // roll the original back before failing
+      throw new IllegalStateException(s"compaction swap failed for $staging")
+    }
     fs.delete(old, true)
     fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
   }
@@ -149,6 +160,13 @@ object SnapshotStore {
     */
   final case class ChangeOut(pk: Long, op: String, ts: java.lang.Long,
                              snap: Long)
+
+  /** Keyed state of the feed: the last seen ts, with null (column never
+    * written) carried as an explicit flag — a sentinel value would
+    * conflate a legal ts with null and suppress a null-safe U. Public:
+    * the state serializer codegen requires a public class.
+    */
+  final case class TsState(ts: Long, isNull: Boolean)
 
   /** Streaming upsert feed over the store: snapshots landing under
     * `root/table/snap=<id>/` become a file stream, and per-PK keyed state
@@ -176,25 +194,21 @@ object SnapshotStore {
       .select(col(pkCol).cast("long").as("pk"),
         col(tsCol).cast("long").as("ts"), col("snap"))
       .as[SnapRow]
-    // Null ts is a legal value (column never written); GroupState can't
-    // hold null, so it's stored as a sentinel. state.exists still
-    // distinguishes "key never seen" from "seen with null ts".
-    val NullTs = Long.MinValue
     rows.groupByKey(_.pk)
-      .flatMapGroupsWithState[Long, ChangeOut](
+      .flatMapGroupsWithState[TsState, ChangeOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-        (pk, it, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          def enc(ts: java.lang.Long): Long = if (ts == null) NullTs else ts
+        (pk, it, state: org.apache.spark.sql.streaming.GroupState[TsState]) =>
           val arrivals = it.toSeq.sortBy(_.snap)
           val out = scala.collection.mutable.ArrayBuffer.empty[ChangeOut]
           var seen = state.exists
-          var last: Long = if (seen) state.get else NullTs
+          var last: TsState = state.getOption.getOrElse(TsState(0L, isNull = true))
           arrivals.foreach { r =>
+            val cur = TsState(if (r.ts == null) 0L else r.ts, r.ts == null)
             if (!seen) { out += ChangeOut(pk, "I", r.ts, r.snap); seen = true }
-            else if (last != enc(r.ts))
+            else if (last != cur)
               out += ChangeOut(pk, "U", r.ts, r.snap)
-            last = enc(r.ts)
+            last = cur
           }
           state.update(last)
           out.iterator

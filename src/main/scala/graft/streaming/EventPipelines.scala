@@ -89,11 +89,13 @@ object EventPipelines {
     * dimension DataFrame. The dim is re-read per micro-batch by Spark's
     * stream-static join machinery (no state), and a small dim broadcasts —
     * the enrich-on-ingest shape of the reference's field-mapping writes.
-    * Works unchanged on a batch `events` too.
+    * LEFT join by default: an event whose key hasn't reached the dim yet
+    * (the normal late-dim race) must pass through un-enriched, not be
+    * dropped from a replication path. Works unchanged on a batch `events`.
     */
-  def enrichStream(events: DataFrame, dim: DataFrame,
-                   keyCol: String): DataFrame =
-    events.join(broadcast(dim), keyCol)
+  def enrichStream(events: DataFrame, dim: DataFrame, keyCol: String,
+                   joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), joinType)
 
   // ------------------------------------------------- stream-stream join
 

@@ -38,10 +38,17 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs.flatMap { d =>
-      val keys = org.apache.spark.sql.graft.MinHashJvm.bandKeys(
-        org.apache.spark.sql.graft.MinHashJvm.shingleHashes(d.text, n),
-        numPerm, bands)
-      keys.iterator.zipWithIndex.map { case (bh, b) => BandRow(b, bh, d.doc_id) }
+      val hashes = org.apache.spark.sql.graft.MinHashJvm.shingleHashes(d.text, n)
+      // A doc too short to shingle has NO band rows — matching the batch
+      // form, where the empty shingle group never reaches the aggregate.
+      // (The identity-fold keys would otherwise bucket all short docs
+      // together as false candidates.)
+      if (hashes.isEmpty) Iterator.empty
+      else {
+        val keys = org.apache.spark.sql.graft.MinHashJvm.bandKeys(
+          hashes, numPerm, bands)
+        keys.iterator.zipWithIndex.map { case (bh, b) => BandRow(b, bh, d.doc_id) }
+      }
     }
     banded.groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState[BucketState, CandidatePair](

@@ -33,16 +33,21 @@ class SnapshotStoreSpec extends SparkSpec {
     import spark0.implicits._
     val root = freshRoot
     // k=1 unchanged, k=2 updated, k=3 deleted, k=4 inserted,
-    // k=5 null->value (null-safe update)
-    val prev = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
-      (5L, None: Option[Long])).toDF("k", "ts")
-    val curr = Seq((1L, Some(10L)), (2L, Some(21L)), (4L, Some(40L)),
-      (5L, Some(50L))).toDF("k", "ts")
+    // k=5 null->value (null-safe update); payload column beyond (pk, ts)
+    // proves the change union stays well-typed for wide tables
+    val prev = Seq((1L, Some(10L), "a"), (2L, Some(20L), "b"),
+      (3L, Some(30L), "c"), (5L, None: Option[Long], "e")).toDF("k", "ts", "payload")
+    val curr = Seq((1L, Some(10L), "a"), (2L, Some(21L), "b2"),
+      (4L, Some(40L), "d"), (5L, Some(50L), "e2")).toDF("k", "ts", "payload")
     SnapshotStore.write(prev, root, "t", 10L)
     SnapshotStore.write(curr, root, "t", 11L)
-    val got = SnapshotStore.changes(spark, root, "t", 10L, 11L, Seq("k"))
-      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    val rows = SnapshotStore.changes(spark, root, "t", 10L, 11L, Seq("k"))
+      .collect()
+    val got = rows.map(r => (r.getAs[String]("op"), r.getAs[Long]("k"))).toSet
     assert(got == Set(("I", 4L), ("D", 3L), ("U", 2L), ("U", 5L)))
+    // updates carry the full CURRENT row, not just (pk, ts)
+    val u2 = rows.find(r => r.getAs[String]("op") == "U" && r.getAs[Long]("k") == 2L).get
+    assert(u2.getAs[String]("payload") == "b2")
   }
 
   test("upsertFeed streams landed snapshots as the I/U change set") {

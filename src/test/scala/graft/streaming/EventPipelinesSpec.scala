@@ -100,7 +100,9 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     val spark0 = spark
     import spark0.implicits._
     val in = MemoryStream[Event](spark)
-    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    // user 2 is MISSING from the dim: the late-dim race — those events
+    // must pass through un-enriched (null tier), never be dropped
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
     val q = EventPipelines.enrichStream(in.toDF(), dim, "user_id")
       .select(col("event_id"), col("tier"))
       .writeStream.format("memory").queryName("enriched")
@@ -110,11 +112,13 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("enriched").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     val batch = EventPipelines.enrichStream(sample.toDF(), dim, "user_id")
       .select(col("event_id"), col("tier")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(streamed == batch && batch.nonEmpty)
+    assert(streamed.map(_._1) == sample.map(_.event_id).toSet) // nothing dropped
+    assert(streamed.exists(_._2.isEmpty)) // user-2 events survive un-enriched
   }
 
   test("ReplicationPipeline lands upsert deltas as parquet per micro-batch") {
