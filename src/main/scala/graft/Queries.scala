@@ -724,6 +724,28 @@ object Queries {
         n = 3, numPerm = 128, bands = 32, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("decontaminate",
+      // Benchmark-overlap decontamination: docs sharing >= 5 distinct
+      // 3-gram shingles with the (held-out) benchmark subset are flagged.
+      // The shingle-hash semi-join shape: one count per doc, no pair
+      // blowup. Benchmark here = every 17th doc, the oracle mirrors it.
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        TextDedup.contamination(
+          all.filter(col("doc_id") % 17 =!= 0),
+          all.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
+        |SELECT doc_id, COUNT(*) AS n_shared, COUNT(*) >= 5 AS contaminated
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY doc_id""".stripMargin)),
+
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
       // rows-only here and fixed-value + near-dup-hamming checks in

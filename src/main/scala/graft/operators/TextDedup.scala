@@ -200,6 +200,25 @@ object TextDedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** Benchmark decontamination: for every candidate doc, the number of its
+    * distinct n-gram shingles that appear anywhere in the benchmark set,
+    * and a flag at `minOverlap` — the standard overlap test run before
+    * training on scraped data. One shingle pass per side, a semi-ish join
+    * on the 8-byte shingle hash, one count per doc; benchmark shingles
+    * dedupe corpus-wide first so the join never multiplies per benchmark
+    * doc.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int, minOverlap: Int): DataFrame = {
+    val docSh = shingleHashTable(docs, idCol, textCol, n)
+    val benchSh = shingleHashTable(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    docSh.join(benchSh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") >= minOverlap))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprints: per-token xxhash64, term-frequency
