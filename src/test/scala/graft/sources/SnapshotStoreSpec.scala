@@ -146,6 +146,10 @@ class SnapshotStoreSpec extends SparkSpec {
     val after = SnapshotStore.read(spark, root, "t", 1L)
       .collect().map(_.toSeq).toSet
     assert(after == before)
+    // foreign/maintenance dirs never poison the snapshot listing
+    new java.io.File(s"$root/t/.compact-staging-9").mkdirs()
+    new java.io.File(s"$root/t/snap=not-a-number").mkdirs()
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L))
   }
 
   test("migrateLegacy adopts an unversioned dataset as snapshot 0") {
