@@ -618,15 +618,23 @@ object Queries {
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        | / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** The documents table's distinct 3-gram shingle relation (doc_id, s) as
+    * DuckDB CTEs — the one definition the jaccard and decontamination
+    * oracles share (a drifted copy would silently diverge from the Spark
+    * side).
+    */
+  private val shingleCteSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, len(ws) - 2),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)""".stripMargin
+
   /** Exhaustive 3-gram-shingle Jaccard pairs >= t — the oracle for both the
     * exhaustive and the LSH dedup plans (LSH is exact-verified, so with
     * full-recall parameters the outputs are identical).
     */
   private def jaccardPairsSql(threshold: Double): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(generate_series(1, len(ws) - 2),
-       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+    s"""WITH $shingleCteSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -736,15 +744,15 @@ object Queries {
           all.filter(col("doc_id") % 17 === 0),
           "doc_id", "text", n = 3, minOverlap = 5)
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(generate_series(1, len(ws) - 2),
-        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
-        |SELECT doc_id, COUNT(*) AS n_shared, COUNT(*) >= 5 AS contaminated
-        |FROM sh JOIN bench USING (s)
-        |WHERE doc_id % 17 <> 0
-        |GROUP BY doc_id""".stripMargin)),
+      Some(s"""WITH $shingleCteSql,
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(ov.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(ov.n_shared, 0) >= 5 AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+        |LEFT JOIN ov USING (doc_id)""".stripMargin)),
 
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so

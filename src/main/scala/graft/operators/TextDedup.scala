@@ -213,9 +213,16 @@ object TextDedup {
     val docSh = shingleHashTable(docs, idCol, textCol, n)
     val benchSh = shingleHashTable(benchmark, idCol, textCol, n)
       .select(col("h")).distinct()
-    docSh.join(benchSh, "h")
+    val overlaps = docSh.join(benchSh, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
+    // TOTAL over the candidate docs: zero-overlap docs must appear with
+    // n_shared=0 so filter(!contaminated) selects the whole clean set,
+    // not just the docs that happened to overlap a little.
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") >= minOverlap))
   }
 
