@@ -56,6 +56,22 @@ object ParquetSink {
     sized.write.mode(mode).parquet(path)
   }
 
+  /** Size-controlled write with rows globally ordered by `sortCols`:
+    * range-partitioned across files, sorted within them. Parquet keeps
+    * min/max statistics per row group, so a selective filter on the sort
+    * column skips most groups at read time — the data-layout half of scan
+    * performance at 100 TB (the spec observes the scan-row metric drop
+    * vs an unsorted layout of the same data).
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  targetFileBytes: Long = 128L << 20,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val n = targetPartitions(df, targetFileBytes)
+    df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Persists a CDC snapshot bucketed (and sorted) by its primary key.
     * Both snapshots of a diff written this way co-locate equal PKs in
     * equal bucket ids, so Cdc.inserts/deletes/updates plan as bucket-local

@@ -56,6 +56,33 @@ class ParquetSinkSpec extends SparkSpec {
     assert(diff.count() == expected)
   }
 
+  test("writeSorted layout lets a selective scan skip most row groups") {
+    val spark0 = spark
+    import spark0.implicits._
+    import java.nio.file.Files
+    val df = spark.range(0, 300000).select(
+      (col("id") * 2654435761L % 1000003L).as("k"), col("id").as("v"))
+    val sortedDir = Files.createTempDirectory("graft-sorted").toString
+    val unsortedDir = Files.createTempDirectory("graft-unsorted").toString
+    ParquetSink.writeSorted(df, sortedDir, Seq("k"), targetFileBytes = 1 << 20)
+    df.repartition(4).write.mode("overwrite").parquet(unsortedDir)
+    def scanRows(dir: String): Long = {
+      // drive THIS plan instance so its metrics populate (a write/count
+      // action executes a fresh QueryExecution)
+      val qe = spark.read.parquet(dir).filter(col("k") < 1000).queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val sortedRead = scanRows(sortedDir)
+    val unsortedRead = scanRows(unsortedDir)
+    // both answers agree; the sorted layout reads far fewer rows
+    assert(spark.read.parquet(sortedDir).filter(col("k") < 1000).count() ==
+      spark.read.parquet(unsortedDir).filter(col("k") < 1000).count())
+    assert(sortedRead < unsortedRead / 5,
+      s"sorted layout read $sortedRead rows vs $unsortedRead unsorted")
+  }
+
   test("saltedJoin equals the plain join") {
     val spark0 = spark
     import spark0.implicits._
