@@ -31,11 +31,19 @@ object SnapshotStore {
 
   /** Writes an immutable snapshot `id` of `df`. Fails if the id exists
     * (snapshots are append-only; use [[expire]] for retention).
+    * `sortCols` lays the snapshot out range-partitioned + sorted
+    * ([[ParquetSink.writeSorted]]) so selective reads — point-in-time
+    * filters, PK probes — prune row groups via parquet min/max stats.
     */
-  def write(df: DataFrame, root: String, table: String, id: Long): Unit = {
+  def write(df: DataFrame, root: String, table: String, id: Long,
+            sortCols: Seq[String] = Nil): Unit = {
     require(!exists(df.sparkSession, root, table, id),
       s"snapshot $id of $table already exists (snapshots are immutable)")
-    df.write.mode("errorifexists").parquet(snapDir(root, table, id))
+    if (sortCols.isEmpty)
+      df.write.mode("errorifexists").parquet(snapDir(root, table, id))
+    else
+      ParquetSink.writeSorted(df, snapDir(root, table, id), sortCols,
+        mode = org.apache.spark.sql.SaveMode.ErrorIfExists)
   }
 
   /** All snapshot ids of `table`, ascending — one filesystem LIST. */
