@@ -165,6 +165,27 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq == sample.map(_.event_id).sorted) // replay suppressed
   }
 
+  test("sessionizeBatch agrees with Spark's built-in session_window") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val custom = EventPipelines.sessionizeBatch(events, gapMinutes = 30)
+      .select(col("user_id"), col("session_start_s"), col("session_end_s"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    // session_window merges when diff < gap; sessionizeBatch merges when
+    // diff <= gap, so hand the built-in a gap one microsecond longer.
+    val builtin = events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "1800000001 microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(min(col("ts"))) / 1000000L).cast("long").as("session_start_s"),
+        (unix_micros(max(col("ts"))) / 1000000L).cast("long").as("session_end_s"))
+      .select(col("user_id"), col("session_start_s"), col("session_end_s"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(custom == builtin && custom.nonEmpty)
+  }
+
   test("windowAggStream over a parquet FILE stream equals the batch result") {
     import java.nio.file.{Files, Paths}
     val sfDir = "/root/testdata/sf0.001"
