@@ -1292,6 +1292,28 @@ object Queries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin)),
 
+    Q("quality_rules",
+      // Named-rule quality battery (Gopher-style): token bounds, mean
+      // word length, alpha-word fraction, and the conjunction.
+      (s, d) => TextAnalysis.qualityRules(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some("""WITH m AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROUND((CAST(len(text) AS DOUBLE) - len(string_split(text, ' ')) + 1.0)
+        |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |    ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS alpha_frac
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_frac,
+        |  n_tokens >= 25 AND n_tokens <= 100000 AS ok_tokens,
+        |  mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  (n_tokens >= 25 AND n_tokens <= 100000)
+        |    AND (mean_word_len >= 4.0 AND mean_word_len <= 10.0)
+        |    AND alpha_frac >= 0.8 AS keep
+        |FROM m""".stripMargin)),
+
     Q("doc_repetition",
       // Intra-document repetition quality signals (Gopher-style filter
       // rules): duplicate-token fraction and top-token dominance per doc.

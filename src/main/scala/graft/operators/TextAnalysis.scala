@@ -153,6 +153,36 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 4).as("top_token_share"))
   }
 
+  /** Named-rule quality gate (the Gopher-style filter battery): per-doc
+    * flags for token-count bounds, mean-word-length bounds, and
+    * alphabetic-word fraction, plus the conjunction. Mean word length
+    * derives arithmetically ((chars - spaces) / words — no lambda); the
+    * alpha fraction is the one rule needing a per-word predicate, so this
+    * is the configurable slow-path gate — the codegen'd [[qualityScore]]
+    * is the hot-path score.
+    */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 25, maxTokens: Int = 100000,
+                   minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
+                   minAlphaFrac: Double = 0.8): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val n = size(ws).cast("double")
+    val meanLen = (length(col(textCol)).cast("double") - n + 1.0) / n
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / n
+    docs.select(col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"))
+      .withColumn("ok_tokens",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("keep",
+        col("ok_tokens") && col("ok_word_len") && col("ok_alpha"))
+  }
+
   /** Corpus composition report: per (source, lang) document counts, char
     * and whitespace-token totals, and each cell's share of the corpus —
     * the data-mixing summary a sampling plan starts from. Heavy input,
