@@ -65,8 +65,13 @@ object ParquetSink {
     */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
                   targetFileBytes: Long = 128L << 20,
-                  mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val n = targetPartitions(df, targetFileBytes)
+                  mode: SaveMode = SaveMode.Overwrite,
+                  numFiles: Option[Int] = None): Unit = {
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    // The input evaluates up to three times (size estimate when plan stats
+    // are unusable, repartitionByRange's range sampling, the write): pass
+    // numFiles to skip the estimate, and persist expensive upstreams.
+    val n = numFiles.getOrElse(targetPartitions(df, targetFileBytes))
     df.repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(mode).parquet(path)

@@ -76,10 +76,12 @@ class ParquetSinkSpec extends SparkSpec {
     }
     val sortedRead = scanRows(sortedDir)
     val unsortedRead = scanRows(unsortedDir)
-    // both answers agree; the sorted layout reads far fewer rows
+    // both answers agree; the sorted layout reads far fewer rows. Factor 3
+    // holds even with page-level (column-index) filtering disabled, where
+    // pruning falls back to whole row groups (~75k rows of the 300k).
     assert(spark.read.parquet(sortedDir).filter(col("k") < 1000).count() ==
       spark.read.parquet(unsortedDir).filter(col("k") < 1000).count())
-    assert(sortedRead < unsortedRead / 5,
+    assert(sortedRead < unsortedRead / 3,
       s"sorted layout read $sortedRead rows vs $unsortedRead unsorted")
   }
 

@@ -26,6 +26,13 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotStore.write(s1, root, "t", 2L)
     }
+    // the range-sorted layout round-trips identically and stays immutable
+    SnapshotStore.write(s2, root, "t", 3L, sortCols = Seq("k"))
+    assert(SnapshotStore.read(spark, root, "t", 3L)
+      .collect().map(_.toSeq).toSet == s2.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(s1, root, "t", 3L, sortCols = Seq("k"))
+    }
   }
 
   test("changes between ids classifies I/D/U like the Cdc diff") {

@@ -167,7 +167,7 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
 
   test("sessionizeBatch agrees with Spark's built-in session_window") {
     import org.apache.spark.sql.functions._
-    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val events = graft.Tables.events(spark, sfDir)
     val custom = EventPipelines.sessionizeBatch(events, gapMinutes = 30)
       .select(col("user_id"), col("session_start_s"), col("session_end_s"),
         col("n_events"))
