@@ -44,9 +44,14 @@ object Clustering {
     }
     def unpersistIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Checkpoint the PAIR relation before mirroring it: the union's two
+    // branches would otherwise each evaluate the (expensive) pair
+    // generation — the LSH pipeline runs twice for one edge list.
+    val (p, pIds) = checkpointTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val (edges, edgeIds) = checkpointTracked(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"))))
+    unpersistIds(pIds) // edges now hold the data; the un-mirrored copy can go
     var (labels, labelIds) = checkpointTracked(
       edges.groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("mind"))
