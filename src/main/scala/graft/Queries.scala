@@ -1342,6 +1342,18 @@ object Queries {
         |  ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
         |FROM agg""".stripMargin)),
 
+    Q("corpus_mix_rollup",
+      // Multi-level composition report in one pass: (source, lang),
+      // per-source, and grand-total rows via ROLLUP — partial aggregation
+      // serves all three levels from one shuffle.
+      (s, d) => Tables.documents(s, d)
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars")),
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin)),
+
     Q("curation_pipeline",
       // The five curation stages composed end-to-end as ONE declarative
       // plan (exact dedup -> quality gate -> repetition gate -> LSH
