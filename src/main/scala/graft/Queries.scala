@@ -1248,6 +1248,18 @@ object Queries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER < 6553""".stripMargin)),
 
+    Q("sample_split",
+      // Deterministic train/val/test assignment by key hash: 80/10/10,
+      // exhaustive and disjoint by construction, reproducible anywhere.
+      (s, d) => Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 52429 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin)),
+
     Q("sample_stratified",
       // Exactly 20 docs per language, chosen by hash order — deterministic
       // stratified sampling for corpus balancing.

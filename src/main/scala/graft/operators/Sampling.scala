@@ -28,6 +28,27 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < lit((rate * 65536).toInt))
 
+  /** Deterministic dataset split: each row labeled by which cumulative
+    * hash-bucket range its key falls in — the train/val/test assignment
+    * every run, every engine, and every partitioning agrees on. Weights
+    * are proportions; splits are exhaustive and disjoint by construction
+    * (half-open bucket ranges). Pure projection — no shuffle; filtering
+    * one split pushes down like [[hashSample]].
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be > 0")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => math.min(65536, math.round(f * 65536).toInt))
+    val b = hashBucket(col(keyCol))
+    val label = splits.zipWithIndex.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), i)) =>
+        when(b >= bounds(i) && b < bounds(i + 1), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Exactly `perStratum` rows per stratum, chosen by hash order (ties by
     * key) — deterministic stratified sampling. One shuffle on the stratum
     * column; at scale the window's per-stratum sort is bounded by stratum
