@@ -478,6 +478,69 @@ object Queries {
         |  || ');' AS stmt
         |FROM orders""".stripMargin)),
 
+    Q("cql_insert_collections",
+      // Collection-typed CQL literals (parquet/CQLReplicator.scala:593-598
+      // listWithSingleQuotes, :440-442 convertToMap): list<text> elements
+      // individually quoted inside [..], set<int> bare inside {..},
+      // map<text,text> as {'k':'v', ...}. Collections built in-query from
+      // scalar columns so the oracle can render the expected text from the
+      // same scalars.
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        Transforms.cqlInsertStatement("ks.parts", Seq(
+          ("p_partkey", col("p_partkey"), "bigint"),
+          ("tags", split(col("p_name"), " "), "list<text>"),
+          ("sizes", array(col("p_size"), col("p_size") * 2), "frozen<set<int>>"),
+          ("attrs", map(lit("brand"), col("p_brand"),
+            lit("type"), col("p_type")), "map<text,text>")
+        )).as("stmt")),
+      Some("""SELECT p_partkey,
+        |  'INSERT INTO ks.parts (p_partkey, tags, sizes, attrs) VALUES ('
+        |  || CAST(p_partkey AS VARCHAR) || ', '
+        |  || '[' || array_to_string(list_transform(string_split(p_name, ' '),
+        |       x -> chr(39) || x || chr(39)), ',') || '], '
+        |  || '{' || CAST(p_size AS VARCHAR) || ',' || CAST(p_size * 2 AS VARCHAR) || '}, '
+        |  || '{' || chr(39) || 'brand' || chr(39) || ':' || chr(39) || p_brand || chr(39)
+        |  || ', ' || chr(39) || 'type' || chr(39) || ':' || chr(39) || p_type || chr(39) || '}'
+        |  || ');' AS stmt
+        |FROM part""".stripMargin)),
+
+    Q("cql_insert_using_ttl",
+      // USING TTL / USING TIMESTAMP statement preservation
+      // (keyspaces/CQLReplicator.scala:1004-1060): TTL always renders (0 when
+      // null), TIMESTAMP only when positive, `AND` joining both. stmt_ttl_ts
+      // exercises the combined clause with a conditionally-zero writetime;
+      // stmt_ts exercises the timestamp-only branch.
+      (s, d) => {
+        val ttl = col("o_orderkey") % 86400
+        val wt = when(col("o_orderkey") % 7 === 0, lit(0L))
+          .otherwise(unix_micros(col("o_orderdate").cast("timestamp")))
+        val cols = Seq(
+          ("o_orderkey", col("o_orderkey"), "bigint"),
+          ("o_orderstatus", col("o_orderstatus"), "text"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          Transforms.cqlInsertStatement("ks.orders", cols,
+            usingTtl = Some(ttl), usingTimestamp = Some(wt)).as("stmt_ttl_ts"),
+          Transforms.cqlInsertStatement("ks.orders", cols,
+            usingTimestamp = Some(wt)).as("stmt_ts"))
+      },
+      Some("""SELECT o_orderkey,
+        |  'INSERT INTO ks.orders (o_orderkey, o_orderstatus) VALUES ('
+        |  || CAST(o_orderkey AS VARCHAR) || ', '
+        |  || '''' || replace(o_orderstatus, '''', '''''') || ''')'
+        |  || ' USING TTL ' || CAST(o_orderkey % 86400 AS VARCHAR)
+        |  || CASE WHEN o_orderkey % 7 = 0 THEN ''
+        |       ELSE ' AND TIMESTAMP ' || CAST(epoch_us(o_orderdate) AS VARCHAR) END
+        |  || ';' AS stmt_ttl_ts,
+        |  'INSERT INTO ks.orders (o_orderkey, o_orderstatus) VALUES ('
+        |  || CAST(o_orderkey AS VARCHAR) || ', '
+        |  || '''' || replace(o_orderstatus, '''', '''''') || ''')'
+        |  || CASE WHEN o_orderkey % 7 = 0 THEN ''
+        |       ELSE ' USING TIMESTAMP ' || CAST(epoch_us(o_orderdate) AS VARCHAR) END
+        |  || ';' AS stmt_ts
+        |FROM orders""".stripMargin)),
+
     Q("counter_deltas",
       // Counter-column semantics: the target value is the sum of deltas per
       // key (keyspaces/CQLReplicator.scala:926-936). Decimal sum keeps the

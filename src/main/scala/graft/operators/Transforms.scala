@@ -102,27 +102,102 @@ object Transforms {
     to_json(struct(tagged: _*))
   }
 
+  /** Splits a generic type-argument list at the top nesting level only:
+    * "text, frozen<list<int>>" → Seq("text", "frozen<list<int>>").
+    */
+  private def splitTypeArgs(args: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < args.length) {
+      args.charAt(i) match {
+        case '<'               => depth += 1
+        case '>'               => depth -= 1
+        case ',' if depth == 0 => out += args.substring(start, i).trim; start = i + 1
+        case _                 =>
+      }
+      i += 1
+    }
+    out += args.substring(start).trim
+    out.toSeq
+  }
+
+  private val CollectionType = "^(list|set|map)<(.*)>$".r
+
   /** CQL literal rendering per the reference's convertValue/formatString
     * (dynamodb:180-216): strings quoted with `''` escaping, blobs as 0x-hex,
-    * timestamps as epoch millis, numerics bare.
+    * timestamps as epoch millis, numerics bare. Collection types recurse per
+    * element — per-element quoting like listWithSingleQuotes
+    * (parquet/CQLReplicator.scala:593-598: `['a','b']`, elements joined by
+    * bare commas) and the map form of convertToMap (parquet:440-442:
+    * `{'k':'v', 'k2':'v2'}`, entries joined by ", "); sets use `{}` braces.
+    * `frozen<...>` wrappers are transparent. The higher-order `transform`
+    * lambdas are interpreted (CodegenFallback) — acceptable on this render
+    * path, which is projection-only and shuffle-free.
     */
-  def cqlLiteral(c: Column, cqlType: String): Column =
-    cqlType.toLowerCase match {
+  def cqlLiteral(c: Column, cqlType: String): Column = {
+    val t = cqlType.toLowerCase.trim
+    val bare =
+      if (t.startsWith("frozen<") && t.endsWith(">"))
+        t.stripPrefix("frozen<").stripSuffix(">").trim
+      else t
+    bare match {
+      case CollectionType("list", elem) =>
+        concat(lit("["), array_join(transform(c, e => cqlLiteral(e, elem)), ","), lit("]"))
+      case CollectionType("set", elem) =>
+        concat(lit("{"), array_join(transform(c, e => cqlLiteral(e, elem)), ","), lit("}"))
+      case CollectionType("map", kv) =>
+        val Seq(keyT, valT) = splitTypeArgs(kv)
+        concat(
+          lit("{"),
+          array_join(transform(map_entries(c), e =>
+            concat(cqlLiteral(e.getField("key"), keyT), lit(":"),
+              cqlLiteral(e.getField("value"), valT))), ", "),
+          lit("}"))
       case "text" | "varchar" | "ascii" | "date" =>
-        concat(lit("'"), regexp_replace(ddbCanonicalString(c, cqlType), "'", "''"), lit("'"))
+        concat(lit("'"), regexp_replace(ddbCanonicalString(c, bare), "'", "''"), lit("'"))
       case "blob" => blobToHex(c)
-      case t      => ddbCanonicalString(c, t)
+      case other  => ddbCanonicalString(c, other)
     }
+  }
+
+  /** Optional `USING TTL x [AND TIMESTAMP y]` statement suffix per the
+    * reference's processRowWithTTL / processRowWithTimestamp
+    * (keyspaces/CQLReplicator.scala:1004-1060): a requested TTL always
+    * renders (0 when the source value is null, matching the reference's
+    * null→0 fallback), while TIMESTAMP renders only when positive. Leading
+    * space included so an absent clause leaves the statement untouched.
+    */
+  def cqlUsingClause(ttl: Option[Column], writetime: Option[Column]): Column = {
+    val ts = writetime.map(w => coalesce(w.cast("long"), lit(0L)))
+    (ttl, ts) match {
+      case (Some(t), Some(w)) =>
+        concat(lit(" USING TTL "), coalesce(t.cast("long"), lit(0L)).cast("string"),
+          when(w > 0, concat(lit(" AND TIMESTAMP "), w.cast("string"))).otherwise(lit("")))
+      case (Some(t), None) =>
+        concat(lit(" USING TTL "), coalesce(t.cast("long"), lit(0L)).cast("string"))
+      case (None, Some(w)) =>
+        when(w > 0, concat(lit(" USING TIMESTAMP "), w.cast("string"))).otherwise(lit(""))
+      case (None, None) => lit("")
+    }
+  }
 
   /** Full CQL INSERT statement text, the rowToStatement shape
-    * (glue/sbin/parquet/CQLReplicator.scala:600-632). */
-  def cqlInsertStatement(table: String, cols: Seq[(String, Column, String)]): Column = {
+    * (glue/sbin/parquet/CQLReplicator.scala:600-632), with the optional
+    * USING TTL / TIMESTAMP replay suffix (keyspaces:1004-1060).
+    */
+  def cqlInsertStatement(table: String, cols: Seq[(String, Column, String)],
+                         usingTtl: Option[Column] = None,
+                         usingTimestamp: Option[Column] = None): Column = {
     val names = cols.map(_._1).mkString(", ")
     val values = cols.map { case (_, c, t) => cqlLiteral(c, t) }
     concat(
       lit(s"INSERT INTO $table ($names) VALUES ("),
       concat_ws(", ", values: _*),
-      lit(");"))
+      lit(")"),
+      cqlUsingClause(usingTtl, usingTimestamp),
+      lit(";"))
   }
 
   /** Large-object offload: wide column replaced by a deterministic

@@ -56,4 +56,34 @@ class TransformsSpec extends SparkSpec {
     assert(df.select(Transforms.compositeKey(Seq(col("pk"), col("sk"))))
       .as[String].head() === "12#3")
   }
+
+  test("cqlLiteral renders collection types with per-element quoting") {
+    val df = Seq((Seq("it's", "b"), Seq(1, 2), Map("k" -> "v", "k2" -> "v'2")))
+      .toDF("l", "s", "m")
+    val row = df.select(
+      Transforms.cqlLiteral(col("l"), "list<text>").as("l"),
+      Transforms.cqlLiteral(col("s"), "frozen<set<int>>").as("s"),
+      Transforms.cqlLiteral(col("m"), "map<text,text>").as("m")).head()
+    assert(row.getString(0) === "['it''s','b']")
+    assert(row.getString(1) === "{1,2}")
+    assert(row.getString(2) === "{'k':'v', 'k2':'v''2'}")
+  }
+
+  test("cqlLiteral recurses into nested frozen collections") {
+    val df = Seq(Tuple1(Map("a" -> Seq(1L, 2L)))).toDF("m")
+    assert(df.select(Transforms.cqlLiteral(col("m"),
+      "map<text, frozen<list<bigint>>>")).as[String].head()
+      === "{'a':[1,2]}")
+  }
+
+  test("cqlUsingClause: null TTL renders 0, non-positive TIMESTAMP omitted") {
+    val df = Seq((Option.empty[Long], 0L), (Some(5L), 42L)).toDF("ttl", "wt")
+    val rows = df.select(
+      Transforms.cqlUsingClause(Some(col("ttl")), Some(col("wt"))).as("both"),
+      Transforms.cqlUsingClause(None, Some(col("wt"))).as("ts_only"),
+      Transforms.cqlUsingClause(None, None).as("none"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) === ((" USING TTL 0", "", "")))
+    assert(rows(1) === ((" USING TTL 5 AND TIMESTAMP 42", " USING TIMESTAMP 42", "")))
+  }
 }
