@@ -41,25 +41,43 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = Queries.all.map(_.name).filterNot(exclude)
       .filter(n => only.forall(_.contains(n)))
+    // Single-sample wall clocks at sf0.1 carry ±35% machine noise (SURVEY
+    // §6) — report the per-query MEDIAN over ≥3 trials so a 2x comparison
+    // against the baseline is actually measurable.
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.toInt).getOrElse(3).max(1)
     val results = names.map { name =>
-      // Standard trial hygiene: collect between queries so one query's
-      // garbage isn't charged to the next one's wall clock (back-to-back
-      // runs otherwise drift ~2x above solo runs late in the suite).
-      System.gc()
-      val t0 = System.nanoTime()
-      // One broken query must not zero the whole artifact: record the
-      // sentinel -1 and keep the suite running. NonFatal only — after an
-      // OOM/LinkageError the JVM's numbers would be garbage anyway.
-      try { run(name); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+      val samples = (1 to trials).flatMap { _ =>
+        // Standard trial hygiene: collect between runs so one query's
+        // garbage isn't charged to the next one's wall clock (back-to-back
+        // runs otherwise drift ~2x above solo runs late in the suite).
+        System.gc()
+        val t0 = System.nanoTime()
+        // One broken query must not zero the whole artifact: drop the
+        // sample and keep the suite running. NonFatal only — after an
+        // OOM/LinkageError the JVM's numbers would be garbage anyway.
+        try { run(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
+      val median =
+        if (samples.isEmpty) -1.0
+        else {
+          val s = samples.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
+      (name, median, samples.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, m, n) =>
+      "\"" + k + f"""\":{"median":$m%.3f,"trials":$n}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver parses this line from captured stdout; emit it BEFORE
+    // spark.stop() (shutdown logging has truncated the tail in past
+    // rounds) and flush explicitly.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}""")
+    System.out.flush()
     spark.stop()
   }
 }
