@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composed form of the individual
@@ -42,35 +42,64 @@ object CurationPipeline {
                           sampled: DataFrame)
 
   def stages(docs: DataFrame, idCol: String, textCol: String,
-             langCol: String, cfg: Config = Config()): Stages = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      col(textCol).as("text"), col(langCol).as("lang"))
+             langCol: String, cfg: Config = Config()): Stages =
+    buildStages(docs, idCol, textCol, langCol, cfg, observations = None)
+
+  /** Stage names, in pipeline order; index = stage number. */
+  val stageNames: IndexedSeq[String] =
+    IndexedSeq("input", "exact_dedup", "quality_gates", "near_dedup",
+      "stratified_sample")
+
+  /** [[stages]] with a named count observation planted at each stage
+    * boundary, so all five survivor counts come out of ONE execution of
+    * the final plan (CollectMetrics is a filter-pushdown barrier and is
+    * not double-counted when a stage relation is referenced more than
+    * once in the DAG — probed in tools/ObserveProbe and pinned by spec).
+    * The plain [[stages]]/[[curate]] path stays observation-free so the
+    * barriers can't block cross-stage optimization there.
+    */
+  def observedStages(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String, cfg: Config = Config())
+      : (Stages, IndexedSeq[Observation]) = {
+    val obs = stageNames.map(n => Observation(s"curation_$n"))
+    (buildStages(docs, idCol, textCol, langCol, cfg, Some(obs)), obs)
+  }
+
+  private def buildStages(docs: DataFrame, idCol: String, textCol: String,
+                          langCol: String, cfg: Config,
+                          observations: Option[IndexedSeq[Observation]]): Stages = {
+    def tap(stage: Int)(df: DataFrame): DataFrame = observations match {
+      case Some(obs) => df.observe(obs(stage), count(lit(1)).as("n_docs"))
+      case None      => df
+    }
+    val base = tap(0)(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(langCol).as("lang")))
 
     // 1. exact dedup: survivors are each hash-group's min id
     val exactKeep = TextDedup.exactGroups(base, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val afterExact = base.join(exactKeep, "doc_id")
+    val afterExact = tap(1)(base.join(exactKeep, "doc_id"))
 
     // 2.+3. cheap per-row gates before anything quadratic-ish
     val rep = TextAnalysis.repetitionProfile(afterExact, "doc_id", "text")
       .select(col("doc_id"), col("dup_ratio"))
-    val gated = afterExact
+    val gated = tap(2)(afterExact
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.qualityMin)
       .join(rep, "doc_id")
       .filter(col("dup_ratio") <= cfg.dupRatioMax)
-      .select(col("doc_id"), col("text"), col("lang"))
+      .select(col("doc_id"), col("text"), col("lang")))
 
     // 4. near-dup clustering over the survivors; drop non-canonicals
     val pairs = TextDedup.minhashLshPairs(gated, "doc_id", "text",
       cfg.shingleN, cfg.numPerm, cfg.bands, cfg.jaccardThreshold)
     val dropped = Clustering.dedupClusters(pairs, "doc_a", "doc_b")
       .filter(!col("keep")).select(col("doc_id"))
-    val deduped = gated.join(dropped, Seq("doc_id"), "left_anti")
+    val deduped = tap(3)(gated.join(dropped, Seq("doc_id"), "left_anti"))
 
     // 5. deterministic stratified sample per language
-    val sampled = Sampling.stratifiedSample(deduped, "lang", "doc_id",
+    val sampled = tap(4)(Sampling.stratifiedSample(deduped, "lang", "doc_id",
         cfg.perLangSample)
-      .select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang")))
     Stages(base, afterExact, gated, deduped, sampled)
   }
 
@@ -82,18 +111,21 @@ object CurationPipeline {
   /** Per-stage survivor counts — the pipeline's replication-stats shape
     * (what the reference's Stats objects record per tile, keyspaces:
     * 759-785). One relation, ordered by stage.
+    *
+    * All five counts come from a SINGLE execution of the final plan via
+    * the [[observedStages]] metrics (a five-branch union would re-derive
+    * the pipeline ~2-3x), so this report costs one pipeline run plus
+    * five driver-side scalars. Eager: the pipeline executes here and the
+    * returned relation is the five literal rows.
     */
   def stageCounts(docs: DataFrame, idCol: String, textCol: String,
                   langCol: String, cfg: Config = Config()): DataFrame = {
-    val st = stages(docs, idCol, textCol, langCol, cfg)
-    def c(stage: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage.toLong).as("stage"), lit(name).as("name"),
-          col("n_docs"))
-    c(0, "input", st.input)
-      .unionByName(c(1, "exact_dedup", st.afterExact))
-      .unionByName(c(2, "quality_gates", st.gated))
-      .unionByName(c(3, "near_dedup", st.deduped))
-      .unionByName(c(4, "stratified_sample", st.sampled))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (st, obs) = observedStages(docs, idCol, textCol, langCol, cfg)
+    st.sampled.count() // the one full pipeline execution
+    obs.zipWithIndex.map { case (o, i) =>
+      (i.toLong, stageNames(i), o.get("n_docs").asInstanceOf[Long])
+    }.toDF("stage", "name", "n_docs")
   }
 }

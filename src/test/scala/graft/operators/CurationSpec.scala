@@ -91,4 +91,42 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("a b" -> 3L, "b a" -> 1L))
   }
+
+  // The single-run stageCounts rests on two CollectMetrics properties;
+  // pin them so a Spark upgrade that changes either fails loudly here
+  // rather than as silently wrong stage counts.
+  test("observe: no double count under subtree reuse, filter-pushdown barrier") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = (1 to 100).toDF("id")
+    val reuse = org.apache.spark.sql.Observation("reuse_n")
+    val observed = base.observe(reuse, count(lit(1)).as("n"))
+    val keep = observed.filter(col("id") % 2 === 0).select(col("id").as("keep_id"))
+    observed.join(keep, col("id") === col("keep_id")).count()
+    assert(reuse.get("n") === 100L) // referenced twice, counted once
+
+    val barrier = org.apache.spark.sql.Observation("barrier_n")
+    base.observe(barrier, count(lit(1)).as("n")).filter(col("id") <= 10).count()
+    assert(barrier.get("n") === 100L) // downstream filter not pushed below
+  }
+
+  test("stageCounts equals independent per-stage counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (1 to 200).map { i =>
+      val text =
+        if (i % 7 == 0) "dup dup dup dup dup dup dup dup dup dup" // repetition-gated
+        else if (i % 5 == 0) s"exact duplicate body shared by many docs"
+        else s"unique document number $i with enough distinct words to pass gates cleanly"
+      (i.toLong, text, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val cfg = CurationPipeline.Config(perLangSample = 10)
+    val st = CurationPipeline.stages(docs, "doc_id", "text", "lang", cfg)
+    val expected = Seq(st.input, st.afterExact, st.gated, st.deduped, st.sampled)
+      .map(_.count())
+    val got = CurationPipeline.stageCounts(docs, "doc_id", "text", "lang", cfg)
+      .orderBy("stage").collect()
+    assert(got.map(_.getLong(2)).toSeq === expected)
+    assert(got.map(_.getString(1)).toSeq === CurationPipeline.stageNames)
+  }
 }
