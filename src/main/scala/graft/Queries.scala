@@ -966,19 +966,55 @@ object Queries {
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
 
     Q("ann_ivf_refined_assign",
-      // IVF assignment after one deterministic Lloyd iteration — the
-      // production quantizer (seeded init + refine) rather than raw
-      // sampled centroids. Refined centroids are double-mean derived, so
-      // no portable SQL oracle: rows-only here, exactness spec-tested in
-      // AnnSpec (kmeansRefine reaches exact member means, reproducibly).
+      // IVF assignment from the full production quantizer: seeded
+      // deterministic kmeans‖-style init (configurable k) + two Lloyd
+      // iterations. Refined centroids are double-mean derived, so no
+      // portable SQL oracle: rows-only here; init determinism/coverage
+      // and refine exactness are spec-tested in AnnSpec.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val refined = Ann.kmeansRefine(emb,
-          emb.filter(col("vec_id") % 25 === 0),
-          "vec_id", "embedding", "vec_id", "embedding", iters = 1)
+        val init = Ann.initCentroids(emb, "vec_id", "embedding",
+          k = 20, seed = 42L)
+        val refined = Ann.kmeansRefine(emb, init,
+          "vec_id", "embedding", "centroid_id", "cv", iters = 2)
         Ann.ivfAssign(emb, refined, "vec_id", "embedding", "centroid_id", "cv")
       },
       None),
+
+    Q("ann_ivf_topk_nprobe2",
+      // Multi-probe IVF search: each query probes its 2 nearest centroid
+      // buckets, recovering border neighbors a single-probe search misses
+      // (recall monotone in nprobe — AnnSpec measures both against brute
+      // force). Probe ranking shares ivfAssign's tie-break, so the oracle
+      // reuses one scored relation for assignment and probe selection.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") % 25 === 0)
+        val assign = Ann.ivfAssign(emb, cents,
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.ivfTopKProbed(emb, assign, cents,
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobe = 2)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, centroid_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, centroid_id, embedding FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        |  FROM ranked WHERE vec_id % 37 = 0 AND rn <= 2),
+        |pairs AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("p.qv", "n.embedding")} AS cos
+        |  FROM probes p JOIN assign n ON n.centroid_id = p.centroid_id
+        |    AND n.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
 
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),

@@ -153,6 +153,97 @@ object Ann {
       .distinct()
   }
 
+  /** Driver-side cosine over small candidate sets (init only). */
+  private def cosJvm(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** Deterministic kmeans‖-style seeded centroid init (Bahmani et al.,
+    * VLDB'12 sampling shape): `rounds` passes each sample points with
+    * probability ∝ their cosine distance from the current center set
+    * (oversampling l = oversample·k), with every random draw replaced by
+    * an xxhash64(vec_id, seed, round) uniform — same (data, k, seed) ⇒
+    * same centroids on any partitioning (costs sum over decimal). Each
+    * round is one broadcast-scored scan; only the O(rounds·l) sampled
+    * candidates reach the driver, where a deterministic weighted
+    * farthest-first pass (greedy kmeans++ without RNG, ties → min id)
+    * reduces them to k centers, re-labelled 0..k-1 in candidate-id order.
+    */
+  def initCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                    seed: Long, rounds: Int = 2,
+                    oversample: Double = 2.0): DataFrame = {
+    require(k > 0 && rounds >= 1, "k and rounds must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+
+    def uniform(round: Int): Column =
+      pmod(xxhash64(col("vec_id"), lit(seed), lit(round)), lit(1000000000L))
+        .cast("double") / 1e9
+
+    // round 0: the hash-minimal vector seeds the center set
+    val first = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(1).as[(Long, Array[Float])].head()
+    val candidates = scala.collection.mutable.LinkedHashMap(first._1 -> first._2)
+
+    val l = oversample * k
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val cents = candidates.toSeq.toDF("centroid_id", "cv")
+      val scored = ivfAssign(v, cents, "vec_id", "v", "centroid_id", "cv")
+        .select(col("vec_id"), greatest(lit(0.0), lit(1.0) - col("cosine")).as("d"))
+      val cost = scored
+        .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double")).head().getDouble(0)
+      if (cost <= 0) exhausted = true // every point already at a center
+      else {
+        val sampled = v.join(scored, "vec_id")
+          .filter(uniform(r) < least(lit(1.0), lit(l) * col("d") / lit(cost)))
+          .select(col("vec_id"), col("v")).as[(Long, Array[Float])].collect()
+        sampled.foreach { case (id, vec) =>
+          if (!candidates.contains(id)) candidates += id -> vec
+        }
+      }
+    }
+    // pad deterministically if sampling came up short of k
+    if (candidates.size < k) {
+      val extra = v.filter(!col("vec_id").isin(candidates.keys.toSeq: _*))
+        .orderBy(xxhash64(col("vec_id"), lit(seed + 1)), col("vec_id"))
+        .limit(k - candidates.size).as[(Long, Array[Float])].collect()
+      extra.foreach { case (id, vec) => candidates += id -> vec }
+    }
+
+    // weight candidates by their attracted point counts (one assign pass)
+    val candDf = candidates.toSeq.toDF("centroid_id", "cv")
+    val weights = ivfAssign(v, candDf, "vec_id", "v", "centroid_id", "cv")
+      .groupBy("centroid_id").agg(count(lit(1)).as("w"))
+      .as[(Long, Long)].collect().toMap
+
+    // deterministic weighted farthest-first down to k
+    val cand = candidates.toSeq.map { case (id, vec) =>
+      (id, vec, weights.getOrElse(id, 0L)) }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      cand.maxBy { case (id, _, w) => (w, -id) })
+    while (chosen.size < k && chosen.size < cand.size) {
+      val next = cand.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy { case (id, vec, w) =>
+          val minDist = chosen.map(ch => 1.0 - cosJvm(vec, ch._2)).min
+          (w * minDist, -id)
+        }
+      chosen += next
+    }
+    chosen.sortBy(_._1).zipWithIndex
+      .map { case ((_, vec, _), i) => (i.toLong, vec) }.toSeq
+      .toDF("centroid_id", "cv")
+  }
+
   /** Deterministic Lloyd refinement of IVF centroids: a fixed number of
     * assign→mean iterations. Means use decimal sums (partition-order
     * independent) and dimensions reassemble via sorted structs (no
@@ -201,6 +292,46 @@ object Ann {
     val scored = assigned
       .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("centroid_id"))
       .join(q, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** Multi-probe IVF top-k: each query searches the buckets of its
+    * `nprobe` nearest centroids (nprobe=1 degenerates to [[ivfTopK]]'s
+    * own-bucket search — probe ranking uses the same cosine-desc /
+    * centroid-id tie-break as [[ivfAssign]]). Probe selection scores
+    * queries × centroids, both broadcast-small; the candidate search
+    * still joins on centroid_id, so cost scales with the probed buckets'
+    * sizes, not corpus size. Recall is monotone in nprobe (candidate
+    * sets nest as probes grow) — spec-measured against brute force.
+    */
+  def ivfTopKProbed(emb: DataFrame, assignments: DataFrame,
+                    centroids: DataFrame, queryIds: DataFrame,
+                    idCol: String, vecCol: String,
+                    centroidIdCol: String, centroidVecCol: String,
+                    k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(queryIds.select(col(idCol).as("query_id"))), "query_id")
+    val cts = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    val probes = q.join(broadcast(cts))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(assignments.select(col("vec_id").as("neighbor_id"),
+        col("centroid_id")), "neighbor_id")
+    // a vector lives in exactly one bucket and probes are distinct buckets,
+    // so no (query, neighbor) pair can appear twice — no dedup needed
+    val scored = cands.join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_raw", cosine(col("qv"), col("nv")))
     org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),

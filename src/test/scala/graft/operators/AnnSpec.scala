@@ -94,6 +94,56 @@ class AnnSpec extends SparkSpec {
     assert(refined == again)
   }
 
+  test("initCentroids: deterministic, k respected, distinct real vectors") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val c1 = Ann.initCentroids(emb, "vec_id", "embedding", k = 8, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1.size == 8)
+    assert(c1.keySet == (0L until 8L).toSet) // relabelled 0..k-1
+    assert(c1.values.toSeq.distinct.size == 8) // no duplicate centers
+    val c2 = Ann.initCentroids(emb, "vec_id", "embedding", k = 8, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2) // same seed, same centroids
+    val c3 = Ann.initCentroids(emb, "vec_id", "embedding", k = 8, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 != c3) // seed actually drives the sampling
+    // every centroid is a real corpus vector (init samples, never averages)
+    val corpus = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0)).toSet
+    assert(c1.values.forall(corpus.contains))
+  }
+
+  test("ivfTopKProbed: nprobe=1 equals own-bucket ivfTopK; recall monotone in nprobe") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") % 25 === 0)
+    val assign = Ann.ivfAssign(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = rows(Ann.ivfTopKProbed(emb, assign, cents, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobe = 1))
+    val own = rows(Ann.ivfTopK(emb, assign, queries, "vec_id", "embedding", k = 3))
+    assert(one == own)
+    // ground truth: brute-force top-3 over the whole corpus
+    val truth = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probed: Set[(Long, Long, Long)]): Double =
+      probed.map(t => (t._1, t._2)).count(truth.contains).toDouble / truth.size
+    def probedRecall(nprobe: Int): Double =
+      recall(rows(Ann.ivfTopKProbed(emb, assign, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobe = nprobe)))
+    val r1 = recall(one)
+    val r2 = probedRecall(2)
+    val r5 = probedRecall(5)
+    val r20 = probedRecall(20) // all 20 buckets probed = exhaustive search
+    assert(r2 >= r1 && r5 >= r2 && r20 >= r5,
+      s"recall must be monotone in nprobe: $r1 / $r2 / $r5 / $r20")
+    assert(r20 == 1.0, s"probing every bucket must recover brute force, got $r20")
+    assert(r5 > r1, s"probing 5 of 20 buckets should beat 1 of 20: $r5 vs $r1")
+    info(f"recall@3: nprobe=1 $r1%.3f, 2 $r2%.3f, 5 $r5%.3f, 20 $r20%.3f")
+  }
+
   test("frameSlices partitions the payload exactly; frameFeatures is deterministic") {
     val spark0 = spark
     import spark0.implicits._
