@@ -114,15 +114,16 @@ object Queries {
         |FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
 
     Q("writetime_greatest",
-      // ts := greatest(writetime(c1)..writetime(cN))
-      // (keyspaces/CQLReplicator.scala:381-384); writetimes emulated by
-      // deterministic per-column integers.
+      // ts := greatest(writetime(c1)..writetime(cN)) over a CONFIGURABLE
+      // column list (keyspaces/CQLReplicator.scala:381-384); writetimes
+      // emulated by deterministic per-column integers. The single-column
+      // degenerate case is spec-covered in CdcSpec.
       (s, d) => Tables.orders(s, d).select(
         col("o_orderkey"),
-        greatest(
+        Cdc.writetimeExpression(Seq(
           col("o_custkey") * 7 % 1000,
           col("o_orderkey") * 3 % 1000,
-          col("o_orderkey") % 11 * 90).as("ts")),
+          col("o_orderkey") % 11 * 90))),
       Some("""SELECT o_orderkey,
         |  GREATEST(o_custkey * 7 % 1000, o_orderkey * 3 % 1000, o_orderkey % 11 * 90) AS ts
         |FROM orders""".stripMargin)),

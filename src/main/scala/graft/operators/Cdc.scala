@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Row writetime from an arbitrary user-configured column list, the
+    * buildWritetimeExpression contract (keyspaces/CQLReplicator.scala:
+    * 381-384): one column stands alone, several fold into `greatest`,
+    * either way aliased `ts`. Callers pass whatever per-column writetime
+    * expressions their source exposes.
+    */
+  def writetimeExpression(columns: Seq[Column]): Column = {
+    require(columns.nonEmpty, "at least one writetime column required")
+    (columns match {
+      case Seq(single) => single
+      case multiple    => greatest(multiple: _*)
+    }).as("ts")
+  }
+
   /** New keys: in `curr` but not in `prev` (reference :1366). */
   def inserts(curr: DataFrame, prev: DataFrame, pkCols: Seq[String]): DataFrame =
     curr.join(prev, pkCols, "left_anti")

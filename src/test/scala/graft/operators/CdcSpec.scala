@@ -9,6 +9,17 @@ class CdcSpec extends SparkSpec {
   private def snap(rows: (Long, java.lang.Long)*) =
     rows.toDF("id", "ts")
 
+  test("writetimeExpression: single column stands alone, several fold into greatest") {
+    val df = Seq((5L, 9L, 2L)).toDF("a", "b", "c")
+    val single = df.select(Cdc.writetimeExpression(Seq(col("a"))))
+    assert(single.columns.toSeq === Seq("ts"))
+    assert(single.as[Long].head() === 5L)
+    val multi = df.select(Cdc.writetimeExpression(Seq(col("a"), col("b"), col("c"))))
+    assert(multi.columns.toSeq === Seq("ts"))
+    assert(multi.as[Long].head() === 9L)
+    intercept[IllegalArgumentException](Cdc.writetimeExpression(Seq.empty))
+  }
+
   test("inserts/deletes/updates partition the change space") {
     val prev = snap(1L -> 10L, 2L -> 20L, 3L -> null, 4L -> 40L)
     val curr = snap(1L -> 10L, 2L -> 21L, 3L -> 30L, 5L -> 50L)
