@@ -29,49 +29,129 @@ object SnapshotStore {
   private def snapDir(root: String, table: String, id: Long) =
     s"${tableDir(root, table)}/snap=$id"
 
-  /** Writes an immutable snapshot `id` of `df`. Fails if the id exists
-    * (snapshots are append-only; use [[expire]] for retention).
-    * `sortCols` lays the snapshot out range-partitioned + sorted
-    * ([[ParquetSink.writeSorted]]) so selective reads — point-in-time
-    * filters, PK probes — prune row groups via parquet min/max stats.
+  private def fsOf(spark: SparkSession, root: String, table: String) =
+    new Path(tableDir(root, table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------- manifest
+
+  /** The per-table commit manifest: one `<id>\t<dirName>` line per live
+    * snapshot, re-written whole and swapped in with an atomic
+    * rename-overwrite on every commit. Readers resolve ids and data
+    * directories from ONE manifest read, a maintenance rewrite is
+    * invisible until its commit, and every directory a committed
+    * manifest references stays on disk until [[vacuum]] — so a reader
+    * holding the previous manifest keeps reading a complete snapshot
+    * (publication and compaction are atomic for readers). Tables
+    * without a manifest (legacy layouts) fall back to directory
+    * listing; their first write adopts the listed snapshots.
+    */
+  private def manifestPath(root: String, table: String) =
+    new Path(s"${tableDir(root, table)}/_MANIFEST")
+
+  // All manifest IO goes through FileContext: its local implementation is
+  // raw (no sidecar .crc files that a FileSystem-created file would leave
+  // behind for the rename to orphan) and its rename supports the atomic
+  // OVERWRITE pointer swap plain FileSystem.rename refuses.
+  private def manifestFc(spark: SparkSession, root: String, table: String) =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      manifestPath(root, table).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def readManifest(spark: SparkSession, root: String,
+                           table: String): Option[Map[Long, String]] = {
+    val fc = manifestFc(spark, root, table)
+    val p = manifestPath(root, table)
+    if (!fc.util.exists(p)) None
+    else {
+      val in = fc.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(id, dir) = line.split('\t')
+        id.toLong -> dir
+      }.toMap)
+    }
+  }
+
+  private def commitManifest(spark: SparkSession, root: String, table: String,
+                             entries: Map[Long, String]): Unit = {
+    val fc = manifestFc(spark, root, table)
+    val dst = manifestPath(root, table)
+    val tmp = new Path(s"${tableDir(root, table)}/._MANIFEST.tmp")
+    val out = fc.create(tmp, java.util.EnumSet.of(
+      org.apache.hadoop.fs.CreateFlag.CREATE,
+      org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (id, dir) => s"$id\t$dir" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Live (id → data dir name) entries: the manifest when present, else
+    * the legacy directory listing (only parseable `snap=<long>` names;
+    * foreign/maintenance dirs are never snapshots).
+    */
+  private def liveEntries(spark: SparkSession, root: String,
+                          table: String): Map[Long, String] =
+    readManifest(spark, root, table).getOrElse {
+      val dir = new Path(tableDir(root, table))
+      val fs = fsOf(spark, root, table)
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("snap=") => s }
+        .flatMap(s => s.stripPrefix("snap=").toLongOption.map(_ -> s))
+        .toMap
+    }
+
+  /** Writes an immutable snapshot `id` of `df` and commits it to the
+    * manifest (data first, pointer second — a crash in between leaves an
+    * uncommitted orphan dir that [[vacuum]] collects and a re-run
+    * overwrites). Fails if the id is live (snapshots are append-only;
+    * use [[expire]] for retention). `sortCols` lays the snapshot out
+    * range-partitioned + sorted ([[ParquetSink.writeSorted]]) so
+    * selective reads — point-in-time filters, PK probes — prune row
+    * groups via parquet min/max stats.
     */
   def write(df: DataFrame, root: String, table: String, id: Long,
             sortCols: Seq[String] = Nil): Unit = {
-    require(!exists(df.sparkSession, root, table, id),
+    val spark = df.sparkSession
+    val entries = liveEntries(spark, root, table)
+    require(!entries.contains(id),
       s"snapshot $id of $table already exists (snapshots are immutable)")
+    val dir = snapDir(root, table, id)
+    // an existing dir for a non-live id is an uncommitted crash orphan
+    fsOf(spark, root, table).delete(new Path(dir), true)
     if (sortCols.isEmpty)
-      df.write.mode("errorifexists").parquet(snapDir(root, table, id))
+      df.write.mode("errorifexists").parquet(dir)
     else
-      ParquetSink.writeSorted(df, snapDir(root, table, id), sortCols,
+      ParquetSink.writeSorted(df, dir, sortCols,
         mode = org.apache.spark.sql.SaveMode.ErrorIfExists)
+    commitManifest(spark, root, table, entries + (id -> s"snap=$id"))
   }
 
-  /** All snapshot ids of `table`, ascending — one filesystem LIST. */
-  def snapshotIds(spark: SparkSession, root: String, table: String): Seq[Long] = {
-    val dir = new Path(tableDir(root, table))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      // tolerate foreign dirs (maintenance staging, manual debris): only a
-      // parseable snap=<long> is a snapshot
-      .collect { case s if s.startsWith("snap=") => s.stripPrefix("snap=") }
-      .flatMap(_.toLongOption)
-      .sorted
-  }
+  /** All snapshot ids of `table`, ascending — one manifest read. */
+  def snapshotIds(spark: SparkSession, root: String, table: String): Seq[Long] =
+    liveEntries(spark, root, table).keys.toSeq.sorted
 
   def exists(spark: SparkSession, root: String, table: String, id: Long): Boolean =
-    snapshotIds(spark, root, table).contains(id)
+    liveEntries(spark, root, table).contains(id)
 
   def latestId(spark: SparkSession, root: String, table: String): Option[Long] =
     snapshotIds(spark, root, table).lastOption
 
   /** Reads snapshot `id` — an ordinary parquet scan (column pruning +
-    * predicate pushdown apply as usual).
+    * predicate pushdown apply as usual) of the manifest-resolved data
+    * directory (the landing dir, or the newest compacted generation).
     */
-  def read(spark: SparkSession, root: String, table: String, id: Long): DataFrame =
-    spark.read.parquet(snapDir(root, table, id))
+  def read(spark: SparkSession, root: String, table: String, id: Long): DataFrame = {
+    val dir = liveEntries(spark, root, table).getOrElse(id,
+      throw new IllegalArgumentException(s"snapshot $id of $table not found"))
+    spark.read.parquet(s"${tableDir(root, table)}/$dir")
+  }
 
   def readLatest(spark: SparkSession, root: String, table: String): DataFrame = {
     val id = latestId(spark, root, table).getOrElse(
@@ -103,17 +183,54 @@ object SnapshotStore {
       .unionByName(Cdc.updates(curr, prev, pkCols, tsCol).withColumn("op", lit("U")))
 
   /** Deletes every snapshot except the newest `keepLast` (the reference's
-    * expireIcebergSnapshots retention contract). Returns expired ids.
+    * expireIcebergSnapshots retention contract). The manifest commits
+    * FIRST (readers stop seeing the ids atomically), then the expired
+    * ids' data dirs — landing and compacted generations — are deleted.
+    * Returns expired ids. Retention must lag the streaming feed's
+    * checkpoint, as before.
     */
   def expire(spark: SparkSession, root: String, table: String,
              keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val ids = snapshotIds(spark, root, table)
-    val drop = ids.dropRight(keepLast)
-    val fs = new Path(tableDir(root, table))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    drop.foreach(id => fs.delete(new Path(snapDir(root, table, id)), true))
+    val entries = liveEntries(spark, root, table)
+    val drop = entries.keys.toSeq.sorted.dropRight(keepLast)
+    commitManifest(spark, root, table, entries -- drop)
+    val fs = fsOf(spark, root, table)
+    drop.foreach { id =>
+      fs.delete(new Path(snapDir(root, table, id)), true)
+      fs.delete(new Path(s"${tableDir(root, table)}/${entries(id)}"), true)
+    }
     drop
+  }
+
+  /** Garbage-collects directories no committed manifest references:
+    * uncommitted/superseded compaction generations (`.data-*`) and —
+    * only with `includeLandings=true`, once the streaming feed has
+    * checkpointed past them — landing dirs whose manifest entry points
+    * at a compacted generation. Deferred GC is what makes [[compact]]
+    * atomic for readers: a reader holding the previous manifest keeps
+    * its complete snapshot until vacuum, so run vacuum only after
+    * in-flight readers have drained. Returns deleted dir names.
+    */
+  def vacuum(spark: SparkSession, root: String, table: String,
+             includeLandings: Boolean = false): Seq[String] = {
+    val entries = liveEntries(spark, root, table)
+    val referenced = entries.values.toSet
+    val live = entries.map { case (id, _) => s"snap=$id" }.toSet
+    val dir = new Path(tableDir(root, table))
+    val fs = fsOf(spark, root, table)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val doomed = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter { n =>
+          val orphanGen = n.startsWith(".data-") && !referenced(n)
+          val supersededLanding = includeLandings && live(n) && !referenced(n)
+          orphanGen || supersededLanding
+        }
+      doomed.foreach(n => fs.delete(new Path(s"${tableDir(root, table)}/$n"), true))
+      doomed
+    }
   }
 
   /** Adopts a legacy un-versioned parquet dataset as snapshot `id`
@@ -124,34 +241,35 @@ object SnapshotStore {
                     root: String, table: String, id: Long = 0L): Unit =
     write(spark.read.parquet(legacyPath), root, table, id)
 
-  /** Compacts snapshot `id` in place to ~`targetFileBytes` files (the
-    * small-file problem of frequent snapshots; the reference's
-    * writeWithSizeControl applied as maintenance). Rewrite-then-swap: the
-    * sized copy lands in a staging dir OUTSIDE the `snap=` namespace (so
-    * listings and the streaming feed never see it), then replaces the
-    * snapshot with two renames. The swap leaves a brief window where the
-    * path is absent — a concurrent reader should retry; true
-    * metadata-pointer atomicity is a table-format concern, not a
-    * plain-directory one. A failed second rename rolls the original back.
+  /** Compacts snapshot `id` to ~`targetFileBytes` files (the small-file
+    * problem of frequent snapshots; the reference's writeWithSizeControl
+    * applied as maintenance). The sized copy lands in a NEW immutable
+    * generation dir (`.data-<id>-g<n>`, outside the `snap=` namespace so
+    * the streaming feed's glob never sees it), then one manifest commit
+    * republishes the id — readers see the old generation or the new one,
+    * never a missing or partial snapshot. The previous generation stays
+    * on disk for in-flight readers until [[vacuum]]; a crash before the
+    * commit leaves only an unreferenced gen dir vacuum collects.
     * Returns the file count after compaction.
     */
   def compact(spark: SparkSession, root: String, table: String, id: Long,
               targetFileBytes: Long = 128L << 20): Int = {
-    require(exists(spark, root, table, id), s"snapshot $id of $table not found")
-    val dir = new Path(snapDir(root, table, id))
-    val staging = new Path(s"${tableDir(root, table)}/.compact-staging-$id")
-    val old = new Path(s"${tableDir(root, table)}/.compact-old-$id")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true); fs.delete(old, true) // stale maintenance debris
-    ParquetSink.writeSizeControlled(
-      spark.read.parquet(dir.toString), staging.toString, targetFileBytes)
-    require(fs.rename(dir, old), s"compaction swap failed for $dir")
-    if (!fs.rename(staging, dir)) {
-      fs.rename(old, dir) // roll the original back before failing
-      throw new IllegalStateException(s"compaction swap failed for $staging")
+    val entries = liveEntries(spark, root, table)
+    val current = entries.getOrElse(id,
+      throw new IllegalArgumentException(s"snapshot $id of $table not found"))
+    val gen = current match {
+      case g if g.startsWith(".data-") =>
+        g.substring(g.lastIndexOf("-g") + 2).toInt + 1
+      case _ => 1
     }
-    fs.delete(old, true)
-    fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    val target = new Path(s"${tableDir(root, table)}/.data-$id-g$gen")
+    val fs = fsOf(spark, root, table)
+    fs.delete(target, true) // uncommitted debris from a crashed attempt
+    ParquetSink.writeSizeControlled(
+      spark.read.parquet(s"${tableDir(root, table)}/$current"),
+      target.toString, targetFileBytes)
+    commitManifest(spark, root, table, entries.updated(id, target.getName))
+    fs.listStatus(target).count(_.getPath.getName.endsWith(".parquet"))
   }
 
   // ------------------------------------------------------ streaming feed

@@ -159,6 +159,61 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L))
   }
 
+  test("compact is atomic for readers: old generation survives until vacuum") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val df = spark.range(0, 5000).select(col("id").as("k"),
+      (col("id") * 3).as("ts")).repartition(8)
+    SnapshotStore.write(df, root, "t", 1L)
+    val before = SnapshotStore.read(spark, root, "t", 1L)
+      .collect().map(_.toSeq).toSet
+    // a reader that resolved the snapshot BEFORE the compaction — its plan
+    // is pinned to the old generation dir
+    val pinned = SnapshotStore.read(spark, root, "t", 1L)
+    SnapshotStore.compact(spark, root, "t", 1L, targetFileBytes = 512L << 20)
+    // ...keeps reading the complete old generation
+    assert(pinned.collect().map(_.toSeq).toSet == before)
+    // a fresh reader resolves the compacted generation, same content
+    assert(SnapshotStore.read(spark, root, "t", 1L)
+      .collect().map(_.toSeq).toSet == before)
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L))
+    // default vacuum never touches landing dirs (the feed's namespace)
+    assert(SnapshotStore.vacuum(spark, root, "t").isEmpty)
+    assert(new java.io.File(s"$root/t/snap=1").exists())
+    // a second compaction supersedes generation 1
+    SnapshotStore.compact(spark, root, "t", 1L, targetFileBytes = 512L << 20)
+    val deleted = SnapshotStore.vacuum(spark, root, "t", includeLandings = true)
+    assert(deleted.toSet == Set(".data-1-g1", "snap=1"))
+    assert(SnapshotStore.read(spark, root, "t", 1L)
+      .collect().map(_.toSeq).toSet == before)
+  }
+
+  test("upsertFeed is unaffected by compaction of a landed snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    SnapshotStore.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "ts"), root, "t", 1L)
+    val q = SnapshotStore.upsertFeed(spark, root, "t", "k")
+      .writeStream.format("memory").queryName("compactfeed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // maintenance compacts the already-streamed snapshot mid-run: the
+      // compacted generation lives outside snap=*, so the feed's glob and
+      // already-tracked files are untouched
+      SnapshotStore.compact(spark, root, "t", 1L)
+      SnapshotStore.write(Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("k", "ts"),
+        root, "t", 2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("compactfeed").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    // exactly the batch change set — no replays, no spurious U from the
+    // rewritten files
+    assert(got == Set(("I", 1L, 1L), ("I", 2L, 1L), ("U", 2L, 2L), ("I", 3L, 2L)))
+  }
+
   test("migrateLegacy adopts an unversioned dataset as snapshot 0") {
     val spark0 = spark
     import spark0.implicits._
