@@ -311,15 +311,7 @@ object SnapshotStore {
   def upsertFeed(spark: SparkSession, root: String, table: String,
                  pkCol: String, tsCol: String = "ts"): Dataset[ChangeOut] = {
     import spark.implicits._
-    val schema = readLatest(spark, root, table).schema
-      .add("snap", org.apache.spark.sql.types.LongType)
-    val rows = spark.readStream
-      .schema(schema)
-      .option("basePath", tableDir(root, table))
-      .parquet(s"${tableDir(root, table)}/snap=*")
-      .select(col(pkCol).cast("long").as("pk"),
-        col(tsCol).cast("long").as("ts"), col("snap"))
-      .as[SnapRow]
+    val rows = snapRowStream(spark, root, table, pkCol, tsCol)
     rows.groupByKey(_.pk)
       .flatMapGroupsWithState[TsState, ChangeOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -337,6 +329,103 @@ object SnapshotStore {
             last = cur
           }
           state.update(last)
+          out.iterator
+      }
+  }
+
+  private def snapRowStream(spark: SparkSession, root: String, table: String,
+                            pkCol: String, tsCol: String): Dataset[SnapRow] = {
+    import spark.implicits._
+    val schema = readLatest(spark, root, table).schema
+      .add("snap", org.apache.spark.sql.types.LongType)
+    spark.readStream
+      .schema(schema)
+      .option("basePath", tableDir(root, table))
+      .parquet(s"${tableDir(root, table)}/snap=*")
+      .select(col(pkCol).cast("long").as("pk"),
+        col(tsCol).cast("long").as("ts"), col("snap"))
+      .as[SnapRow]
+  }
+
+  /** Keyed state of [[changeFeed]]: the last seen ts (null carried as an
+    * explicit flag) plus the last snapshot the key appeared in. Public:
+    * the state serializer codegen requires a public class.
+    */
+  final case class FeedState(ts: Long, isNull: Boolean, lastSnap: Long)
+
+  /** [[SnapRow]] plus the event-time column ([[changeFeed]]'s watermark
+    * must survive up to the stateful operator, so it rides in the row).
+    */
+  final case class TimedSnapRow(pk: Long, ts: java.lang.Long, snap: Long,
+                                snap_time: java.sql.Timestamp)
+
+  /** The full I/U/D form of [[upsertFeed]]: snapshot boundaries act as
+    * the delete barrier, with the snapshot id itself as event time.
+    * Requires DENSE SEQUENTIAL snapshot ids (…N, N+1…), which is what
+    * pins absence to a snapshot: a key that arrives at snap N with state
+    * lastSnap < N-1 was absent from every snapshot in between — emit
+    * `D` at lastSnap+1 and a fresh `I` at N (exact, no watermark
+    * involved). A key that never returns falls to the event-time
+    * timeout: its timeout timestamp is lastSnap+1, so once the
+    * watermark (= max landed snapshot id) passes that barrier the state
+    * times out and emits `D` at lastSnap+1 — one snapshot of lag, the
+    * price of proving absence without a full-table barrier. Matches the
+    * batch [[changes]] chain exactly (spec), including across restarts
+    * (state + watermark recover from the checkpoint).
+    */
+  def changeFeed(spark: SparkSession, root: String, table: String,
+                 pkCol: String, tsCol: String = "ts"): Dataset[ChangeOut] = {
+    import spark.implicits._
+    val rows = snapRowStream(spark, root, table, pkCol, tsCol)
+      .withColumn("snap_time", timestamp_seconds(col("snap")))
+      .withWatermark("snap_time", "0 seconds")
+      .as[TimedSnapRow]
+    rows.groupByKey(_.pk)
+      .flatMapGroupsWithState[FeedState, ChangeOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (pk, it, state: org.apache.spark.sql.streaming.GroupState[FeedState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += ChangeOut(pk, "D", if (s.isNull) null else s.ts, s.lastSnap + 1)
+            state.remove()
+          } else {
+            val arrivals = it.toSeq.sortBy(_.snap)
+            var cur: Option[FeedState] = state.getOption
+            arrivals.foreach { r =>
+              val ts = TsState(if (r.ts == null) 0L else r.ts, r.ts == null)
+              cur match {
+                case None =>
+                  out += ChangeOut(pk, "I", r.ts, r.snap)
+                case Some(prev) if r.snap > prev.lastSnap + 1 =>
+                  // absent from (lastSnap, r.snap): a delete, then a rebirth
+                  out += ChangeOut(pk, "D",
+                    if (prev.isNull) null else prev.ts, prev.lastSnap + 1)
+                  out += ChangeOut(pk, "I", r.ts, r.snap)
+                case Some(prev) if TsState(prev.ts, prev.isNull) != ts =>
+                  out += ChangeOut(pk, "U", r.ts, r.snap)
+                case _ =>
+              }
+              cur = Some(FeedState(ts.ts, ts.isNull, r.snap))
+            }
+            cur.foreach { s =>
+              // the delete barrier: the first snapshot the key could be
+              // absent from
+              val barrier = (s.lastSnap + 1) * 1000L
+              if (state.getCurrentWatermarkMs() >= barrier) {
+                // later snapshots already landed without this key (late
+                // file replay): absence is proven now, and a timeout set
+                // at/below the watermark would be rejected anyway
+                out += ChangeOut(pk, "D",
+                  if (s.isNull) null else s.ts, s.lastSnap + 1)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(barrier)
+              }
+            }
+          }
           out.iterator
       }
   }

@@ -214,6 +214,62 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got == Set(("I", 1L, 1L), ("I", 2L, 1L), ("U", 2L, 2L), ("I", 3L, 2L)))
   }
 
+  test("changeFeed streams the full I/U/D batch-diff chain, with resume") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val ckpt = Files.createTempDirectory("graft-cfeed-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-cfeed-out").toString
+    // k1 stable then updated; k2 deleted at 2, back at 3; k3 updated at 2;
+    // k4 deleted at 2 and never returns (timeout path); k5 born at 4
+    val snaps = Map(
+      1L -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      2L -> Seq((1L, 10L), (3L, 31L)),
+      3L -> Seq((1L, 10L), (2L, 25L), (3L, 31L)),
+      4L -> Seq((1L, 11L), (2L, 25L), (3L, 31L), (5L, 50L)))
+    def land(id: Long): Unit =
+      SnapshotStore.write(snaps(id).toDF("k", "ts"), root, "t", id)
+    def startQuery() = SnapshotStore.changeFeed(spark, root, "t", "k")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[SnapshotStore.ChangeOut], _: Long) =>
+          if (!batch.isEmpty)
+            batch.toDF().write.mode("append").parquet(outDir)
+      }
+      .start()
+    land(1L)
+    val q1 = startQuery()
+    try { q1.processAllAvailable(); land(2L); q1.processAllAvailable() }
+    finally q1.stop()
+    // snapshots 3 and 4 land while the stream is DOWN; the restart must
+    // recover state, offsets, and the delete watermark from the checkpoint
+    land(3L); land(4L)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    def got() = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(1), r.getLong(0),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toSet
+    // the timeout delete (k4) may land in a trailing no-data micro-batch —
+    // poll briefly rather than racing processAllAvailable
+    val expectedN = 10
+    val deadline = System.nanoTime() + 15_000_000_000L
+    var snapshot = got()
+    while (snapshot.size < expectedN && System.nanoTime() < deadline) {
+      val q3 = startQuery()
+      try q3.processAllAvailable() finally q3.stop()
+      snapshot = got()
+    }
+    // the batch chain over the same snapshots is the oracle
+    val batchChain = (1L until 4L).flatMap { from =>
+      SnapshotStore.changes(spark, root, "t", from, from + 1, Seq("k"))
+        .collect().map(r => (r.getString(2), r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1), from + 1))
+    }.toSet
+    val initial = snaps(1L).map { case (k, ts) => ("I", k, ts: Any, 1L) }.toSet
+    assert(snapshot == initial ++ batchChain)
+  }
+
   test("migrateLegacy adopts an unversioned dataset as snapshot 0") {
     val spark0 = spark
     import spark0.implicits._
