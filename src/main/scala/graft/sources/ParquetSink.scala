@@ -21,14 +21,15 @@ object ParquetSink {
     val fromStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (fromStats > 0 && fromStats < BigInt(Long.MaxValue)) fromStats.toLong
     else {
+      // fallback: sampled average row width (one bounded action) x row
+      // count (one column-pruned action). Callers on expensive plans
+      // should pass an explicit numFiles/persist upstream instead.
       val sample = df.limit(1000)
-      val rows = sample.count()
-      if (rows == 0) 0L
-      else {
-        val avg = sample.select(
-          sum(length(to_json(struct(sample.columns.map(col): _*))))).head().getLong(0) / rows
-        avg * df.count()
-      }
+        .select(length(to_json(struct(df.columns.map(col): _*))).as("w"))
+        .agg(count(lit(1)), coalesce(sum(col("w").cast("long")), lit(0L)))
+        .head()
+      val rows = sample.getLong(0)
+      if (rows == 0) 0L else (sample.getLong(1) / rows) * df.count()
     }
   }
 
