@@ -67,35 +67,60 @@ object Probe {
       spark.stop(); return
     }
     if (sys.env.contains("SCALE")) {
-      // Scale-up probe: replicate sf0.1 k times with shifted keys and
-      // measure headline operators vs the 1x base — evidence that the
-      // plans scale near-linearly in input volume (SURVEY §3).
+      // Scale-up probe: replicate sf0.1 at each factor in SCALE (e.g.
+      // SCALE=10,100) and measure SCALEQ operators, fitting the scaling
+      // exponent from log t vs log k — evidence for SURVEY §3.
+      //
+      // Replicas are CONTENT-PERTURBED so near-dup workloads keep a
+      // constant dup density (the realistic corpus-growth shape) instead
+      // of the k^2 pair blowup identical copies would manufacture:
+      //  - documents: every word in replica i>0 gets an `_i` suffix — an
+      //    injective token map, so intra-replica jaccard structure is
+      //    EXACTLY the base corpus's while cross-replica shingle overlap
+      //    is zero;
+      //  - embeddings: replica i>0 is reflected by a seeded random ±1
+      //    sign pattern per dimension — an orthogonal transform, so
+      //    intra-replica cosines are EXACTLY the base corpus's while
+      //    cross-replica cosines collapse to ~N(0, 1/64).
       import org.apache.spark.sql.DataFrame
-      val k = sys.env("SCALE").toInt
-      val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
-      def replicate(table: String, keyCols: Seq[String]): String = {
-        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val factors = sys.env("SCALE").split(",").map(_.trim.toInt).filter(_ > 1)
+      def buildDir(k: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-scale-$k").toString
         val shift = 10000000L
-        val parts = (0 until k).map { i =>
-          keyCols.foldLeft(base) { (d, c) =>
-            d.withColumn(c, col(c) + lit(i * shift)) }
+        def replicate(table: String, keyCols: Seq[String],
+                      perturb: (DataFrame, Int) => DataFrame): Unit = {
+          val base = spark.read.parquet(s"$sfDir/$table.parquet")
+          val parts = (0 until k).map { i =>
+            perturb(keyCols.foldLeft(base) { (d, c) =>
+              d.withColumn(c, col(c) + lit(i * shift)) }, i)
+          }
+          parts.reduce(_ unionByName _).write.mode("overwrite")
+            .parquet(s"$dir/$table.parquet")
         }
-        val out = s"$dir/$table.parquet"
-        parts.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
-        out
+        replicate("lineitem", Seq("l_orderkey"), (d, _) => d)
+        replicate("orders", Seq("o_orderkey", "o_custkey"), (d, _) => d)
+        replicate("documents", Seq("doc_id"), (d, i) =>
+          if (i == 0) d
+          else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1_$i")))
+        replicate("embeddings", Seq("vec_id"), (d, i) =>
+          if (i == 0) d
+          else {
+            val rng = new scala.util.Random(i)
+            val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
+            d.withColumn("embedding",
+              zip_with(col("embedding"), lit(signs), (x, s) => x * s))
+          })
+        // dims stay 1x: scaling facts against fixed dims is the realistic
+        // shape. Plain file copies — no Spark rewrite (events holds nano
+        // timestamps Spark won't re-write).
+        for (t <- Seq("customer", "supplier", "part", "nation", "region", "events"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+            java.nio.file.Paths.get(s"$dir/$t.parquet"))
+        dir
       }
-      replicate("lineitem", Seq("l_orderkey"))
-      replicate("orders", Seq("o_orderkey", "o_custkey"))
-      replicate("documents", Seq("doc_id"))
-      // customers/dims stay 1x: scaling facts against fixed dims is the
-      // realistic shape (the shifted custkeys just miss the dim join).
-      // Plain file copies — no Spark rewrite (events holds nano timestamps
-      // Spark won't re-write).
-      for (t <- Seq("customer", "supplier", "part", "nation", "region",
-                    "events", "embeddings"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
-          java.nio.file.Paths.get(s"$dir/$t.parquet"))
+      val dirs: Seq[(Int, String)] =
+        (1, sfDir) +: factors.toSeq.map(k => k -> buildDir(k))
       val names = sys.env.getOrElse("SCALEQ",
         "q1_pricing_agg,snapshot_diff_updates,tile_assign,dedup_exact,doc_fingerprint,counter_deltas").split(",")
       for (name <- names) {
@@ -105,10 +130,16 @@ object Probe {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        run(sfDir); run(dir) // warm both inputs
-        val base = run(sfDir)
-        val scaled = run(dir)
-        println(f"[scale] $name: 1x=$base%.2f s ${k}x=$scaled%.2f s ratio=${scaled / base}%.1f (ideal <= $k)")
+        run(sfDir) // warm code paths once
+        val times = dirs.map { case (k, d) => k -> run(d) }
+        // least-squares slope of log t over log k = the scaling exponent
+        val pts = times.map { case (k, t) => (math.log(k), math.log(t)) }
+        val n = pts.size
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val exp = (n * pts.map(p => p._1 * p._2).sum - sx * sy) /
+          (n * pts.map(p => p._1 * p._1).sum - sx * sx)
+        val series = times.map { case (k, t) => f"${k}x=$t%.2f s" }.mkString(" ")
+        println(f"[scale] $name: $series exponent=$exp%.2f (1.0 = linear)")
       }
       spark.stop(); return
     }
