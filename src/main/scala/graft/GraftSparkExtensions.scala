@@ -59,14 +59,18 @@ object GraftSparkExtensions {
       }),
     (FunctionIdentifier("srp_sign"),
       info("srp_sign",
-        "srp_sign(vec) - 64-bit signed-random-projection signature of a float vector"),
+        "srp_sign(vec[, seed]) - 64-bit signed-random-projection signature of a float vector; seed selects the hyperplane set (default 42)"),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "srp_sign takes exactly 1 argument")
+        require(children.length == 1 || children.length == 2,
+          "srp_sign takes 1 or 2 arguments")
+        val seed = if (children.length == 2) children(1)
+          else Literal(42L)
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          GraftVecOps.getClass, org.apache.spark.sql.types.LongType, "srpSign",
-          children,
+          GraftVecOps.getClass, org.apache.spark.sql.types.LongType,
+          "srpSignSeeded", Seq(children.head, seed),
           Seq(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))
+            org.apache.spark.sql.types.FloatType),
+            org.apache.spark.sql.types.LongType))
       }))
 
   private def intArg(e: Expression, name: String): Int = e match {

@@ -23,13 +23,21 @@ import org.apache.spark.sql.types._
   * is a plain JVM method call inside whole-stage codegen, no UDF.
   */
 object GraftVecOps {
-  def srpSign(v: ArrayData): Long = {
+  def srpSign(v: ArrayData): Long = srpSignSeeded(v, 42L)
+
+  /** Seeded variant: an independent hyperplane set per seed, so stacking
+    * `srpSignSeeded(v, seed + w)` for w = 0..words-1 yields a 64·words-bit
+    * signature — the lever that lets band width exceed 64/bands bits (see
+    * [[graft.operators.Ann.srpPairs]] on why wide bands are what make SRP
+    * candidate volume controllable at scale).
+    */
+  def srpSignSeeded(v: ArrayData, seed: Long): Long = {
     val dim = v.numElements()
     val acc = new Array[Double](64)
     var i = 0
     while (i < dim) {
       val x = v.getFloat(i).toDouble
-      val h = XXH64.hashLong(i.toLong, 42L)
+      val h = XXH64.hashLong(i.toLong, seed)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += x else acc(j) -= x
@@ -49,9 +57,13 @@ object GraftVecOps {
 
 object SrpFunctions {
   /** 64-bit SRP signature of a float-vector column. */
-  def srpSign(vec: Column): Column =
+  def srpSign(vec: Column): Column = srpSign(vec, 42L)
+
+  /** 64-bit SRP signature from the hyperplane set derived from `seed`. */
+  def srpSign(vec: Column, seed: Long): Column =
     ExpressionUtils.column(StaticInvoke(
-      GraftVecOps.getClass, LongType, "srpSign",
-      Seq(ExpressionUtils.expression(vec)),
-      Seq(ArrayType(FloatType))))
+      GraftVecOps.getClass, LongType, "srpSignSeeded",
+      Seq(ExpressionUtils.expression(vec),
+        org.apache.spark.sql.catalyst.expressions.Literal(seed)),
+      Seq(ArrayType(FloatType), LongType)))
 }

@@ -126,22 +126,56 @@ object Ann {
     * bands, candidates exact-verified with the codegen'd cosine. A third
     * scale path beside IVF bucketing: no centroids to choose, recall
     * governed by band geometry. P[one signature bit agrees] = 1 - θ/π, so
-    * a band of `64/bands` bits matches with that to the width-th power:
-    * wide bands (8x8) for tight thresholds (cosine ≥ 0.9, near-identical
-    * vectors), narrow bands (16x4) for loose ones — narrower bands recall
-    * more but bucket coarser (more candidates to verify). Pairs with
-    * signature hamming < bands are recalled with certainty (pigeonhole);
-    * the rest probabilistically (spec-measured).
+    * a band of `64·words/bands` bits matches with that to the width-th
+    * power. Pairs with signature hamming < bands are recalled with
+    * certainty (pigeonhole); the rest probabilistically (spec-measured).
+    *
+    * Scale calculus (probe-measured at 100x, SURVEY §3): a random pair
+    * collides on an r-bit band with probability ~2^-r, so candidate volume
+    * is ~n²·bands·2^-r/2 — governed entirely by band WIDTH. Wide bands
+    * (r ≥ 16, reachable only with `words` > 1 signatures) keep random
+    * collisions negligible while near-identical vectors (cosine ≥ 0.95,
+    * the dedup regime) still match whole bands; this is the SRP scale
+    * configuration. Narrow bands (r = 4) are a correctness/recall tool for
+    * LOOSE thresholds at modest n: 2^4 buckets per band makes candidates
+    * quadratic regardless of data, so at scale a loose threshold belongs
+    * to IVF bucketing ([[bucketedCosinePairs]]), whose bucket count grows
+    * with k instead of being capped by signature bits.
+    *
+    * `maxBucket` > 0 drops (band, bucket) groups larger than the cap
+    * before pair generation — the skew guard (degenerate directions, e.g.
+    * all-zero or constant-sign regions, otherwise emit one quadratic
+    * bucket). A pair loses only the capped band's vote; it is still found
+    * through any uncapped band it shares. Same contract as the streaming
+    * LSH frequency cap (StreamingDedup).
     */
   def srpPairs(emb: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, bands: Int = 8): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
-    val sig = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      org.apache.spark.sql.graft.SrpFunctions.srpSign(col(vecCol)).as("sig"))
-    val banded = sig.select(col("vec_id"), col("v"), col("sig"),
-        explode(TextDedup.bitBandStructs(col("sig"), bands)).as("k"))
-      .select(col("vec_id"), col("v"), col("sig"),
+               threshold: Double, bands: Int = 8, words: Int = 1,
+               maxBucket: Int = 0): DataFrame = {
+    require(words > 0 && bands > 0 && bands % words == 0,
+      "bands must be a positive multiple of words")
+    require(64 % (bands / words) == 0, "per-word band count must divide 64")
+    val bandsPerWord = bands / words
+    val sigCols = (0 until words).map(w =>
+      org.apache.spark.sql.graft.SrpFunctions.srpSign(col("v"), 42L + w)
+        .as(s"sig_$w"))
+    val sig = emb.select(Seq(col(idCol).as("vec_id"), col(vecCol).as("v")) ++
+      sigCols: _*)
+    val allBands = concat((0 until words).map(w =>
+      TextDedup.bitBandStructs(col(s"sig_$w"), bandsPerWord,
+        bandOffset = w * bandsPerWord)): _*)
+    val banded0 = sig.select(col("vec_id"), col("v"),
+        explode(allBands).as("k"))
+      .select(col("vec_id"), col("v"),
         col("k.band").as("band"), col("k.bv").as("bv"))
+    // The cap's window count shuffles on (band, bv) — the same key the
+    // candidate self-join hashes on, so the exchange is reused, not added.
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("band", "bv")))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

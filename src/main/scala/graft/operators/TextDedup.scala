@@ -256,14 +256,15 @@ object TextDedup {
     * 64 isn't divisible). Shared blocking primitive of the SimHash and
     * SRP pair generators — explode it and equi-join on (band, bv).
     */
-  private[operators] def bitBandStructs(sig: Column, bands: Int): Column = {
+  private[operators] def bitBandStructs(sig: Column, bands: Int,
+                                        bandOffset: Int = 0): Column = {
     require(bands > 0 && bands <= 64, "bands must be in [1, 64]")
     val width = 64 / bands
     array((0 until bands).map { b =>
       val lo = b * width
       val hi = if (b == bands - 1) 64 else lo + width
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      struct(lit(b).as("band"),
+      struct(lit(bandOffset + b).as("band"),
         shiftright(sig, lo).bitwiseAND(lit(mask)).as("bv"))
     }: _*)
   }

@@ -72,6 +72,67 @@ class AnnSpec extends SparkSpec {
     assert(srp == srp2)
   }
 
+  test("srpPairs multi-word: word 0 bands unchanged, extra words only add recall") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val one = Ann.srpPairs(emb, "vec_id", "embedding", 0.4, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // words=2 at the same band width keeps word 0's banding bit-identical,
+    // so its candidates (and thus verified pairs) are a superset
+    val two = Ann.srpPairs(emb, "vec_id", "embedding", 0.4,
+        bands = 32, words = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(two))
+    val exhaustive = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(two.subsetOf(exhaustive)) // still exact-verified
+  }
+
+  test("srpPairs wide bands: duplicates certain, random candidate mass collapses") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    // Scaled copies share every projection sign (doubling is IEEE-exact),
+    // so all 256 signature bits match -> recalled through EVERY band.
+    val dups = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = emb.unionByName(dups)
+    val wide = Ann.srpPairs(corpus, "vec_id", "embedding", 0.99,
+        bands = 8, words = 4) // r = 32-bit bands
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = emb.select(col("vec_id")).as[Long].collect()
+    val expected = ids.map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(wide), s"missing ${(expected -- wide).take(3)}")
+
+    // Candidate mass sum_buckets n(n-1)/2: r=32 bands leave random pairs
+    // essentially collision-free; r=4 bands force ~n^2/2^r per band.
+    def candidateMass(bands: Int, words: Int): Long = {
+      val bandsPerWord = bands / words
+      val sigs = (0 until words).map(w => org.apache.spark.sql.graft
+        .SrpFunctions.srpSign(col("embedding"), 42L + w).as(s"sig_$w"))
+      val banded = corpus.select(sigs: _*).select(explode(concat(
+        (0 until words).map(w => TextDedup.bitBandStructs(
+          col(s"sig_$w"), bandsPerWord, w * bandsPerWord)): _*)).as("k"))
+      banded.groupBy("k").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+    }
+    val wideMass = candidateMass(bands = 8, words = 4)
+    val narrowMass = candidateMass(bands = 16, words = 1)
+    assert(wideMass * 10 < narrowMass,
+      s"wide-band candidate mass $wideMass not << narrow $narrowMass")
+
+    // maxBucket: generous cap is a no-op; tiny cap still runs, still exact
+    val capped = Ann.srpPairs(corpus, "vec_id", "embedding", 0.99,
+        bands = 8, words = 4, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == wide)
+    val tiny = Ann.srpPairs(corpus, "vec_id", "embedding", 0.99,
+        bands = 8, words = 4, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.subsetOf(wide))
+  }
+
   test("kmeansRefine moves centroids to exact member means, reproducibly") {
     val spark0 = spark
     import spark0.implicits._
