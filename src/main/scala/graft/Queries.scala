@@ -855,6 +855,36 @@ object Queries {
         threshold = 0.4, bands = 16),
       None),
 
+    Q("dedup_embedding_srp_wide",
+      // The SRP SCALE configuration (probe-measured, SURVEY §3): four
+      // 64-bit signature words banded 8x32 bits — random pairs collide on
+      // a 32-bit band with P ~ 2^-32, so candidate volume tracks true
+      // near-identical duplicates instead of n^2/16 per band. The workload
+      // is the regime this configuration exists for: re-encoded (here,
+      // rescaled) copies of corpus vectors. Doubling flips no projection
+      // sign (power-of-two scaling is IEEE-exact), so every duplicate pair
+      // agrees on ALL bands — recall is certain, and the exhaustive-pairs
+      // SQL is a true oracle. Loose-threshold near-dups at scale go
+      // through IVF bucketing instead; maxBucket guards degenerate
+      // directions.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val dups = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Ann.srpPairs(emb.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.99, bands = 8, words = 4, maxBucket = 100000)
+      },
+      Some(s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99""".stripMargin)),
+
     Q("ann_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
