@@ -232,6 +232,27 @@ object Queries {
         |JOIN ($prevSnapshotSql) p USING (o_orderkey)
         |WHERE c.ts IS DISTINCT FROM p.ts""".stripMargin)),
 
+    Q("snapshot_dsv2_timetravel",
+      // The graft-snapshot DataSource V2 ([[SnapshotDataSource]]): the
+      // store's snapshot 1 read back through spark.read.format with a
+      // pinned snapshot id — time travel resolved via one manifest read,
+      // scanned by the stock parquet DSv2 (pushdown/pruning intact).
+      // Oracle = the snapshot-1 definition itself.
+      (s, d) => {
+        val root = snapStoreRoots.computeIfAbsent(d, { dir =>
+          val o = Tables.orders(s, dir)
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snapstore-q").toString
+          graft.sources.SnapshotStore.write(prevSnapshot(o), r, "orders_snap", 1L)
+          graft.sources.SnapshotStore.write(currSnapshot(o), r, "orders_snap", 2L)
+          r
+        })
+        s.read.format("graft-snapshot")
+          .option("root", root).option("table", "orders_snap")
+          .option("snapshot", "1").load()
+      },
+      Some(prevSnapshotSql)),
+
     Q("delta_merge_apply",
       // Reconstructs curr from prev + the change set; oracle is the curr
       // snapshot itself, proving diff+apply round-trips exactly.

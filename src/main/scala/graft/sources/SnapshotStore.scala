@@ -153,6 +153,21 @@ object SnapshotStore {
     spark.read.parquet(s"${tableDir(root, table)}/$dir")
   }
 
+  /** Manifest-resolved absolute data directory of snapshot `id` (latest
+    * when None) — the one hook the `graft-snapshot` DataSource V2 needs:
+    * it resolves here, then hands the path to the built-in parquet scan,
+    * so pruning/pushdown are the stock file-source code paths.
+    */
+  def dataDir(spark: SparkSession, root: String, table: String,
+              id: Option[Long]): String = {
+    val entries = liveEntries(spark, root, table)
+    val snapId = id.getOrElse(entries.keys.maxOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots of $table under $root")))
+    val dir = entries.getOrElse(snapId,
+      throw new IllegalArgumentException(s"snapshot $snapId of $table not found"))
+    s"${tableDir(root, table)}/$dir"
+  }
+
   def readLatest(spark: SparkSession, root: String, table: String): DataFrame = {
     val id = latestId(spark, root, table).getOrElse(
       throw new IllegalArgumentException(s"no snapshots of $table under $root"))

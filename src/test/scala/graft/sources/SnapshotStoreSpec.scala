@@ -282,4 +282,41 @@ class SnapshotStoreSpec extends SparkSpec {
     // legacy data untouched
     assert(spark.read.parquet(legacy).count() == 2)
   }
+
+  test("graft-snapshot DSv2: time travel, latest default, compaction-aware") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    val s1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "ts")
+    val s2 = Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("k", "ts")
+    SnapshotStore.write(s1, root, "t", 1L)
+    SnapshotStore.write(s2, root, "t", 2L)
+
+    def readFmt(opts: (String, String)*) = {
+      val r = spark.read.format("graft-snapshot") // short name via service file
+        .option("root", root).option("table", "t")
+      opts.foldLeft(r) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    // snapshot pinning and latest-default both match SnapshotStore.read
+    assert(readFmt("snapshot" -> "1").collect().map(_.toSeq).toSet ==
+      SnapshotStore.read(spark, root, "t", 1L).collect().map(_.toSeq).toSet)
+    assert(readFmt().collect().map(_.toSeq).toSet ==
+      s2.collect().map(_.toSeq).toSet)
+    // resolution is manifest-based: after compaction the same option set
+    // reads the republished generation
+    SnapshotStore.compact(spark, root, "t", 2L, targetFileBytes = 1L << 20)
+    assert(readFmt("snapshot" -> "2").collect().map(_.toSeq).toSet ==
+      s2.collect().map(_.toSeq).toSet)
+    // missing snapshot id fails resolution, not silently-empty
+    intercept[IllegalArgumentException] { readFmt("snapshot" -> "9") }
+
+    // the scan is the stock parquet DSv2: filters push, columns prune
+    val filtered = readFmt().filter(col("k") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(filtered.contains("PushedFilters: [IsNotNull(k), EqualTo(k,2)]"),
+      filtered)
+    val projected = readFmt().select("ts")
+      .queryExecution.executedPlan.toString
+    assert(projected.contains("ReadSchema: struct<ts:bigint"), projected)
+  }
 }
