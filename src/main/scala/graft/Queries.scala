@@ -817,6 +817,56 @@ object Queries {
         n = 3, numPerm = 128, bands = 32, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("dedup_paragraphs",
+      // Paragraph-granularity exact dedup (the unit below document-level
+      // dedup: repeated boilerplate inside otherwise-distinct docs).
+      // 20-word fixed segmentation — the corpus has no newline structure.
+      (s, d) => TextDedup.paragraphDedup(Tables.documents(s, d),
+        "doc_id", "text", wordsPerPara = 20),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(list_transform(
+        |      generate_series(0, CAST(ceil(len(w) / 20.0) AS INTEGER) - 1, 1),
+        |      x -> x)) AS i
+        |  FROM ws WHERE len(w) > 0),
+        |paras AS (
+        |  SELECT doc_id, i AS para_idx,
+        |    md5(array_to_string(list_slice(w, i*20+1, i*20+20), ' ')) AS para_hash
+        |  FROM idx)
+        |SELECT doc_id, para_idx, para_hash,
+        |  (ROW_NUMBER() OVER (PARTITION BY para_hash
+        |     ORDER BY doc_id, para_idx) = 1) AS keep
+        |FROM paras""".stripMargin)),
+
+    Q("pack_sequences",
+      // Concatenate-and-chunk sequence packing into 2048-token training
+      // sequences over a deterministic hash-shuffled document order.
+      // The distributed prefix sum: per-bucket window cumsums + an
+      // exclusive prefix over 32 per-bucket totals (metadata-scale).
+      (s, d) => Packing.packSequences(
+        Tables.documents(s, d)
+          .withColumn("tokens", ((col("n_chars") + 3) / 4).cast("long")),
+        "doc_id", "tokens", capacity = 2048, buckets = 32),
+      Some("""WITH t AS (
+        |  SELECT doc_id, (n_chars + 3) // 4 AS tokens,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+        |      % 32) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(SUM(tokens) OVER (ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - tokens AS cum_before
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,
+        |  cum_before % 2048 AS seq_offset,
+        |  CAST(FLOOR((cum_before + greatest(tokens, 1) - 1) / 2048.0) AS BIGINT)
+        |    - CAST(FLOOR(cum_before / 2048.0) AS BIGINT) + 1 AS n_spans
+        |FROM c""".stripMargin)),
+
     Q("decontaminate",
       // Benchmark-overlap decontamination: docs sharing >= 5 distinct
       // 3-gram shingles with the (held-out) benchmark subset are flagged.

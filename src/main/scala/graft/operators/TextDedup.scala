@@ -43,6 +43,40 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Paragraph-granularity exact dedup: segment each document, hash each
+    * segment, keep only the globally-first occurrence of every distinct
+    * segment (order = (doc_id, para_idx), fully tie-broken) — the
+    * paragraph-unit form of exact-substring training-data dedup
+    * (boilerplate paragraphs, repeated headers/footers, license blocks
+    * survive document-level dedup and fall here). One shuffle on the
+    * segment hash; the per-hash window sorts groups bounded by dup count.
+    * Segmentation is fixed `wordsPerPara`-word windows (the corpus has no
+    * newline structure; a real pipeline passes its own boundary rule by
+    * pre-splitting — the dedup contract is the same for any segmenter).
+    * The chunking transform is per-row interpreted (HOF); the shuffle and
+    * window dominate at scale.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     wordsPerPara: Int): DataFrame = {
+    require(wordsPerPara >= 1, "wordsPerPara must be >= 1")
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws).cast("double") / wordsPerPara).cast("int")
+    val paras = docs.select(col(idCol).as("doc_id"),
+        when(size(ws) > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ",
+              slice(ws, i * wordsPerPara + 1, lit(wordsPerPara)))))
+          .otherwise(array().cast("array<string>")).as("paras"))
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("para_idx", "para")))
+    paras
+      .withColumn("para_hash", md5(col("para")))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy("para_hash")
+          .orderBy(col("doc_id"), col("para_idx"))) === 1)
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para_hash"), col("keep"))
+  }
+
   /** Exploded distinct (doc_id, shingle) relation. posexplode + lead()
     * instead of an array-transform expression: the window runs inside
     * codegen and the token explosion shuffles once on doc_id.

@@ -124,4 +124,59 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(typed == declarative)
   }
+
+  test("paragraphDedup keeps exactly the first occurrence of each segment") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 3-word paragraphs; doc 2 repeats doc 1's first paragraph, doc 3
+    // repeats a paragraph within itself; doc 4 is a short tail segment
+    val docs = Seq(
+      (1L, "a b c d e f"),        // paras: "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" is a cross-doc dup
+      (3L, "p q r p q r"),        // intra-doc dup
+      (4L, "tail")                // single short segment
+    ).toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(docs, "doc_id", "text", wordsPerPara = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(3))).toMap
+    assert(out.size == 7)
+    assert(out((1L, 0L)) && out((1L, 1L)))      // firsts kept
+    assert(!out((2L, 0L)))                       // cross-doc dup dropped
+    assert(out((2L, 1L)))
+    assert(out((3L, 0L)) && !out((3L, 1L)))      // intra-doc dup dropped
+    assert(out((4L, 0L)))
+  }
+
+  test("packSequences: dense exact packing, deterministic, span math right") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (1L to 100L).map(i => (i, 1L + (i * 7) % 50))
+      .toDF("doc_id", "tokens")
+    val out = graft.operators.Packing.packSequences(
+      docs, "doc_id", "tokens", capacity = 64, buckets = 8).collect()
+    assert(out.length == 100)
+    val total = (1L to 100L).map(i => 1L + (i * 7) % 50).sum
+    // dense: offsets cover the stream exactly; every row lands where the
+    // cumulative stream says it should
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, tokens, seqId, off, spans) =>
+      val start = seqId * 64 + off
+      assert(spans == (start + math.max(tokens, 1) - 1) / 64 - seqId + 1)
+    }
+    // the packing is a permutation of a contiguous token stream
+    val starts = rows.map { case (_, _, s, o, _) => s * 64 + o }.sorted
+    val tokensByStart = rows.map { case (_, t, s, o, _) => (s * 64 + o, t) }
+      .sortBy(_._1)
+    assert(starts.head == 0L)
+    tokensByStart.sliding(2).foreach {
+      case Array((a, t), (b, _)) => assert(b == a + t)
+      case _ =>
+    }
+    assert(tokensByStart.last._1 + tokensByStart.last._2 == total)
+    // deterministic under different parallelism
+    val again = graft.operators.Packing.packSequences(
+      docs.repartition(13), "doc_id", "tokens", capacity = 64, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._3, r._4)).toSet)
+  }
 }
