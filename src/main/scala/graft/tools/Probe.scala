@@ -121,12 +121,31 @@ object Probe {
       }
       val dirs: Seq[(Int, String)] =
         (1, sfDir) +: factors.toSeq.map(k => k -> buildDir(k))
+      // Probe-only composition: embedding_clusters with PRODUCTION
+      // centroids (k ~ sqrt(n) via seeded kmeans|| init) instead of the
+      // oracle entry's every-25th-vector rule whose assign stage is
+      // O(n^2/25). k ~ sqrt(n) balances assign (n*k cosines) against
+      // bucket pairs (n^2/k): both are n^1.5 — the remedy documented in
+      // SURVEY §3, measured here.
+      val fixedK: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+        "embedding_clusters_sqrtk" -> { (s, d) =>
+          val emb = graft.Tables.embeddings(s, d)
+          val k = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+          val cents = graft.operators.Ann.initCentroids(
+            emb, "vec_id", "embedding", k = k, seed = 7L)
+          val assign = graft.operators.Ann.ivfAssign(
+            emb, cents, "vec_id", "embedding", "centroid_id", "cv")
+          graft.operators.Clustering.dedupClusters(
+            graft.operators.Ann.bucketedCosinePairs(
+              emb, assign, "vec_id", "embedding", 0.4),
+            "id_a", "id_b")
+        })
       val names = sys.env.getOrElse("SCALEQ",
         "q1_pricing_agg,snapshot_diff_updates,tile_assign,dedup_exact,doc_fingerprint,counter_deltas").split(",")
       for (name <- names) {
         def run(d: String): Double = {
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(name)(spark, d)
+          fixedK.getOrElse(name, graft.SparkEntry.queries(name))(spark, d)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
@@ -140,6 +159,10 @@ object Probe {
           (n * pts.map(p => p._1 * p._1).sum - sx * sx)
         val series = times.map { case (k, t) => f"${k}x=$t%.2f s" }.mkString(" ")
         println(f"[scale] $name: $series exponent=$exp%.2f (1.0 = linear)")
+      }
+      // replica dirs are GBs at 100x — don't leave them in /tmp
+      dirs.drop(1).foreach { case (_, d) =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
       }
       spark.stop(); return
     }

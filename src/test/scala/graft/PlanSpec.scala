@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("paragraph dedup and packing shuffle exactly once") {
+    // dedup_paragraphs: explode is pipeline-local; the only exchange is
+    // the window on the segment hash. pack_sequences: the only exchange
+    // is the per-bucket cumsum window (the cross-bucket prefix is
+    // metadata, not a shuffle).
+    for (name <- Seq("dedup_paragraphs", "pack_sequences")) {
+      val plan = finalPlan(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$name: expected 1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
   test("no plan in the inventory contains a cartesian product") {
     // Exhaustive-baseline pair generators legitimately cross-join small
     // inputs (their scale paths are banded/bucketed); everything else must
