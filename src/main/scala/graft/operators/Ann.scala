@@ -156,8 +156,11 @@ object Ann {
       "bands must be a positive multiple of words")
     require(64 % (bands / words) == 0, "per-word band count must divide 64")
     val bandsPerWord = bands / words
+    // signatures derive from the CALLER'S vector column, not the "v"
+    // alias — an input that happens to own a column named "v" must not
+    // shadow it
     val sigCols = (0 until words).map(w =>
-      org.apache.spark.sql.graft.SrpFunctions.srpSign(col("v"), 42L + w)
+      org.apache.spark.sql.graft.SrpFunctions.srpSign(col(vecCol), 42L + w)
         .as(s"sig_$w"))
     val sig = emb.select(Seq(col(idCol).as("vec_id"), col(vecCol).as("v")) ++
       sigCols: _*)
@@ -260,18 +263,38 @@ object Ann {
       .groupBy("centroid_id").agg(count(lit(1)).as("w"))
       .as[(Long, Long)].collect().toMap
 
-    // deterministic weighted farthest-first down to k
+    // deterministic weighted farthest-first down to k. Each candidate's
+    // min-distance-to-chosen is a running value updated only against the
+    // newly chosen center — O(k·candidates) cosines, not O(k²·candidates)
+    // (at the production k ~ √n the recomputing form would be hours of
+    // serial driver work); same ordering, same result.
     val cand = candidates.toSeq.map { case (id, vec) =>
-      (id, vec, weights.getOrElse(id, 0L)) }
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      cand.maxBy { case (id, _, w) => (w, -id) })
-    while (chosen.size < k && chosen.size < cand.size) {
-      val next = cand.filterNot(c => chosen.exists(_._1 == c._1))
-        .maxBy { case (id, vec, w) =>
-          val minDist = chosen.map(ch => 1.0 - cosJvm(vec, ch._2)).min
-          (w * minDist, -id)
+      (id, vec, weights.getOrElse(id, 0L)) }.toArray
+    val minDist = Array.fill(cand.length)(Double.MaxValue)
+    val taken = Array.fill(cand.length)(false)
+    val seed0 = cand.indices.maxBy { i =>
+      val (id, _, w) = cand(i); (w, -id) }
+    taken(seed0) = true
+    val chosen = scala.collection.mutable.ArrayBuffer(cand(seed0))
+    while (chosen.size < k && chosen.size < cand.length) {
+      val lastVec = chosen.last._2
+      var best = -1
+      var bestKey = (Double.MinValue, Long.MinValue)
+      var i = 0
+      while (i < cand.length) {
+        if (!taken(i)) {
+          val d = 1.0 - cosJvm(cand(i)._2, lastVec)
+          if (d < minDist(i)) minDist(i) = d
+          val key = (cand(i)._3 * minDist(i), -cand(i)._1)
+          if (best < 0 || key._1 > bestKey._1 ||
+              (key._1 == bestKey._1 && key._2 > bestKey._2)) {
+            best = i; bestKey = key
+          }
         }
-      chosen += next
+        i += 1
+      }
+      taken(best) = true
+      chosen += cand(best)
     }
     chosen.sortBy(_._1).zipWithIndex
       .map { case ((_, vec, _), i) => (i.toLong, vec) }.toSeq

@@ -73,6 +73,55 @@ object SnapshotStore {
     }
   }
 
+  /** Serializes manifest read-modify-commit sections across committers.
+    * Without it, compact republishing id 5 while the replication loop
+    * lands id 6 would each rewrite the whole manifest from their own
+    * stale read and the last writer would silently drop the other's
+    * snapshot.
+    *
+    * Two layers: a per-(root, table) JVM monitor — EXACT for the common
+    * deployment where every committer of a table (streaming sink +
+    * maintenance) runs in one driver JVM — plus an exclusive-create lock
+    * file as the cross-process advisory (create-if-absent is atomic on
+    * HDFS-compatible stores; the local RawLocalFileSystem's non-atomic
+    * create is exactly why the JVM monitor is the first layer). A
+    * crashed holder leaves the lock file behind; acquisition times out
+    * with the path in the error so the operator can remove it.
+    */
+  private val tableMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withManifestLock[T](spark: SparkSession, root: String,
+                                  table: String, timeoutMs: Long = 60000)
+                                 (body: => T): T = {
+    val monitor = tableMonitors.computeIfAbsent(
+      tableDir(root, table), _ => new Object)
+    monitor.synchronized {
+      val fc = manifestFc(spark, root, table)
+      val lock = new Path(s"${tableDir(root, table)}/._MANIFEST.lock")
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var acquired = false
+      while (!acquired) {
+        try {
+          val out = fc.create(lock,
+            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+            org.apache.hadoop.fs.Options.CreateOpts.createParent())
+          out.close()
+          acquired = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"could not acquire $lock within ${timeoutMs}ms — another " +
+                  "committer is running, or a crashed one left the lock behind")
+            Thread.sleep(50)
+        }
+      }
+      try body finally fc.delete(lock, false)
+    }
+  }
+
   private def commitManifest(spark: SparkSession, root: String, table: String,
                              entries: Map[Long, String]): Unit = {
     val fc = manifestFc(spark, root, table)
@@ -95,17 +144,36 @@ object SnapshotStore {
     */
   private def liveEntries(spark: SparkSession, root: String,
                           table: String): Map[Long, String] =
-    readManifest(spark, root, table).getOrElse {
-      val dir = new Path(tableDir(root, table))
-      val fs = fsOf(spark, root, table)
-      if (!fs.exists(dir)) Map.empty
-      else fs.listStatus(dir).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("snap=") => s }
-        .flatMap(s => s.stripPrefix("snap=").toLongOption.map(_ -> s))
-        .toMap
-    }
+    readManifest(spark, root, table).getOrElse(
+      listingEntries(spark, root, table))
+
+  private def listingEntries(spark: SparkSession, root: String,
+                             table: String): Map[Long, String] = {
+    val dir = new Path(tableDir(root, table))
+    val fs = fsOf(spark, root, table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("snap=") => s }
+      .flatMap(s => s.stripPrefix("snap=").toLongOption.map(_ -> s))
+      .toMap
+  }
+
+  /** Makes the manifest exist (adopting a legacy table's directory
+    * listing) BEFORE any data lands, so every later read-modify-commit
+    * can treat the manifest as the single source of truth — a
+    * directory-listing fallback taken after data writes begin would
+    * count in-flight (uncommitted) landing dirs as live.
+    */
+  private def ensureManifest(spark: SparkSession, root: String,
+                             table: String): Unit =
+    if (readManifest(spark, root, table).isEmpty)
+      withManifestLock(spark, root, table) {
+        if (readManifest(spark, root, table).isEmpty)
+          commitManifest(spark, root, table,
+            listingEntries(spark, root, table))
+      }
 
   /** Writes an immutable snapshot `id` of `df` and commits it to the
     * manifest (data first, pointer second — a crash in between leaves an
@@ -119,8 +187,8 @@ object SnapshotStore {
   def write(df: DataFrame, root: String, table: String, id: Long,
             sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    val entries = liveEntries(spark, root, table)
-    require(!entries.contains(id),
+    ensureManifest(spark, root, table) // adopt-before-write: see scaladoc
+    require(!liveEntries(spark, root, table).contains(id),
       s"snapshot $id of $table already exists (snapshots are immutable)")
     val dir = snapDir(root, table, id)
     // an existing dir for a non-live id is an uncommitted crash orphan
@@ -130,7 +198,17 @@ object SnapshotStore {
     else
       ParquetSink.writeSorted(df, dir, sortCols,
         mode = org.apache.spark.sql.SaveMode.ErrorIfExists)
-    commitManifest(spark, root, table, entries + (id -> s"snap=$id"))
+    // the data write ran on a pre-flight entries read (unlocked — two
+    // writers to DIFFERENT ids must not serialize their parquet jobs);
+    // the commit re-reads the manifest under the lock so a snapshot
+    // landed meanwhile survives, and a same-id race loses here instead
+    // of clobbering
+    withManifestLock(spark, root, table) {
+      val entries = liveEntries(spark, root, table)
+      require(!entries.contains(id),
+        s"snapshot $id of $table already exists (snapshots are immutable)")
+      commitManifest(spark, root, table, entries + (id -> s"snap=$id"))
+    }
   }
 
   /** All snapshot ids of `table`, ascending — one manifest read. */
@@ -197,51 +275,55 @@ object SnapshotStore {
       .unionByName(Cdc.deletes(curr, prev, pkCols).withColumn("op", lit("D")))
       .unionByName(Cdc.updates(curr, prev, pkCols, tsCol).withColumn("op", lit("U")))
 
-  /** Deletes every snapshot except the newest `keepLast` (the reference's
-    * expireIcebergSnapshots retention contract). The manifest commits
-    * FIRST (readers stop seeing the ids atomically), then the expired
-    * ids' data dirs — landing and compacted generations — are deleted.
+  /** Expires every snapshot except the newest `keepLast` (the reference's
+    * expireIcebergSnapshots retention contract): one manifest commit and
+    * readers stop seeing the ids atomically. The expired data dirs STAY
+    * on disk until [[vacuum]] — same deferred-GC contract as compaction,
+    * so an in-flight reader that resolved an id through the previous
+    * manifest finishes its scan instead of hitting FileNotFound mid-read.
     * Returns expired ids. Retention must lag the streaming feed's
     * checkpoint, as before.
     */
   def expire(spark: SparkSession, root: String, table: String,
              keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val entries = liveEntries(spark, root, table)
-    val drop = entries.keys.toSeq.sorted.dropRight(keepLast)
-    commitManifest(spark, root, table, entries -- drop)
-    val fs = fsOf(spark, root, table)
-    drop.foreach { id =>
-      fs.delete(new Path(snapDir(root, table, id)), true)
-      fs.delete(new Path(s"${tableDir(root, table)}/${entries(id)}"), true)
+    withManifestLock(spark, root, table) {
+      val entries = liveEntries(spark, root, table)
+      val drop = entries.keys.toSeq.sorted.dropRight(keepLast)
+      commitManifest(spark, root, table, entries -- drop)
+      drop
     }
-    drop
   }
 
   /** Garbage-collects directories no committed manifest references:
-    * uncommitted/superseded compaction generations (`.data-*`) and —
-    * only with `includeLandings=true`, once the streaming feed has
-    * checkpointed past them — landing dirs whose manifest entry points
-    * at a compacted generation. Deferred GC is what makes [[compact]]
-    * atomic for readers: a reader holding the previous manifest keeps
-    * its complete snapshot until vacuum, so run vacuum only after
-    * in-flight readers have drained. Returns deleted dir names.
+    * uncommitted/superseded compaction generations (`.data-*`) always,
+    * and — only with `includeLandings=true`, once in-flight readers have
+    * drained and the streaming feed has checkpointed past them —
+    * `snap=` landing dirs that are not the committed data of a live
+    * snapshot: superseded by a compacted generation, expired by
+    * [[expire]], or left by a write that crashed before its manifest
+    * commit. Deferred GC is what makes [[compact]]/[[expire]] atomic
+    * for readers: a reader holding the previous manifest keeps its
+    * complete snapshot until vacuum. The manifest lock is held while
+    * listing+deleting, so vacuum never collects a generation a
+    * concurrent [[compact]] commits — but a compact's in-progress data
+    * rewrite (pre-commit) is not protected: serialize vacuum with
+    * maintenance jobs operationally. Returns deleted dir names.
     */
   def vacuum(spark: SparkSession, root: String, table: String,
              includeLandings: Boolean = false): Seq[String] = {
-    val entries = liveEntries(spark, root, table)
-    val referenced = entries.values.toSet
-    val live = entries.map { case (id, _) => s"snap=$id" }.toSet
     val dir = new Path(tableDir(root, table))
     val fs = fsOf(spark, root, table)
     if (!fs.exists(dir)) Seq.empty
-    else {
+    else withManifestLock(spark, root, table) {
+      val referenced = liveEntries(spark, root, table).values.toSet
       val doomed = fs.listStatus(dir).toSeq.filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter { n =>
           val orphanGen = n.startsWith(".data-") && !referenced(n)
-          val supersededLanding = includeLandings && live(n) && !referenced(n)
-          orphanGen || supersededLanding
+          val staleLanding =
+            includeLandings && n.startsWith("snap=") && !referenced(n)
+          orphanGen || staleLanding
         }
       doomed.foreach(n => fs.delete(new Path(s"${tableDir(root, table)}/$n"), true))
       doomed
@@ -283,7 +365,15 @@ object SnapshotStore {
     ParquetSink.writeSizeControlled(
       spark.read.parquet(s"${tableDir(root, table)}/$current"),
       target.toString, targetFileBytes)
-    commitManifest(spark, root, table, entries.updated(id, target.getName))
+    // commit against a FRESH manifest read under the lock: snapshots
+    // landed during the rewrite survive, and an id expired meanwhile
+    // aborts (the orphan generation is left for vacuum)
+    withManifestLock(spark, root, table) {
+      val latest = liveEntries(spark, root, table)
+      require(latest.contains(id),
+        s"snapshot $id of $table expired during compaction")
+      commitManifest(spark, root, table, latest.updated(id, target.getName))
+    }
     fs.listStatus(target).count(_.getPath.getName.endsWith(".parquet"))
   }
 
@@ -348,6 +438,15 @@ object SnapshotStore {
       }
   }
 
+  /** File stream over the landing dirs. Discovery is the `snap=*` glob,
+    * not the manifest: the feed sees a snapshot as its files land (data
+    * is written before the manifest commit), so a write that crashes
+    * between data and commit can feed rows for a snapshot the batch API
+    * never exposes — re-running that write deletes and rewrites the dir,
+    * and the stream (which tracks files by name) may double-see it.
+    * Operationally: clean crash orphans (vacuum(includeLandings = true))
+    * BEFORE restarting the writer, or land under fresh ids.
+    */
   private def snapRowStream(spark: SparkSession, root: String, table: String,
                             pkCol: String, tsCol: String): Dataset[SnapRow] = {
     import spark.implicits._

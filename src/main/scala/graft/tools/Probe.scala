@@ -149,8 +149,10 @@ object Probe {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        run(sfDir) // warm code paths once
-        val times = dirs.map { case (k, d) => k -> run(d) }
+        // warm every input (code paths + page cache + file listings),
+        // then time each on its second run — a cold first scan otherwise
+        // lands only on the scaled points and inflates the exponent
+        val times = dirs.map { case (k, d) => run(d); k -> run(d) }
         // least-squares slope of log t over log k = the scaling exponent
         val pts = times.map { case (k, t) => (math.log(k), math.log(t)) }
         val n = pts.size

@@ -124,17 +124,65 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows == Set(("I", 1L, 1L), ("I", 2L, 1L), ("U", 2L, 2L), ("I", 3L, 2L)))
   }
 
-  test("expire keeps the newest snapshots and deletes the rest") {
+  test("expire unlists atomically; data survives for in-flight readers until vacuum") {
     val spark0 = spark
     import spark0.implicits._
     val root = freshRoot
     (1L to 4L).foreach { i =>
       SnapshotStore.write(Seq((i, i)).toDF("k", "ts"), root, "t", i)
     }
+    // a reader that resolved snapshot 1 BEFORE the expire
+    val inFlight = SnapshotStore.read(spark, root, "t", 1L)
     val dropped = SnapshotStore.expire(spark, root, "t", keepLast = 2)
     assert(dropped == Seq(1L, 2L))
     assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(3L, 4L))
     assert(SnapshotStore.read(spark, root, "t", 3L).count() == 1)
+    // deferred GC: the expired dirs are still on disk, the reader finishes
+    assert(inFlight.count() == 1)
+    // vacuum(includeLandings) collects the expired landings
+    val vacuumed = SnapshotStore.vacuum(spark, root, "t", includeLandings = true)
+    assert(vacuumed.toSet == Set("snap=1", "snap=2"), vacuumed)
+    assert(!new java.io.File(s"$root/t/snap=1").exists())
+  }
+
+  test("vacuum collects crash-orphaned landing dirs (only with includeLandings)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    SnapshotStore.write(Seq((1L, 1L)).toDF("k", "ts"), root, "t", 1L)
+    // simulate write(.., 9) crashing between data job and manifest commit
+    Seq((9L, 9L)).toDF("k", "ts").write.parquet(s"$root/t/snap=9")
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L))
+    assert(SnapshotStore.vacuum(spark, root, "t") == Seq.empty) // default: safe
+    val vacuumed = SnapshotStore.vacuum(spark, root, "t", includeLandings = true)
+    assert(vacuumed == Seq("snap=9"))
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == Seq(1L))
+    assert(SnapshotStore.read(spark, root, "t", 1L).count() == 1)
+  }
+
+  test("manifest commits are serialized: concurrent writers all survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshRoot
+    // 8 writers to distinct ids race their read-modify-commit sections;
+    // without the manifest lock, last-writer-wins drops siblings
+    val ids = (1L to 8L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = ids.map { i =>
+      new Thread(() =>
+        try SnapshotStore.write(Seq((i, i)).toDF("k", "ts"), root, "t", i)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    assert(SnapshotStore.snapshotIds(spark, root, "t") == ids.toSeq)
+    // immutability still refuses duplicates, and the store stays usable
+    // afterwards (no lock left behind by the failed write)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(Seq((9L, 9L)).toDF("k", "ts"), root, "t", 1L)
+    }
+    SnapshotStore.write(Seq((9L, 9L)).toDF("k", "ts"), root, "t", 9L)
+    assert(SnapshotStore.latestId(spark, root, "t").contains(9L))
   }
 
   test("compact rewrites a fragmented snapshot to fewer files, same rows") {
