@@ -956,6 +956,25 @@ object Queries {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99""".stripMargin)),
 
+    Q("decontaminate_embedding",
+      // Embedding-space decontamination: corpus vectors too close to any
+      // benchmark vector (every 37th doubles as the "benchmark" set).
+      // The benchmark side broadcasts — eval sets are tiny vs the
+      // corpus — so recall is exact and the exhaustive SQL a true oracle.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.decontaminateEmbedding(
+          emb.filter(col("vec_id") % 37 =!= 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+      },
+      Some(s"""SELECT a.vec_id, COUNT(*) AS n_hits,
+        |  ROUND(MAX(${cosSql("a.embedding", "b.embedding")}), 4) AS max_cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id % 37 = 0 AND a.vec_id % 37 <> 0
+        |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4
+        |GROUP BY a.vec_id""".stripMargin)),
+
     Q("ann_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

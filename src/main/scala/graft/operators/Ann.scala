@@ -190,6 +190,28 @@ object Ann {
       .distinct()
   }
 
+  /** Embedding-space benchmark decontamination: corpus vectors with
+    * cosine ≥ threshold to ANY benchmark vector, with hit count and the
+    * strongest match (the semantic sibling of the shingle-overlap
+    * [[TextDedup.decontaminate]] — catches paraphrased/translated
+    * benchmark leakage exact n-grams miss). The benchmark side is tiny
+    * by nature (eval sets), so it BROADCASTS and the corpus scans once —
+    * no shuffle of the big side, no bucketing recall loss, and the
+    * exhaustive SQL is a true oracle. corpus·|bench| cosines is the
+    * honest cost; for benchmark sets too big to broadcast, pre-restrict
+    * candidates with [[ivfAssign]] buckets on both sides first.
+    */
+  def decontaminateEmbedding(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val b = bench.select(col(vecCol).as("bv"))
+    c.join(broadcast(b), cosine(col("v"), col("bv")) >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(cosine(col("v"), col("bv"))), 4).as("max_cosine"))
+  }
+
   /** Driver-side cosine over small candidate sets (init only). */
   private def cosJvm(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

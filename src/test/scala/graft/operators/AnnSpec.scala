@@ -133,6 +133,16 @@ class AnnSpec extends SparkSpec {
     assert(tiny.subsetOf(wide))
   }
 
+  test("decontaminateEmbedding flags only corpus vectors near a benchmark vector") {
+    val bench = vecs.filter(col("vec_id") === 0)     // (1, 0)
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val out = Ann.decontaminateEmbedding(corpus, bench,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // only vec 1 (cos ~0.994) is near the benchmark; 2 orthogonal, 3 opposite
+    assert(out == Map(1L -> 1L))
+  }
+
   test("kmeansRefine moves centroids to exact member means, reproducibly") {
     val spark0 = spark
     import spark0.implicits._
