@@ -57,6 +57,18 @@ object GraftSparkExtensions {
         require(children.length == 1, "simhash_fp takes exactly 1 argument")
         SimHashAgg(children.head)
       }),
+    (FunctionIdentifier("hash_bucket"),
+      info("hash_bucket",
+        "hash_bucket(key) - deterministic uniform 16-bit bucket in [0, 65536) from md5(key); the SQL face of Sampling.hashBucket (hash sampling / splits reproducible on any engine)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "hash_bucket takes exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Md5, Substring}
+        import org.apache.spark.sql.types.{IntegerType, StringType}
+        Cast(Conv(
+          Substring(Md5(Cast(children.head, StringType)),
+            Literal(1), Literal(4)),
+          Literal(16), Literal(10)), IntegerType)
+      }),
     (FunctionIdentifier("srp_sign"),
       info("srp_sign",
         "srp_sign(vec[, seed]) - 64-bit signed-random-projection signature of a float vector; seed selects the hyperplane set (default 42)"),

@@ -64,6 +64,24 @@ class GraftSparkExtensionsSpec extends SparkSpec {
     assert(srp.getLong(0) == srp.getLong(1)) // deterministic
   }
 
+  test("hash_bucket in SQL equals Sampling.hashBucket and the seed is stable") {
+    GraftSparkExtensions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 50L).toDF("k")
+    df.createOrReplaceTempView("hb_keys")
+    val viaSql = spark.sql("SELECT k, hash_bucket(k) AS b FROM hb_keys")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k = org.apache.spark.sql.functions.col("k")
+    val viaOp = df.select(k,
+        graft.operators.Sampling.hashBucket(k).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaOp)
+    assert(viaSql.values.forall(b => b >= 0 && b < 65536))
+    // pinned value: md5('7') = 8f14...; '8f14' hex = 36628
+    assert(viaSql(7L) == 36628)
+  }
+
   test("extensions class injects on a fresh session builder") {
     // the class itself must be instantiable by spark.sql.extensions
     val ext = new GraftSparkExtensions
