@@ -1492,6 +1492,38 @@ object Queries {
         |      doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin)),
 
+    Q("corpus_resample_temperature",
+      // T=2 temperature flattening: each language keeps
+      // min(c, ceil(4*sqrt(c))) docs by hash order — small languages keep
+      // a larger share than their raw count. sqrt targets are
+      // bit-reproducible across engines (IEEE-exact), so the oracle
+      // recomputes them independently.
+      (s, d) => Sampling.temperatureResample(Tables.documents(s, d),
+          "lang", "doc_id", scale = 4.0)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH t AS (
+        |  SELECT lang, LEAST(COUNT(*),
+        |    CAST(CEIL(4.0 * SQRT(COUNT(*))) AS BIGINT)) AS target
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+        |WHERE r.rn <= t.target""".stripMargin)),
+
+    Q("assign_global_ids",
+      // Contiguous dataset-wide ids: bucket histogram + offsets +
+      // bucket-partitioned row_number — exactly ROW_NUMBER() OVER (ORDER
+      // BY doc_id) without the single-partition window.
+      (s, d) => GlobalIds.assign(Tables.documents(s, d), "doc_id",
+          nBuckets = 16)
+        .select(col("doc_id"), col("global_id")),
+      Some("""SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS global_id
+        |FROM documents""".stripMargin)),
+
     Q("pii_redact",
       // Pattern-based masking + span count (the PII-scrub shape; the
       // pattern is the caller's contract). Fully codegen'd string ops.

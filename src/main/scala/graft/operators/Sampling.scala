@@ -49,6 +49,37 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Temperature-flattened corpus resampling: keep
+    * `min(c_g, ceil(scale * c_g^(1/temperature)))` rows per group, chosen
+    * by deterministic hash order — the multilingual-sampling recipe that
+    * up-weights small groups relative to their raw share. `temperature`
+    * = 2 is the common sqrt-flattening; it is also the only exponent
+    * whose targets are bit-reproducible across engines (IEEE requires
+    * `sqrt` correctly rounded; `pow` is not), so the oracle pins T = 2
+    * and other temperatures are spec-verified.
+    *
+    * Two scans of the input (a column-pruned group count, then the
+    * selection) joined by a broadcast of the tiny per-group target
+    * table; the rank window is partitioned by group, so per-task work is
+    * bounded by the largest group — same scale shape as
+    * [[stratifiedSample]].
+    */
+  def temperatureResample(df: DataFrame, groupCol: String, keyCol: String,
+                          scale: Double, temperature: Double = 2.0): DataFrame = {
+    require(scale > 0 && temperature >= 1.0, "scale > 0, temperature >= 1")
+    val flat = if (temperature == 2.0) sqrt(col("count"))
+               else pow(col("count"), 1.0 / temperature)
+    val targets = df.groupBy(col(groupCol)).count()
+      .select(col(groupCol),
+        least(col("count"), ceil(lit(scale) * flat).cast("long")).as("_target"))
+    df.join(broadcast(targets), groupCol)
+      .withColumn("_rs_rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(hashBucket(col(keyCol)), col(keyCol))))
+      .filter(col("_rs_rn") <= col("_target"))
+      .drop("_rs_rn", "_target")
+  }
+
   /** Exactly `perStratum` rows per stratum, chosen by hash order (ties by
     * key) — deterministic stratified sampling. One shuffle on the stratum
     * column; at scale the window's per-stratum sort is bounded by stratum

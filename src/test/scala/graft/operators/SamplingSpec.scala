@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Temperature resampling: exact per-group targets, hash-deterministic
+  * selection, and the flattening property (small groups keep a larger
+  * share than big ones).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed groups: 100 'a', 25 'b', 4 'c'
+  private def corpus = (
+    (0 until 100).map(i => (s"a$i", "a")) ++
+    (0 until 25).map(i => (s"b$i", "b")) ++
+    (0 until 4).map(i => (s"c$i", "c"))
+  ).toDF("k", "g")
+
+  test("T=2 keeps min(c, ceil(scale*sqrt(c))) per group") {
+    val got = Sampling.temperatureResample(corpus, "g", "k", scale = 2.0)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // a: ceil(2*10)=20 of 100; b: ceil(2*5)=10 of 25; c: ceil(2*2)=4 of 4
+    assert(got == Map("a" -> 20L, "b" -> 10L, "c" -> 4L))
+  }
+
+  test("selection is identical across partitionings") {
+    def run(parts: Int) =
+      Sampling.temperatureResample(corpus.repartition(parts), "g", "k", 2.0)
+        .select("k").as[String].collect().sorted.toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("flattening: kept share grows as group size shrinks") {
+    val got = Sampling.temperatureResample(corpus, "g", "k", scale = 2.0)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val share = Map("a" -> got("a") / 100.0, "b" -> got("b") / 25.0,
+      "c" -> got("c") / 4.0)
+    assert(share("a") < share("b") && share("b") < share("c"))
+  }
+
+  test("general temperature (pow path) respects the target formula") {
+    val got = Sampling.temperatureResample(corpus, "g", "k",
+        scale = 2.0, temperature = 3.0)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    def tgt(c: Int) = math.min(c, math.ceil(2.0 * math.pow(c, 1.0 / 3)).toLong)
+    assert(got == Map("a" -> tgt(100), "b" -> tgt(25), "c" -> tgt(4)))
+  }
+}
