@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * value-skewed keys raise `nBuckets` or pre-map the key through a
   * quantile bucketing — the offsets machinery is unchanged.
   *
-  * Keys must be unique (dataset ids are); ties would make the ordering,
-  * and therefore the ids, nondeterministic.
+  * Keys must be unique and non-null (dataset ids are); ties would make
+  * the ordering, and therefore the ids, nondeterministic.
   */
 object GlobalIds {
 
