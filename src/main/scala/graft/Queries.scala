@@ -867,6 +867,21 @@ object Queries {
         |    - CAST(FLOOR(cum_before / 2048.0) AS BIGINT) + 1 AS n_spans
         |FROM c""".stripMargin)),
 
+    Q("chunk_documents",
+      // Sliding-window chunking (size 200, stride 150): the RAG/long-doc
+      // segmentation step. Pure per-row generate — no shuffle; chunk
+      // count is exact integer arithmetic over length(text).
+      (s, d) => Packing.chunkDocuments(Tables.documents(s, d),
+          "text", size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_start"), col("chunk_text")),
+      Some("""SELECT doc_id, t.i AS chunk_idx,
+        |  CAST(t.i * 150 AS BIGINT) AS chunk_start,
+        |  substr(text, t.i * 150 + 1, 200) AS chunk_text
+        |FROM documents JOIN LATERAL (
+        |  SELECT UNNEST(range(0, CAST(CEIL(GREATEST(length(text) - 200, 0)
+        |    / 150.0) AS BIGINT) + 1)) AS i) t ON TRUE""".stripMargin)),
+
     Q("decontaminate",
       // Benchmark-overlap decontamination: docs sharing >= 5 distinct
       // 3-gram shingles with the (held-out) benchmark subset are flagged.

@@ -60,4 +60,31 @@ object Packing {
       .select(col("id").as(idCol), col("tokens"), col("seq_id"),
         col("seq_offset"), col("n_spans"))
   }
+
+  /** Sliding-window document chunking: cut each document into windows of
+    * `size` characters advancing by `stride` (overlap = size - stride) —
+    * the segmentation step of RAG indexing and long-document training.
+    * Every document yields at least one chunk; the last chunk starts at
+    * the final stride boundary that still exposes new text, so short
+    * tails are covered without emitting an empty window.
+    *
+    * Pure per-row generate (explode of a per-doc integer sequence): no
+    * shuffle, parallelism is the scan's, and output size is bounded by
+    * len/stride chunks per document. Chunk count derives from
+    * `length(text)` with exact integer arithmetic, so the chunking is
+    * identical on any engine/partitioning.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String, size: Int,
+                     stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val lastIdx = greatest(
+      ceil((length(col(textCol)) - size).cast("double") / stride), lit(0))
+      .cast("int")
+    docs
+      .withColumn("chunk_idx", explode(sequence(lit(0), lastIdx)))
+      .withColumn("chunk_start", (col("chunk_idx") * stride).cast("long"))
+      .withColumn("chunk_text",
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(size)))
+  }
 }
