@@ -563,6 +563,76 @@ object Queries {
         |  || ';' AS stmt_ts
         |FROM orders""".stripMargin)),
 
+    Q("cql_delete_render",
+      // Delete-replay statement text (keyspaces/CQLReplicator.scala:980):
+      // DELETE FROM ks.tbl WHERE pk=... over the snapshot-diff delete key
+      // set (keys in prev but absent from curr), WHERE values quoted per
+      // type exactly like the VALUES path (rowToStatement, :1076-1139).
+      // Composite key exercises bigint + text + timestamp rendering.
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 2 && col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          Transforms.cqlDeleteStatement("ks.orders", Seq(
+            ("o_orderkey", col("o_orderkey"), "bigint"),
+            ("o_orderpriority", col("o_orderpriority"), "text"),
+            ("o_orderdate", col("o_orderdate"), "timestamp"))).as("stmt")),
+      Some("""SELECT o_orderkey,
+        |  'DELETE FROM ks.orders WHERE o_orderkey=' || CAST(o_orderkey AS VARCHAR)
+        |  || ' and o_orderpriority=''' || replace(o_orderpriority, '''', '''''') || ''''
+        |  || ' and o_orderdate=' || CAST(epoch_ms(o_orderdate) AS VARCHAR)
+        |  || ';' AS stmt
+        |FROM orders WHERE o_orderkey % 7 = 2 AND o_orderkey % 10 <> 3""".stripMargin)),
+
+    Q("cql_counter_update_render",
+      // Counter UPDATE statement text (keyspaces/CQLReplicator.scala:
+      // 926-936: SET c=c+delta joined by commas, WHERE over the pk).
+      // The deltas are the decimal-summed counter_deltas relation, so the
+      // statement stream is deterministic under any partitioning; floor
+      // before the integral cast because Spark truncates decimal->long
+      // while DuckDB rounds.
+      (s, d) => Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("value").cast(DecimalType(18, 2)))).cast("long").as("total"))
+        .select(col("user_id"),
+          Transforms.cqlCounterUpdateStatement("ks.counters",
+            Seq(("n_updates", col("n")), ("total_value", col("total"))),
+            Seq(("user_id", col("user_id"), "bigint"))).as("stmt")),
+      Some("""SELECT user_id,
+        |  'UPDATE ks.counters SET n_updates=n_updates+' || CAST(COUNT(*) AS VARCHAR)
+        |  || ',total_value=total_value+'
+        |  || CAST(CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS VARCHAR)
+        |  || ' WHERE user_id=' || CAST(user_id AS VARCHAR) || ';' AS stmt
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("cql_batch_render",
+      // UNLOGGED batch grouping, the FlushingSet flush shape
+      // (keyspaces/CQLReplicator.scala:210-269 + :983-986): per-tile
+      // statement streams flush every 25 statements as one
+      // BEGIN UNLOGGED BATCH ... APPLY BATCH;. Deterministic batch id =
+      // (per-tile rank - 1) / 25.
+      (s, d) => {
+        val del = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 === 2)
+          .select((col("o_orderkey") % 8).as("tile"), col("o_orderkey"),
+            Transforms.cqlDeleteStatement("ks.orders",
+              Seq(("o_orderkey", col("o_orderkey"), "bigint"))).as("stmt"))
+        Transforms.cqlBatches(del, col("tile"), col("o_orderkey"), col("stmt"),
+          maxPerBatch = 25)
+      },
+      Some("""WITH stmts AS (
+        |  SELECT o_orderkey % 8 AS tile, o_orderkey,
+        |    'DELETE FROM ks.orders WHERE o_orderkey='
+        |      || CAST(o_orderkey AS VARCHAR) || ';' AS stmt
+        |  FROM orders WHERE o_orderkey % 7 = 2),
+        |ranked AS (
+        |  SELECT tile, stmt,
+        |    ROW_NUMBER() OVER (PARTITION BY tile ORDER BY o_orderkey) AS rn
+        |  FROM stmts)
+        |SELECT tile, (rn - 1) // 25 AS batch_id, COUNT(*) AS n_stmts,
+        |  'BEGIN UNLOGGED BATCH ' || string_agg(stmt, ' ' ORDER BY rn)
+        |    || ' APPLY BATCH;' AS batch_text
+        |FROM ranked GROUP BY tile, (rn - 1) // 25""".stripMargin)),
+
     Q("counter_deltas",
       // Counter-column semantics: the target value is the sum of deltas per
       // key (keyspaces/CQLReplicator.scala:926-936). Decimal sum keeps the
@@ -840,6 +910,40 @@ object Queries {
         |     ORDER BY doc_id, para_idx) = 1) AS keep
         |FROM paras""".stripMargin)),
 
+    Q("boilerplate_removal",
+      // Frequency-based boilerplate removal (RefinedWeb/CCNet cleanup):
+      // 10-word segments appearing in >= 2 distinct docs drop everywhere
+      // and each doc's survivors reassemble in order. The boilerplate set
+      // is tiny -> broadcast anti join; reassembly sorts (idx, para)
+      // structs inside one groupBy so text is partitioning-independent.
+      (s, d) => TextDedup.removeBoilerplate(Tables.documents(s, d),
+        "doc_id", "text", wordsPerPara = 10, minDocs = 2),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(list_transform(
+        |      generate_series(0, CAST(ceil(len(w) / 10.0) AS INTEGER) - 1, 1),
+        |      x -> x)) AS i
+        |  FROM ws WHERE len(w) > 0),
+        |paras AS (
+        |  SELECT doc_id, i AS para_idx,
+        |    array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS para
+        |  FROM idx),
+        |boiler AS (
+        |  SELECT md5(para) AS ph FROM paras
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, para_idx, para FROM paras
+        |  WHERE md5(para) NOT IN (SELECT ph FROM boiler)),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_segments FROM paras GROUP BY 1)
+        |SELECT k.doc_id,
+        |  string_agg(k.para, ' ' ORDER BY k.para_idx) AS clean_text,
+        |  COUNT(*) AS n_kept,
+        |  ANY_VALUE(t.n_segments) - COUNT(*) AS n_removed
+        |FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+        |GROUP BY k.doc_id""".stripMargin)),
+
     Q("pack_sequences",
       // Concatenate-and-chunk sequence packing into 2048-token training
       // sequences over a deterministic hash-shuffled document order.
@@ -903,6 +1007,57 @@ object Queries {
         |  COALESCE(ov.n_shared, 0) >= 5 AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 <> 0) d
         |LEFT JOIN ov USING (doc_id)""".stripMargin)),
+
+    Q("decontaminate_bloom",
+      // decontaminate with a broadcast Bloom prefilter on the corpus
+      // shingle stream (the sketch analogue of a broadcast join): false
+      // positives die in the exact semi-join, so the output — and the
+      // oracle — is IDENTICAL to decontaminate while the shuffled corpus
+      // volume drops to ~hits + fpp*misses. BloomParitySpec proves the
+      // equality and measures the prefilter's reduction.
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        TextDedup.contaminationBloom(
+          all.filter(col("doc_id") % 17 =!= 0),
+          all.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+      },
+      Some(s"""WITH $shingleCteSql,
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(ov.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(ov.n_shared, 0) >= 5 AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+        |LEFT JOIN ov USING (doc_id)""".stripMargin)),
+
+    Q("bigram_lm_score",
+      // Bigram-LM fluency scoring (perplexity-filter shape): corpus-
+      // trained add-one model, p(w2|w1) held in scaled-integer space
+      // (exact BIGINT div) so aggregates are order-independent and
+      // engine-exact; only the final mean divides in fp.
+      (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |uc AS (SELECT tok AS w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM uni),
+        |bi AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS s FROM w),
+        |bc AS (SELECT s, COUNT(*) AS c2 FROM bi GROUP BY 1),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    ((bc.c2 + 1) * 1000000000000) // (uc.c1 + v.v) AS p12
+        |  FROM bi JOIN bc USING (s)
+        |  JOIN uc ON string_split(bi.s, ' ')[1] = uc.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p12) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000000000.0 AS avg_p,
+        |  MIN(p12) AS min_p12
+        |FROM scored GROUP BY doc_id""".stripMargin)),
 
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
@@ -1660,6 +1815,47 @@ object Queries {
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
+    Q("value_histogram",
+      // Fixed-bin value distribution per event type — the histogram half
+      // of data profiling beside column_stats. Bounds are a one-row
+      // broadcast (no driver action); bucket arithmetic is row-wise IEEE
+      // on engine-identical inputs, so assignment reproduces exactly.
+      (s, d) => Stats.valueHistogram(Tables.events(s, d),
+        "value", "event_type", bins = 20),
+      Some("""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        |SELECT event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |    ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+        |  END AS bucket,
+        |  COUNT(*) AS n
+        |FROM events, b GROUP BY 1, 2""".stripMargin)),
+
+    Q("zscore_outliers",
+      // Per-type z-score outliers: mean/sigma from exact decimal sums of
+      // v and v^2 (order-independent), sigma via correctly-rounded IEEE
+      // sqrt; the tiny stats relation broadcasts back over one scan — no
+      // window over the big side.
+      (s, d) => Stats.zscoreOutliers(Tables.events(s, d),
+          "value", "event_type", z = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("zscore")),
+      Some("""WITH st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |    SQRT(GREATEST(
+        |      CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE)
+        |      - (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE))
+        |        * (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE)),
+        |      0.0)) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  (value - mean) / sigma AS zscore
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE ABS(value - mean) > 3.0 * sigma""".stripMargin)),
+
     Q("join_skew_salted",
       // The explicit skew path: lineitem⋈orders with the left side salted
       // 8 ways (hot-key insurance beyond AQE's runtime splitting). Salting

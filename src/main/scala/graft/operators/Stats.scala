@@ -65,6 +65,59 @@ object Stats {
     (profiled, df.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Fixed-bin histogram of a numeric column per group — the value-
+    * distribution half of data profiling beside [[columnStats]]. Bounds
+    * come from one global min/max aggregate (a one-row relation that
+    * broadcasts — no driver action, no second full pass materialized to
+    * the driver); bucket = floor((v-lo)/width) capped into [0, bins-1].
+    * All row-wise IEEE arithmetic on engine-identical inputs, so bucket
+    * assignment reproduces exactly cross-engine. Degenerate lo==hi maps
+    * everything to bucket 0. Heavy-in/tiny-out: one scan + one
+    * partial-aggregated groupBy.
+    */
+  def valueHistogram(df: DataFrame, valueCol: String, groupCol: String,
+                     bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(bins.toDouble))),
+            lit((bins - 1).toLong)).cast("long")))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group z-score outlier detection over a numeric column: group
+    * mean/variance derive from exact decimal sums of v and v² (order-
+    * independent — v has two decimals, so the v² cast to DECIMAL(38,6)
+    * never sits on a rounding boundary), sigma is the correctly-rounded
+    * IEEE sqrt, and rows with |v-mean| > z·sigma flag with their score.
+    * The per-group stats relation is groups-sized → broadcast back; one
+    * scan, one tiny aggregate, no window over the big side.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     z: Double): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(DecimalType(18, 2))).as("s1"),
+        sum((v * v).cast(DecimalType(38, 6))).as("s2"))
+      .select(col(groupCol),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n").cast("double") -
+            (col("s1").cast("double") / col("n").cast("double")) *
+            (col("s1").cast("double") / col("n").cast("double")),
+          lit(0.0))).as("sigma"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(abs(v - col("mean")) > lit(z) * col("sigma"))
+      .withColumn("zscore",
+        (v - col("mean")) / col("sigma"))
+  }
+
   /** Replication cycle stats: per-tile inserted/updated/deleted key counts
     * (the reference accumulates these incrementally per tile via S3 JSON
     * merge, :1177-1192; one groupBy computes the whole cycle at once).

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data curation: language ID from
   * token-frequency profiles, heuristic quality scoring, token counting,
@@ -102,6 +103,48 @@ object TextAnalysis {
         scored, Seq(col("doc_id")), Seq(col("score").desc, col("term")), k)
       .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
         round(col("score"), 4).as("tfidf"))
+  }
+
+  /** Bigram-LM fluency scoring (the perplexity-filter shape of
+    * CCNet-style curation, with the corpus as its own model): unigram and
+    * bigram counts over the corpus form an add-one-smoothed conditional
+    * model p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); every document reports its
+    * bigram count, mean and minimum conditional probability. Documents
+    * whose mean sits far below the corpus norm are the incoherent/noisy
+    * tail a perplexity gate drops.
+    *
+    * Determinism: probabilities are held in scaled-integer space —
+    * p12 = (c2+1)·10¹² div (c1+V), exact BIGINT arithmetic — and summed
+    * as decimals, so every aggregate is order-independent and
+    * engine-exact; the only floating-point steps are two final IEEE
+    * divisions. (The 10¹² scale bounds c2 < ~9.2e6 before int64
+    * overflow — beyond that, widen to decimal multiplies.)
+    *
+    * Plan: two count aggregations build the model (map-side partial), the
+    * doc bigram relation joins them on the token keys (AQE broadcasts the
+    * model sides while they fit; at corpus scale they shuffle — both
+    * sides partitioned by the same key), V broadcasts as a one-row
+    * scalar, and one final groupBy(doc_id) folds the scores.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = TextDedup.gramRows(docs, idCol, textCol, 2)
+    val uni = TextDedup.gramRows(docs, idCol, textCol, 1)
+    val biCounts = bi.groupBy("s").agg(count(lit(1)).as("c2"))
+    val uniCounts = uni.groupBy(col("s").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.select(countDistinct(col("s")).as("v"))
+    bi.join(biCounts, "s")
+      .withColumn("w1", substring_index(col("s"), " ", 1))
+      .join(uniCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p12", expr("(c2 + 1) * 1000000000000 div (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p12").cast(DecimalType(38, 0))).as("psum"),
+        min(col("p12")).as("min_p12"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum").cast("double") / col("n_bigrams").cast("double") /
+          lit(1000000000000.0)).as("avg_p"),
+        col("min_p12"))
   }
 
   /** Mask every match of `pattern` and count the masked spans — the

@@ -57,24 +57,69 @@ object TextDedup {
     * window dominate at scale.
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-                     wordsPerPara: Int): DataFrame = {
-    require(wordsPerPara >= 1, "wordsPerPara must be >= 1")
-    val ws = split(col(textCol), " ")
-    val nChunks = ceil(size(ws).cast("double") / wordsPerPara).cast("int")
-    val paras = docs.select(col(idCol).as("doc_id"),
-        when(size(ws) > 0,
-          transform(sequence(lit(0), nChunks - 1),
-            i => concat_ws(" ",
-              slice(ws, i * wordsPerPara + 1, lit(wordsPerPara)))))
-          .otherwise(array().cast("array<string>")).as("paras"))
-      .select(col("doc_id"), posexplode(col("paras")).as(Seq("para_idx", "para")))
-    paras
+                     wordsPerPara: Int): DataFrame =
+    segmentRows(docs, idCol, textCol, wordsPerPara)
       .withColumn("para_hash", md5(col("para")))
       .withColumn("keep", row_number().over(
         Window.partitionBy("para_hash")
           .orderBy(col("doc_id"), col("para_idx"))) === 1)
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         col("para_hash"), col("keep"))
+
+  /** Fixed `wordsPerPara`-word segmentation as a (doc_id, para_idx, para)
+    * relation — the shared unit under [[paragraphDedup]] and
+    * [[removeBoilerplate]]. Per-row interpreted chunking (HOF transform);
+    * whatever shuffles consume it dominate at scale. Empty documents
+    * produce no segments.
+    */
+  private[operators] def segmentRows(docs: DataFrame, idCol: String,
+                                     textCol: String, wordsPerPara: Int): DataFrame = {
+    require(wordsPerPara >= 1, "wordsPerPara must be >= 1")
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws).cast("double") / wordsPerPara).cast("int")
+    docs.select(col(idCol).as("doc_id"),
+        when(size(ws) > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ",
+              slice(ws, i * wordsPerPara + 1, lit(wordsPerPara)))))
+          .otherwise(array().cast("array<string>")).as("paras"))
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("para_idx", "para")))
+  }
+
+  /** Frequency-based boilerplate removal (the RefinedWeb/CCNet cleanup
+    * step under document-level dedup): segments whose hash occurs in at
+    * least `minDocs` DISTINCT documents are dropped everywhere, and each
+    * document's surviving segments reassemble in order. Documents whose
+    * every segment is boilerplate drop out entirely.
+    *
+    * Plan shape: one segment relation feeds (a) the boilerplate hash set
+    * (groupBy segment hash, distinct-doc count — map-side partial aggs)
+    * and (b) a left-anti join against that set; the per-doc reassembly is
+    * one groupBy(doc_id) whose order is restored by sorting (para_idx,
+    * para) structs inside the aggregate, so the text is independent of
+    * partitioning. The boilerplate set is duplicate-segment-count sized —
+    * tiny next to the corpus — so at scale the anti join broadcasts.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        wordsPerPara: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val segs = segmentRows(docs, idCol, textCol, wordsPerPara)
+      .withColumn("para_hash", md5(col("para")))
+    val boiler = segs.groupBy("para_hash")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("para_hash")
+    val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+    segs.join(boiler, Seq("para_hash"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          e => e.getField("para")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_segments") - col("n_kept")).as("n_removed"))
   }
 
   /** Exploded distinct (doc_id, shingle) relation. posexplode + lead()
@@ -253,6 +298,44 @@ object TextDedup {
     // TOTAL over the candidate docs: zero-overlap docs must appear with
     // n_shared=0 so filter(!contaminated) selects the whole clean set,
     // not just the docs that happened to overlap a little.
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") >= minOverlap))
+  }
+
+  /** [[contamination]] with a broadcast Bloom prefilter on the corpus
+    * side: the benchmark's distinct shingle hashes build one Bloom filter
+    * (driver-held, O(bits) not O(rows) — the sketch analogue of a
+    * broadcast join), and only corpus shingles the filter admits enter
+    * the shuffle for the exact semi-join. False positives are removed by
+    * that exact join, so the output is IDENTICAL to [[contamination]] —
+    * same oracle — while the shuffled corpus volume drops to
+    * ~hits + fpp·misses. This is the shape that matters at 100 TB: the
+    * corpus-side shingle shuffle is the dominant cost and benchmark sets
+    * are tiny, so nearly the whole corpus side short-circuits map-side.
+    *
+    * The benchmark count + filter build are two metadata-scale driver
+    * steps over the SMALL side only (like AQE stats or GlobalIds'
+    * min/max); the corpus side stays fully distributed. The membership
+    * probe is a long→boolean UDF — off the codegen path, but it replaces
+    * shuffle IO, and the probe input is one 8-byte column.
+    */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int, minOverlap: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val docSh = shingleHashTable(docs, idCol, textCol, n)
+    val benchSh = shingleHashTable(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val expected = math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("h", expected, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val overlaps = docSh.filter(mightContain(col("h")))
+      .join(benchSh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(overlaps, Seq("doc_id"), "left")
       .select(col("doc_id"),

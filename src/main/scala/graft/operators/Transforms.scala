@@ -3,6 +3,7 @@ package graft.operators
 import java.util.zip.{Deflater, Inflater}
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row/column transforms from the reference's replication path:
@@ -198,6 +199,68 @@ object Transforms {
       lit(")"),
       cqlUsingClause(usingTtl, usingTimestamp),
       lit(";"))
+  }
+
+  /** Primary-key WHERE clause, the rowToStatement shape
+    * (glue/sbin/keyspaces/CQLReplicator.scala:1076-1139): `pk=<literal>`
+    * conditions joined by ` and `, values quoted per type exactly like the
+    * VALUES path (strings `''`-escaped, timestamps as epoch millis,
+    * numerics bare).
+    */
+  def cqlWhereClause(pkCols: Seq[(String, Column, String)]): Column =
+    concat_ws(" and ", pkCols.map { case (name, c, t) =>
+      concat(lit(s"$name="), cqlLiteral(c, t))
+    }: _*)
+
+  /** CQL DELETE statement for the delete-replay path
+    * (keyspaces/CQLReplicator.scala:980: `DELETE FROM ks.tbl WHERE <pk>`),
+    * composed over the snapshot-diff deletes relation. Projection-only —
+    * no shuffle beyond whatever produced the keys.
+    */
+  def cqlDeleteStatement(table: String, pkCols: Seq[(String, Column, String)]): Column =
+    concat(lit(s"DELETE FROM $table WHERE "), cqlWhereClause(pkCols), lit(";"))
+
+  /** Counter-column UPDATE statement (keyspaces/CQLReplicator.scala:926-936:
+    * `UPDATE ks.tbl SET c=c+<delta>[,...] WHERE <pk>`). Cassandra counters
+    * only accept increments, so the statement renders the aggregated delta
+    * per key — the relational half is [[graft.Queries]]' counter_deltas
+    * (decimal-summed, order-independent); this is the statement face.
+    */
+  def cqlCounterUpdateStatement(table: String, counters: Seq[(String, Column)],
+                                pkCols: Seq[(String, Column, String)]): Column = {
+    val sets = counters.map { case (name, delta) =>
+      concat(lit(s"$name=$name+"), delta.cast("long").cast("string"))
+    }
+    concat(lit(s"UPDATE $table SET "), concat_ws(",", sets: _*),
+      lit(" WHERE "), cqlWhereClause(pkCols), lit(";"))
+  }
+
+  /** Groups rendered statements into UNLOGGED batches of at most
+    * `maxPerBatch`, the FlushingSet shape (keyspaces/CQLReplicator.scala:
+    * 210-269, and the `maxStatementsPerBatch > 1` branch at :983-986):
+    * statements accumulate in order per work unit (tile) and flush as
+    * `BEGIN UNLOGGED BATCH <s1> <s2> … APPLY BATCH;`. Deterministic
+    * re-expression of the mutable accumulator: arrival order = rank of
+    * `orderCol` within the tile, batch id = (rank-1)/maxPerBatch; the
+    * batch text assembles from sorted (rank, stmt) structs so the output
+    * is independent of partitioning. One window + one groupBy, both
+    * shuffling on the tile — the same key the work was already split by.
+    */
+  def cqlBatches(stmts: DataFrame, tileCol: Column, orderCol: Column,
+                 stmtCol: Column, maxPerBatch: Int): DataFrame = {
+    require(maxPerBatch >= 1, "maxPerBatch must be >= 1")
+    stmts
+      .select(tileCol.as("tile"), orderCol.as("ord"), stmtCol.as("stmt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("tile").orderBy("ord")))
+      .groupBy(col("tile"),
+        ((col("rn") - 1) / maxPerBatch).cast("long").as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_stmts"),
+        concat(lit("BEGIN UNLOGGED BATCH "),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("stmt")))),
+            e => e.getField("stmt")), " "),
+          lit(" APPLY BATCH;")).as("batch_text"))
   }
 
   /** Large-object offload: wide column replaced by a deterministic

@@ -129,4 +129,19 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq === expected)
     assert(got.map(_.getString(1)).toSeq === CurationPipeline.stageNames)
   }
+
+  test("bigramLmScore matches the hand-computed add-one model") {
+    val spark0 = spark
+    import spark0.implicits._
+    // tokens: a x3, b x2, c x1 -> V=3; bigrams: "a b" x2, "a c" x1
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // p(b|a) = (2+1)/(3+3) = 0.5; p(c|a) = (1+1)/(3+3) = 1/3
+    assert(out(1L) === ((1L, 0.5, 500000000000L)))
+    assert(out(2L) === ((1L, 0.5, 500000000000L)))
+    assert(out(3L) ===
+      ((1L, 333333333333L.toDouble / 1.0 / 1.0e12, 333333333333L)))
+  }
 }

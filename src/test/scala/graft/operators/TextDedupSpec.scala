@@ -179,4 +179,50 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(again == rows.map(r => (r._1, r._3, r._4)).toSet)
   }
+
+  test("removeBoilerplate drops frequent segments, reassembles in order") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq(
+      (1L, "x y a b"),
+      (2L, "x y c d"),
+      (3L, "u v x y"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = TextDedup.removeBoilerplate(d, "doc_id", "text",
+        wordsPerPara = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "x y" occurs in 4 docs -> boilerplate; every other segment unique
+    assert(out === Map(
+      1L -> (("a b", 1L, 1L)),
+      2L -> (("c d", 1L, 1L)),
+      3L -> (("u v", 1L, 1L))))
+    // doc 4 was pure boilerplate and dropped entirely
+    assert(!out.contains(4L))
+  }
+
+  test("contaminationBloom output equals contamination exactly") {
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 17 =!= 0)
+    val bench = all.filter(col("doc_id") % 17 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val exact = canon(TextDedup.contamination(
+      corpus, bench, "doc_id", "text", n = 3, minOverlap = 5))
+    val bloomed = canon(TextDedup.contaminationBloom(
+      corpus, bench, "doc_id", "text", n = 3, minOverlap = 5))
+    assert(bloomed === exact)
+    assert(exact.exists(_._3), "fixture should contain contaminated docs")
+    // the prefilter must actually cut the corpus-side join input
+    val docSh = TextDedup.shingleHashTable(corpus, "doc_id", "text", 3)
+    val benchSh = TextDedup.shingleHashTable(bench, "doc_id", "text", 3)
+      .select(col("h")).distinct()
+    val bf = benchSh.stat.bloomFilter("h", math.max(benchSh.count(), 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => bfB.value.mightContainLong(h))
+    val kept = docSh.filter(might(col("h"))).count()
+    assert(kept < docSh.count() / 2,
+      s"bloom prefilter kept $kept of ${docSh.count()} corpus shingles")
+  }
 }

@@ -76,6 +76,37 @@ class TransformsSpec extends SparkSpec {
       === "{'a':[1,2]}")
   }
 
+  test("cqlDeleteStatement renders composite-pk WHERE with typed quoting") {
+    val df = Seq((7L, "P'1")).toDF("k", "p")
+    assert(df.select(Transforms.cqlDeleteStatement("ks.t", Seq(
+      ("k", col("k"), "bigint"), ("p", col("p"), "text")))).as[String].head()
+      === "DELETE FROM ks.t WHERE k=7 and p='P''1';")
+  }
+
+  test("cqlCounterUpdateStatement renders SET c=c+delta per counter") {
+    val df = Seq((1L, 3L, -2L)).toDF("k", "a", "b")
+    assert(df.select(Transforms.cqlCounterUpdateStatement("ks.c",
+      Seq(("a", col("a")), ("b", col("b"))),
+      Seq(("k", col("k"), "bigint")))).as[String].head()
+      === "UPDATE ks.c SET a=a+3,b=b+-2 WHERE k=1;")
+  }
+
+  test("cqlBatches groups per tile in arrival order with bounded size") {
+    val df = (1 to 10).map(i => (i % 2, i, s"S$i;")).toDF("tile", "ord", "stmt")
+    val out = Transforms.cqlBatches(df, col("tile"), col("ord"), col("stmt"),
+        maxPerBatch = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out((1, 0L)) ===
+      ((3L, "BEGIN UNLOGGED BATCH S1; S3; S5; APPLY BATCH;")))
+    assert(out((1, 1L)) ===
+      ((2L, "BEGIN UNLOGGED BATCH S7; S9; APPLY BATCH;")))
+    assert(out((0, 0L)) ===
+      ((3L, "BEGIN UNLOGGED BATCH S2; S4; S6; APPLY BATCH;")))
+    assert(out.values.map(_._1).sum === 10L)
+  }
+
   test("cqlUsingClause: null TTL renders 0, non-positive TIMESTAMP omitted") {
     val df = Seq((Option.empty[Long], 0L), (Some(5L), 42L)).toDF("ttl", "wt")
     val rows = df.select(
