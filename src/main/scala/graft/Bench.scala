@@ -18,7 +18,10 @@ object Bench {
     * benched) — excluded so the headline number reflects the plans meant
     * for 100 TB.
     */
-  private val exclude = Set("dedup_ngram_jaccard", "dedup_embedding_cosine")
+  private val exclude = Set("dedup_ngram_jaccard", "dedup_embedding_cosine",
+    // exhaustive shared-shingle baseline; shingle_containment_capped is
+    // the benched df-bounded scale path (identical per-pair values)
+    "shingle_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -563,6 +563,42 @@ object Queries {
         |  || ';' AS stmt_ts
         |FROM orders""".stripMargin)),
 
+    Q("cql_insert_json_render",
+      // JSON-form INSERT replay, the keyspaces path (CQLReplicator.scala:
+      // 1013 `INSERT INTO t JSON '<row>' $tsSuffix$cas`, :1042 TTL form
+      // `...'$cas USING TTL n`): document ''-escaped as one string (:839),
+      // TIMESTAMP only when positive (:1009), TTL with null->0, IF NOT
+      // EXISTS from readBeforeWrite (:590-593). stmt_json_ts keeps the
+      // reference's always-emitted space before the (possibly empty)
+      // timestamp suffix.
+      (s, d) => {
+        val doc = Transforms.rowToJson(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        val wt = when(col("o_orderkey") % 7 === 0, lit(0L))
+          .otherwise(unix_micros(col("o_orderdate").cast("timestamp")))
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          Transforms.cqlInsertJsonStatement("ks.orders", doc,
+            usingTimestamp = Some(wt)).as("stmt_json_ts"),
+          Transforms.cqlInsertJsonStatement("ks.orders", doc,
+            usingTtl = Some(col("o_orderkey") % 86400),
+            ifNotExists = true).as("stmt_json_ttl_cas"))
+      },
+      Some("""WITH j AS (SELECT o_orderkey, o_orderdate,
+        |  replace(CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+        |    o_orderstatus := o_orderstatus,
+        |    o_orderpriority := o_orderpriority)) AS VARCHAR),
+        |    '''', '''''') AS doc FROM orders)
+        |SELECT o_orderkey,
+        |  'INSERT INTO ks.orders JSON ''' || doc || ''' '
+        |  || CASE WHEN o_orderkey % 7 = 0 THEN ''
+        |       ELSE 'USING TIMESTAMP ' || CAST(epoch_us(o_orderdate) AS VARCHAR) END
+        |  AS stmt_json_ts,
+        |  'INSERT INTO ks.orders JSON ''' || doc
+        |  || ''' IF NOT EXISTS USING TTL ' || CAST(o_orderkey % 86400 AS VARCHAR)
+        |  AS stmt_json_ttl_cas
+        |FROM j""".stripMargin)),
+
     Q("cql_delete_render",
       // Delete-replay statement text (keyspaces/CQLReplicator.scala:980):
       // DELETE FROM ks.tbl WHERE pk=... over the snapshot-diff delete key
@@ -879,6 +915,47 @@ object Queries {
         n = 3, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("shingle_containment",
+      // Asymmetric containment C(A->B) = |A ∩ B| / |A|: the doc-inside-doc
+      // detector Jaccard misses (short doc quoted whole inside a long one).
+      // Both directions in exact ppm (BIGINT div) — engine-identical, no fp.
+      (s, d) => TextDedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, thresholdPpm = 500000L),
+      Some(s"""WITH $shingleCteSql,
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  inter * 1000000 // sa.sz AS contain_a_ppm,
+        |  inter * 1000000 // sb.sz AS contain_b_ppm
+        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE GREATEST(inter * 1000000 // sa.sz, inter * 1000000 // sb.sz) >= 500000""".stripMargin)),
+
+    Q("shingle_containment_capped",
+      // Containment at its 100 TB configuration: candidates only from
+      // shingles with document frequency <= 20 (ubiquitous shingles are
+      // boilerplate: df^2 pairs, no containment signal), every candidate
+      // verified EXACTLY against the full shingle sets — per-pair values
+      // identical to the exhaustive form, candidate join df-bounded.
+      (s, d) => TextDedup.containmentPairsCapped(Tables.documents(s, d),
+        "doc_id", "text", n = 3, thresholdPpm = 500000L, maxDf = 20L),
+      Some(s"""WITH $shingleCteSql,
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN (
+        |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20) r ON sh.s = r.s),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |ip AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+        |       FROM cand
+        |       JOIN sh x ON x.doc_id = cand.doc_a
+        |       JOIN sh y ON y.doc_id = cand.doc_b AND y.s = x.s
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  inter * 1000000 // sa.sz AS contain_a_ppm,
+        |  inter * 1000000 // sb.sz AS contain_b_ppm
+        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE GREATEST(inter * 1000000 // sa.sz, inter * 1000000 // sb.sz) >= 500000""".stripMargin)),
+
     Q("dedup_minhash_lsh",
       // 128 permutations, 32 bands x 4 rows: P(miss) < 1e-14 at s >= 0.9
       // (the data's near-dup pairs all sit at jaccard >= 0.9), so the
@@ -1058,6 +1135,63 @@ object Queries {
         |    / 1000000000000.0 AS avg_p,
         |  MIN(p12) AS min_p12
         |FROM scored GROUP BY doc_id""".stripMargin)),
+
+    Q("quality_classifier",
+      // fastText-style linear classifier over hashed bag-of-words features:
+      // token -> md5-derived feature id (portable), broadcast model join,
+      // integer weight sum per doc (order-independent, engine-exact). The
+      // synthetic weight relation stands in for trained weights; the
+      // dataflow is the production one.
+      (s, d) => TextAnalysis.classifierScore(Tables.documents(s, d),
+        "doc_id", "text",
+        TextAnalysis.syntheticWeights(s, dims = 1024), dims = 1024),
+      Some("""WITH w AS (SELECT i AS feature, (i * 2654435761) % 17 - 8 AS weight
+        |  FROM range(0, 1024) t(i)),
+        |toks AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS feature
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(weight) AS BIGINT) AS score
+        |FROM toks JOIN w USING (feature) GROUP BY doc_id""".stripMargin)),
+
+    Q("token_lift_by_source",
+      // Per-source distinctive tokens: top-10 by lift = p(tok|source)/p(tok)
+      // in exact scaled-integer ppm; the sub-corpus audit report.
+      (s, d) => TextAnalysis.tokenLiftBySource(Tables.documents(s, d),
+        "doc_id", "source", "text", k = 10, minCount = 5L),
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        |t AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1),
+        |s AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks),
+        |lifted AS (SELECT source, tok, c_st,
+        |    c_st * n_total * 1000000 // (n_s * c_t) AS lift_ppm
+        |  FROM st JOIN t USING (tok) JOIN s USING (source) CROSS JOIN n
+        |  WHERE c_st >= 5)
+        |SELECT source, rank, tok, c_st, lift_ppm FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY lift_ppm DESC, tok) AS rank FROM lifted)
+        |WHERE rank <= 10""".stripMargin)),
+
+    Q("oov_rate",
+      // Tokenizer-coverage check: per-doc out-of-vocab occurrence rate
+      // against the corpus' own top-200 vocabulary (count desc, token asc
+      // tie-break), rate in exact ppm.
+      (s, d) => TextAnalysis.oovRate(Tables.documents(s, d),
+        "doc_id", "text", vocabSize = 200),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+        |  FROM toks GROUP BY tok) WHERE rnk <= 200)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM toks LEFT JOIN vocab v ON toks.tok = v.tok GROUP BY doc_id""".stripMargin)),
 
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
@@ -1414,7 +1548,43 @@ object Queries {
         |SELECT doc_id, orig_bytes,
         |  CAST(octet_length(encode(rz)) AS BIGINT) AS resized_bytes,
         |  md5(rz) AS resized_md5
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    Q("multimodal_phash",
+      // dHash-family perceptual signature over the stub-decoded byte
+      // stream: 63 evenly-strided samples, bit j = byte(j+1) > byte(j),
+      // folded into one long. ASCII corpus => ascii(substr()) IS the byte
+      // value on both engines, so the signature is oracle-exact.
+      (s, d) => Multimodal.perceptualHash(Tables.documents(s, d),
+        "doc_id", "text", nBits = 62),
+      Some("""WITH p AS (SELECT doc_id, text,
+        |    (length(text) - 1) // 62 AS stride
+        |  FROM documents WHERE length(text) >= 63)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 62), j -> CASE
+        |    WHEN ascii(substr(text, CAST(1 + (j+1) * stride AS INT), 1)) >
+        |         ascii(substr(text, CAST(1 + j * stride AS INT), 1))
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS phash
+        |FROM p""".stripMargin)),
+
+    Q("multimodal_phash_dups",
+      // Exact-signature duplicate groups over the perceptual hash — the
+      // first cut of media dedup (near grouping = SimHash bit-bands over
+      // the same column). One signature-vocabulary-sized groupBy.
+      (s, d) => Multimodal.phashDupGroups(
+        Multimodal.perceptualHash(Tables.documents(s, d),
+          "doc_id", "text", nBits = 62)),
+      Some("""WITH p AS (SELECT doc_id, text,
+        |    (length(text) - 1) // 62 AS stride
+        |  FROM documents WHERE length(text) >= 63),
+        |sig AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 62), j -> CASE
+        |    WHEN ascii(substr(text, CAST(1 + (j+1) * stride AS INT), 1)) >
+        |         ascii(substr(text, CAST(1 + j * stride AS INT), 1))
+        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS phash
+        |FROM p)
+        |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+        |FROM sig GROUP BY phash HAVING COUNT(*) > 1""".stripMargin))
   )
 
   // ------------------------------------------------- streaming (batch form)
@@ -1661,6 +1831,19 @@ object Queries {
         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
         |      doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin)),
+
+    Q("sample_weighted",
+      // Deterministic importance sampling: keep probability proportional
+      // to a per-row weight (here min(n_chars, 1000)/1000 — longer docs
+      // kept at a higher rate). The keep test cross-multiplies into pure
+      // integer space (hash*den < weight*65536) so no float ever rounds;
+      // pure pushed-down filter.
+      (s, d) => Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+          least(col("n_chars"), lit(1000L)), weightDen = 1000L)
+        .select(col("doc_id"), col("n_chars")),
+      Some("""SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 1000
+        |  < LEAST(n_chars, 1000) * 65536""".stripMargin)),
 
     Q("corpus_resample_temperature",
       // T=2 temperature flattening: each language keeps

@@ -109,6 +109,47 @@ object Multimodal {
     })
   }
 
+  /** Perceptual hash (dHash family) over a decoded byte stream: sample
+    * `nBits`+1 evenly-strided bytes, bit j = sample(j+1) > sample(j),
+    * assembled into one long — the gradient-sign signature used for
+    * near-identical media dedup (re-encoded/rescaled copies keep byte
+    * gradients even when checksums differ). The real pipeline hashes
+    * decoded pixels; here the stub "decode" is the payload's own byte
+    * stream (ASCII text in the testdata, so `ascii(substring(...))` IS
+    * the byte value and any engine reproduces the signature exactly).
+    *
+    * Pure projection over a sequence explode-free HOF `aggregate` — no
+    * shuffle, scan-parallel; the interpreted lambda is acceptable on this
+    * render-like path (bounded nBits iterations per row). nBits ≤ 62 keeps
+    * the signature non-negative in an int64. Payloads shorter than
+    * nBits+1 bytes carry no gradient signal and are dropped (stride 0
+    * would re-read byte 1).
+    */
+  def perceptualHash(df: DataFrame, idCol: String, byteStrCol: String,
+                     nBits: Int = 62): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
+    df.filter(length(col(byteStrCol)) >= nBits + 1)
+      .select(col(idCol).as("doc_id"), col(byteStrCol).as("b"))
+      .withColumn("stride", expr(s"(length(b) - 1) div $nBits"))
+      .select(col("doc_id"),
+        expr(s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint),
+          |(acc, j) -> acc + if(
+          |  ascii(substring(b, cast(1 + (j+1) * stride as int), 1)) >
+          |  ascii(substring(b, cast(1 + j * stride as int), 1)),
+          |  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+          .as("phash"))
+  }
+
+  /** Exact-signature duplicate groups over [[perceptualHash]]: the first
+    * cut of media dedup (hamming-near grouping layers the SimHash
+    * bit-band machinery on the same column). One vocabulary-sized groupBy.
+    */
+  def phashDupGroups(phashes: DataFrame): DataFrame =
+    phashes.groupBy("phash")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+
   /** STUB per-frame decode/feature-extract (batched mapPartitions — where a
     * real codec or model batch-inference call drops in).
     */

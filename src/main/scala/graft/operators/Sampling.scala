@@ -28,6 +28,22 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < lit((rate * 65536).toInt))
 
+  /** Deterministic importance sampling: each row kept with probability
+    * `weightNum/weightDen` (a per-row integer-valued weight expression in
+    * [0, weightDen]) — the quality-weighted downsampling step that keeps
+    * high-value documents at a higher rate than boilerplate. The keep
+    * test cross-multiplies into pure integer space —
+    * `hashBucket·weightDen < weight·65536` — so no float ever rounds and
+    * every engine/partitioning selects the identical row set. Pure
+    * filter: pushes down to the scan when the weight is scan-computable.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightNum: Column,
+                     weightDen: Long): DataFrame = {
+    require(weightDen > 0, "weightDen must be > 0")
+    df.filter(hashBucket(col(keyCol)).cast("long") * weightDen <
+      weightNum.cast("long") * 65536L)
+  }
+
   /** Deterministic dataset split: each row labeled by which cumulative
     * hash-bucket range its key falls in — the train/val/test assignment
     * every run, every engine, and every partitioning agrees on. Weights

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -242,5 +242,113 @@ object TextAnalysis {
     agg.withColumn("doc_share",
       round(col("n_docs").cast("double") /
         sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 6))
+  }
+
+  /** Portable hashed feature id in [0, dims): first 8 md5 hex chars of the
+    * token parsed as a long, mod dims. Any engine with md5 reproduces it —
+    * the cross-engine analogue of fastText's token-hash bucketing.
+    */
+  def hashedFeature(tok: Column, dims: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dims
+
+  /** Linear classifier scoring over hashed bag-of-words features — the
+    * fastText-style quality-classifier shape (the model that separates
+    * "reference-like" from "crawl-like" text in LLM curation pipelines).
+    * `weights` is the trained model as a (feature, weight) relation with
+    * integer weights in fixed-point space; scoring is: hash each token
+    * occurrence to a feature id, sum the matched weights per document.
+    *
+    * Plan: one token explode + a broadcast join against the model (a
+    * model table is dims rows — KBs to MBs — so the join is map-side at
+    * any corpus scale) + one groupBy(doc_id). Integer sums ⇒
+    * order-independent and engine-exact; the caller applies whatever
+    * threshold/sigmoid calibration downstream (monotone in the score).
+    */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, dims: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    toks.select(col("doc_id"), hashedFeature(col("tok"), dims).as("feature"))
+      .join(broadcast(weights), "feature")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("weight")).cast("long").as("score"))
+  }
+
+  /** Deterministic stand-in model for [[classifierScore]]: weight(f) =
+    * (f·2654435761) mod 17 − 8, an integer in [−8, 8] derived from the
+    * feature id (Knuth multiplicative constant). A real deployment swaps
+    * this relation for trained weights; everything downstream is
+    * unchanged.
+    */
+  def syntheticWeights(spark: SparkSession, dims: Int): DataFrame =
+    spark.range(dims).select(col("id").as("feature"),
+      (col("id") * lit(2654435761L) % 17 - 8).cast("long").as("weight"))
+
+  /** Per-source distinctive-token report: for each source, the top-k
+    * tokens by lift = p(tok | source) / p(tok), the log-odds-style
+    * keyword surfacing used to audit what a sub-corpus is "about" (and to
+    * catch contamination/boilerplate concentrated in one source). Lift is
+    * held in scaled-integer space — lift_ppm = c_st·N·10⁶ div (n_s·c_t),
+    * exact BIGINT — so ranking and values are engine-identical. Low-count
+    * tokens (c_st < minCount) are excluded as noise.
+    *
+    * Plan: one token explode feeds three partial aggregations
+    * ((source,tok), tok, source) — heavy input, vocabulary-sized outputs;
+    * the token- and source-marginals join back on their keys (AQE
+    * broadcasts while small) and the corpus total crosses as a one-row
+    * broadcast. The top-k window runs over the aggregated relation only.
+    * Overflow bound: c_st·N·10⁶ needs c_st·N < 9.2e12 — beyond that,
+    * widen the multiply to decimal(38,0).
+    */
+  def tokenLiftBySource(docs: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, k: Int, minCount: Long): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val t = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val s = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    val lifted = st.filter(col("c_st") >= minCount)
+      .join(t, "tok").join(s, "source").crossJoin(broadcast(n))
+      .select(col("source"), col("tok"),
+        col("c_st").cast("long").as("c_st"),
+        expr("c_st * n_total * 1000000 div (n_s * c_t)").as("lift_ppm"))
+    lifted.withColumn("rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("lift_ppm").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("tok"), col("c_st"), col("lift_ppm"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus' own top-V
+    * vocabulary — the tokenizer-coverage check run before committing a
+    * corpus to a fixed vocab. Vocabulary = the vocabSize most frequent
+    * tokens (count desc, token asc tie-break); each document reports its
+    * token total, OOV occurrences, and OOV rate in ppm (exact integer
+    * div).
+    *
+    * Plan: token counts aggregate once; the vocab is a top-V window over
+    * the vocabulary-sized count relation and broadcasts back as a
+    * semi-join side; per-doc totals are one groupBy. No shuffle carries
+    * more than the token explode already did.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      .filter(col("rnk") <= vocabSize)
+      .select(col("tok"))
+    toks.join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
+        Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"))
+      .withColumn("oov_ppm", expr("oov_tokens * 1000000 div n_tokens"))
   }
 }

@@ -176,6 +176,71 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| over shingle
+    * sets — the doc-inside-doc detector. Jaccard misses a short document
+    * quoted whole inside a long one (the union dwarfs the intersection);
+    * containment flags it at ~1.0. Emits ordered pairs (doc_a < doc_b)
+    * whose larger directional containment clears `threshold`, with both
+    * directions reported in exact ppm (inter·10⁶ div sz, BIGINT — no fp
+    * anywhere, engine-identical).
+    *
+    * Candidates come from the shared-shingle self-join (never O(n²) when
+    * shingle document frequencies are bounded — the same guarantee
+    * jaccardPairs rides); sizes join back per side. At corpus scale swap
+    * the candidate stage for [[lshCandidatesFromHashes]] and verify the
+    * candidates exactly the same way.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdPpm: Long): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        expr("inter * 1000000 div sz_a").as("contain_a_ppm"),
+        expr("inter * 1000000 div sz_b").as("contain_b_ppm"))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm")) >= thresholdPpm)
+  }
+
+  /** [[containmentPairs]] at its 100 TB configuration: candidate pairs come
+    * only from shingles whose document frequency is ≤ `maxDf` (ubiquitous
+    * shingles are boilerplate — each contributes df² pairs and no
+    * containment signal), then every candidate is verified EXACTLY against
+    * the full shingle sets, so per-pair values are identical to the
+    * exhaustive form and only pairs overlapping solely in >maxDf shingles
+    * are (deliberately) excluded. The cap bounds the candidate join at
+    * maxDf·|shingles| pairs — the same df-bound discipline the LSH dedup
+    * rides — and the verification join touches candidate rows only.
+    */
+  def containmentPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, thresholdPpm: Long, maxDf: Long): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("s"),
+      "s")
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        expr("inter * 1000000 div sz_a").as("contain_a_ppm"),
+        expr("inter * 1000000 div sz_b").as("contain_b_ppm"))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm")) >= thresholdPpm)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature columns m0..m{numPerm-1} per doc_id from a

@@ -201,6 +201,39 @@ object Transforms {
       lit(";"))
   }
 
+  /** JSON-form INSERT statement, the keyspaces replay shape
+    * (keyspaces/CQLReplicator.scala:1013 `INSERT INTO t JSON '<row>'
+    * $tsSuffix$cas` and :1042/:1054 `INSERT INTO t JSON '<row>'$cas USING
+    * TTL n`). The JSON document is `''`-escaped as one string (keyspaces:
+    * 839); `USING TIMESTAMP` renders only when the value is positive
+    * (getTsValue guard, :1009) while a requested TTL always renders with
+    * the null→0 fallback (:1039-1044); `IF NOT EXISTS` appends when
+    * read-before-write is on (`cas`, keyspaces:590-593). Faithful to the
+    * reference's spacing: the timestamp branch always emits the space
+    * after the document, even when the suffix is empty.
+    */
+  def cqlInsertJsonStatement(table: String, json: Column,
+                             usingTtl: Option[Column] = None,
+                             usingTimestamp: Option[Column] = None,
+                             ifNotExists: Boolean = false): Column = {
+    require(usingTtl.isEmpty || usingTimestamp.isEmpty,
+      "reference renders either the TTL or the TIMESTAMP form, not both")
+    val cas = if (ifNotExists) " IF NOT EXISTS" else ""
+    val doc = regexp_replace(json, "'", "''")
+    usingTtl match {
+      case Some(t) =>
+        concat(lit(s"INSERT INTO $table JSON '"), doc, lit(s"'$cas USING TTL "),
+          coalesce(t.cast("long"), lit(0L)).cast("string"))
+      case None =>
+        val ts = usingTimestamp.map(w => coalesce(w.cast("long"), lit(0L)))
+          .getOrElse(lit(0L))
+        concat(lit(s"INSERT INTO $table JSON '"), doc, lit("' "),
+          when(ts > 0, concat(lit("USING TIMESTAMP "), ts.cast("string")))
+            .otherwise(lit("")),
+          lit(cas))
+    }
+  }
+
   /** Primary-key WHERE clause, the rowToStatement shape
     * (glue/sbin/keyspaces/CQLReplicator.scala:1076-1139): `pk=<literal>`
     * conditions joined by ` and `, values quoted per type exactly like the

@@ -247,4 +247,25 @@ class AnnSpec extends SparkSpec {
     val again = Multimodal.decodeStub(ds).collect().map(f => f.doc_id -> f.checksum).toMap
     assert(out.view.mapValues(_.checksum).toMap == again)
   }
+
+  test("perceptualHash: gradient-sign fixed values, length gate, dup groups") {
+    val spark0 = spark
+    import spark0.implicits._
+    val up = (0 to 62).map(j => ('0' + j).toChar).mkString   // strictly rising
+    val down = up.reverse                                     // strictly falling
+    val docs = Seq((1L, up), (2L, down), (3L, up), (4L, "short"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.perceptualHash(docs, "doc_id", "text", nBits = 62)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // len 63 => stride 1, all 62 comparisons rise: sum 2^0..2^61 = 2^62-1
+    assert(sigs(1L) === (1L << 62) - 1)
+    assert(sigs(2L) === 0L)
+    assert(sigs(3L) === sigs(1L))
+    // payloads below nBits+1 bytes carry no gradient signal and drop out
+    assert(!sigs.contains(4L))
+    val dups = Multimodal.phashDupGroups(
+        Multimodal.perceptualHash(docs, "doc_id", "text", nBits = 62))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dups.toSeq === Seq(((1L << 62) - 1, 2L, 1L)))
+  }
 }

@@ -144,4 +144,40 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) ===
       ((1L, 333333333333L.toDouble / 1.0 / 1.0e12, 333333333333L)))
   }
+
+  test("classifierScore sums matched hashed-feature weights per doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val w = TextAnalysis.syntheticWeights(spark, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights are the documented formula, bounded to [-8, 8]
+    assert(w.keySet === (0L until 64L).toSet)
+    assert(w.values.forall(v => v >= -8 && v <= 8))
+    assert(w(5L) === 5L * 2654435761L % 17 - 8)
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text",
+        TextAnalysis.syntheticWeights(spark, 64), dims = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def feat(t: String): Long = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(t).take(8), 16)
+      h % 64
+    }
+    assert(out(1L) === ((3L, 2 * w(feat("a")) + w(feat("b")))))
+    assert(out(2L) === ((1L, w(feat("c")))))
+  }
+
+  test("oovRate: vocab cutoff by (count desc, token asc), exact ppm") {
+    val spark0 = spark
+    import spark0.implicits._
+    // counts: a x4, b x2, c x2, z x1 -> top-2 vocab = {a, b} (c ties b,
+    // loses the token-asc tie-break only when ranked after b... b < c so
+    // vocab = {a, b}); oov tokens: c, z
+    val docs = Seq((1L, "a a b c"), (2L, "a a b c z")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 250000L)))
+    assert(out(2L) === ((5L, 2L, 400000L)))
+  }
 }

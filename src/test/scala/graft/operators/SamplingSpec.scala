@@ -46,4 +46,22 @@ class SamplingSpec extends SparkSpec {
     def tgt(c: Int) = math.min(c, math.ceil(2.0 * math.pow(c, 1.0 / 3)).toLong)
     assert(got == Map("a" -> tgt(100), "b" -> tgt(25), "c" -> tgt(4)))
   }
+
+  test("weightedSample: degenerate weights, monotonicity, determinism") {
+    val df = (0 until 500).map(i => (i.toLong, i % 100)).toDF("k", "w")
+    def kept(num: org.apache.spark.sql.Column): Set[Long] =
+      Sampling.weightedSample(df, "k", num, weightDen = 100L)
+        .select("k").as[Long].collect().toSet
+    // weight 0 keeps nothing; weight = den keeps everything
+    assert(kept(lit(0L)).isEmpty)
+    assert(kept(lit(100L)).size === 500)
+    // per-row monotone: every row kept at weight w stays kept at w+20
+    val atW = kept(col("w"))
+    assert(atW.nonEmpty && atW.size < 500)
+    assert(atW.subsetOf(kept(least(col("w") + 20, lit(100)))))
+    // same selection on a different partitioning
+    assert(kept(col("w")) ===
+      Sampling.weightedSample(df.repartition(7), "k", col("w"), 100L)
+        .select("k").as[Long].collect().toSet)
+  }
 }

@@ -225,4 +225,57 @@ class TextDedupSpec extends SparkSpec {
     assert(kept < docSh.count() / 2,
       s"bloom prefilter kept $kept of ${docSh.count()} corpus shingles")
   }
+
+  test("containmentPairs flags doc-inside-doc that Jaccard misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 3-grams
+    val long = short + " " + (100 to 160).map(i => s"x$i").mkString(" ")
+    val other = (200 to 240).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, thresholdPpm = 900000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    // the short doc is fully contained: C(short->long) = 1.0 exactly
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L))._1 === 1000000L)
+    assert(pairs((1L, 2L))._2 < 200000L) // asymmetry: long barely overlaps
+    // Jaccard at the same pair is far below any dup threshold
+    val j = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j < 0.2, s"jaccard $j should be small where containment is 1.0")
+  }
+
+  test("containmentPairsCapped: exact values, df cap drops boilerplate-only pairs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val boiler = "big common footer block"                       // shared by all
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ") + " " + boiler),
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ") + " " +
+        (100 to 140).map(i => s"x$i").mkString(" ") + " " + boiler),
+      (3L, (200 to 220).map(i => s"y$i").mkString(" ") + " " + boiler),
+      (4L, (300 to 320).map(i => s"z$i").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    // cap above every df: identical to the exhaustive form
+    val exhaustive = TextDedup.containmentPairs(docs, "doc_id", "text", 3, 100000L)
+    val capHigh = TextDedup.containmentPairsCapped(docs, "doc_id", "text", 3,
+      100000L, maxDf = 100L)
+    assert(canon(capHigh) === canon(exhaustive))
+    // cap 3 < df(boilerplate shingles)=4: pairs overlapping ONLY in the
+    // boilerplate vanish; the genuine containment pair (1,2) survives
+    // with values exactly equal to the exhaustive ones
+    val capped = TextDedup.containmentPairsCapped(docs, "doc_id", "text", 3,
+      100000L, maxDf = 3L)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((1L, 2L)))
+    assert(!cappedPairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val ex12 = canon(exhaustive.filter(col("doc_a") === 1 && col("doc_b") === 2))
+    val cp12 = canon(capped.filter(col("doc_a") === 1 && col("doc_b") === 2))
+    assert(cp12 === ex12)
+  }
 }

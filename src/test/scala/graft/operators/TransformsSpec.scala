@@ -117,4 +117,32 @@ class TransformsSpec extends SparkSpec {
     assert(rows(0) === ((" USING TTL 0", "", "")))
     assert(rows(1) === ((" USING TTL 5 AND TIMESTAMP 42", " USING TIMESTAMP 42", "")))
   }
+
+  test("cqlInsertJsonStatement: escaping, suffix branches, reference spacing") {
+    val df = Seq(
+      ("""{"k":1,"v":"it's"}""", Some(42L), Some(7L)),
+      ("""{"k":2}""", Some(0L), Option.empty[Long]))
+      .toDF("doc", "wt", "ttl")
+    val rows = df.select(
+      Transforms.cqlInsertJsonStatement("ks.t", col("doc"),
+        usingTimestamp = Some(col("wt"))).as("ts_form"),
+      Transforms.cqlInsertJsonStatement("ks.t", col("doc"),
+        usingTtl = Some(col("ttl")), ifNotExists = true).as("ttl_cas_form"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // '' escaping of the whole document (keyspaces:839); positive ts renders
+    assert(rows(0)._1 ===
+      """INSERT INTO ks.t JSON '{"k":1,"v":"it''s"}' USING TIMESTAMP 42""")
+    assert(rows(0)._2 ===
+      """INSERT INTO ks.t JSON '{"k":1,"v":"it''s"}' IF NOT EXISTS USING TTL 7""")
+    // ts=0 suppressed but the reference's pre-suffix space stays (:1013);
+    // null TTL falls back to 0 (:1039-1044)
+    assert(rows(1)._1 === """INSERT INTO ks.t JSON '{"k":2}' """)
+    assert(rows(1)._2 ===
+      """INSERT INTO ks.t JSON '{"k":2}' IF NOT EXISTS USING TTL 0""")
+    // the reference renders either the TTL or the TIMESTAMP form, never both
+    intercept[IllegalArgumentException] {
+      Transforms.cqlInsertJsonStatement("ks.t", col("doc"),
+        usingTtl = Some(col("ttl")), usingTimestamp = Some(col("wt")))
+    }
+  }
 }
