@@ -1998,6 +1998,57 @@ object Queries {
   // ----------------------------------------------------- analytics headline
 
   private val analytics: Seq[Q] = Seq(
+    Q("events_pivot",
+      // Pivoted per-user count matrix with EXPLICIT pivot values: no
+      // value-discovery pre-job, stable schema on any data partition,
+      // one shuffle, map-side-combined conditional counts.
+      (s, d) => Analytics.pivotCounts(Tables.events(s, d), "user_id",
+        "event_type", Seq("click", "error", "purchase", "signup", "view")),
+      Some("""SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |  COUNT(*) AS n_total
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    Q("events_running_total",
+      // Per-user running sequence + cumulative sum over (ts, event_id)
+      // order. Decimal accumulation keeps the cumsum exact and therefore
+      // engine-portable; both windows reuse one user_id exchange.
+      (s, d) => Analytics.runningTotals(Tables.events(s, d), "user_id",
+          Seq(col("ts"), col("event_id")), "value")
+        .select("user_id", "event_id", "running_n", "running_sum"),
+      Some("""SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER w AS running_n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 4)
+        |    AS running_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin)),
+
+    Q("retention_cohorts",
+      // Weekly cohort retention: cohort = window-min week per user (no
+      // self-join against a per-user aggregate), weeks as epoch-second
+      // longs so the truncation compares engine-portably.
+      (s, d) => Analytics.retentionCohorts(Tables.events(s, d),
+        "user_id", "ts"),
+      Some("""WITH wk AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('week', ts)) // 1000000 AS week_start
+        |  FROM events),
+        |cw AS (
+        |  SELECT user_id, week_start,
+        |    MIN(week_start) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM wk),
+        |act AS (
+        |  SELECT DISTINCT user_id, cohort_week,
+        |    (week_start - cohort_week) // 604800 AS week_offset
+        |  FROM cw)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM act GROUP BY 1, 2""".stripMargin)),
+
     Q("value_histogram",
       // Fixed-bin value distribution per event type — the histogram half
       // of data profiling beside column_stats. Bounds are a one-row

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics shapes beyond plain grouped aggregation: pivoted
+  * count matrices, ordered running totals, and cohort retention. All three
+  * are single-shuffle plans (one hash partitioning on the grouping/
+  * partition key, reused by every window in the stage) — the shapes a
+  * behavioural warehouse runs daily over event logs at 100 TB.
+  */
+object Analytics {
+
+  /** Per-key count matrix: one row per key, one column per pivot value
+    * (`n_<value>`), plus `n_total`. Pivot values are EXPLICIT — Spark's
+    * two-pass value discovery (`pivot(col)` without values runs a distinct
+    * job first) never fires, and the output schema is stable no matter
+    * which values a partition of the data happens to contain. One shuffle
+    * on the key; each cell is a map-side-combined conditional count.
+    */
+  def pivotCounts(df: DataFrame, keyCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    val cells = values.map(v =>
+      count(when(col(pivotCol) === v, 1)).as(s"n_$v"))
+    df.groupBy(col(keyCol))
+      .agg(cells.head, cells.tail :+ count(lit(1)).as("n_total"): _*)
+  }
+
+  /** Ordered running totals per partition key: sequence number and
+    * cumulative sum over an UNBOUNDED PRECEDING frame. The running sum
+    * accumulates in decimal — an exact, order-independent representation —
+    * so the result is bit-identical on any engine that walks the same
+    * (orderCols) order; double accumulation would disagree in the last ulp
+    * between engines. One shuffle on the partition key serves both windows.
+    */
+  def runningTotals(df: DataFrame, partCol: String, orderCols: Seq[Column],
+                    valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_n", row_number().over(
+        Window.partitionBy(col(partCol)).orderBy(orderCols: _*)))
+      .withColumn("running_sum",
+        round(sum(col(valueCol).cast(DecimalType(38, 6))).over(w)
+          .cast("double"), 4))
+  }
+
+  /** Weekly cohort retention: users bucket into the week of their first
+    * event (cohort), every active (user, week) pair counts once toward
+    * (cohort_week, week_offset). The cohort assignment is a window min —
+    * no self-join of the event log against a per-user aggregate — so the
+    * whole plan is one shuffle on user_id followed by one on the
+    * (cohort, offset) group key. Weeks are epoch-second longs (Monday
+    * truncation) for engine-portable comparison.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val week = unix_timestamp(date_trunc("week", col(tsCol)))
+    events
+      .select(col(userCol).as("user_id"), week.as("week_start"))
+      .withColumn("cohort_week",
+        min(col("week_start")).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("cohort_week"),
+        ((col("week_start") - col("cohort_week")) / 604800L)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

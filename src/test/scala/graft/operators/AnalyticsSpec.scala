@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("pivotCounts emits one row per key with explicit-value cells and a total") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "zzz") // zzz not in the value list -> counts only in total
+    ).toDF("k", "t")
+    val out = Analytics.pivotCounts(df, "k", "t", Seq("a", "b"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L, 1L, 3L), (2L, 0L, 1L, 2L)))
+    assert(out.head.schema.fieldNames.toSeq == Seq("k", "n_a", "n_b", "n_total"))
+  }
+
+  test("runningTotals orders within the partition and accumulates exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 1.5),
+      (10L, ts("2024-01-01 00:00:00"), 2L, 2.25), // ts tie -> event_id breaks it
+      (10L, ts("2024-01-02 00:00:00"), 3L, -1.0),
+      (20L, ts("2024-01-01 00:00:00"), 4L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Analytics.runningTotals(df, "user_id",
+        Seq(col("ts"), col("event_id")), "value")
+      .select("user_id", "event_id", "running_n", "running_sum")
+      .orderBy("user_id", "running_n").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq ==
+      Seq((10L, 1L, 1, 1.5), (10L, 2L, 2, 3.75), (10L, 3L, 3, 2.75),
+        (20L, 4L, 1, 7.0)))
+  }
+
+  test("retentionCohorts counts each user once per active week against its first week") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 2024-01-01 is a Monday. u1 active weeks 0 and 2 (twice — must count
+    // once); u2 joins in week 2 (its own offset-0), also active week 3.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-15 09:00:00")),
+      (1L, ts("2024-01-16 09:00:00")),
+      (2L, ts("2024-01-17 09:00:00")),
+      (2L, ts("2024-01-22 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Analytics.retentionCohorts(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val w2 = w0 + 2 * 604800L
+    assert(out == Seq((w0, 0L, 1L), (w0, 2L, 1L), (w2, 0L, 1L), (w2, 1L, 1L)))
+  }
+}
