@@ -1770,6 +1770,51 @@ object Queries {
         |        FROM closure GROUP BY node)
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
 
+    Q("dedup_apply",
+      // The deduplicated corpus itself: drop every non-canonical cluster
+      // member, keep everything else. The drop set is tiny (only near-dup
+      // docs) -> broadcast anti join; the corpus side never shuffles.
+      (s, d) => Clustering.applyDedup(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+        "doc_id", "doc_a", "doc_b"),
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM agg WHERE doc_id <> cluster_id)""".stripMargin)),
+
+    Q("dedup_incremental",
+      // Ingest-batch dedup against the standing corpus: incoming docs
+      // (doc_id % 5 = 0 stands in for "today's batch") band-join the
+      // corpus' LSH index — cross-side candidates only, never corpus x
+      // corpus — then exact Jaccard verification. The batch-ingest shape
+      // of minhash_lsh.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextDedup.minhashLshPairsAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+      },
+      Some(s"""WITH $shingleCteSql,
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.s = b.s
+        |       WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8""".stripMargin)),
+
     Q("tfidf_top_terms",
       // Per-doc top-5 terms by TF-IDF (idf = ln(N/df)); one fixed double
       // evaluation order so ranks and rounded scores match bit-for-bit.

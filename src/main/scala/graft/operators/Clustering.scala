@@ -99,4 +99,18 @@ object Clustering {
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(pairs, aCol, bCol)
       .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
+
+  /** The corpus AFTER dedup: every document that is either outside any
+    * near-dup cluster or its cluster's canonical (min-id) survivor. The
+    * step that turns pair/cluster REPORTS into the training corpus itself.
+    * The drop set holds only non-canonical cluster members — tiny relative
+    * to the corpus — so the anti join broadcasts under AQE and the big
+    * side streams through unshuffled.
+    */
+  def applyDedup(docs: DataFrame, pairs: DataFrame, idCol: String,
+                 aCol: String, bCol: String): DataFrame = {
+    val drop = dedupClusters(pairs, aCol, bCol)
+      .filter(!col("keep")).select(col("doc_id").as("__drop_id"))
+    docs.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
 }

@@ -344,6 +344,47 @@ object TextDedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** Incremental near-dup detection: every `newDocs` document that
+    * near-duplicates a `corpus` document (doc_a = incoming id, doc_b =
+    * corpus id, exact shingle-set Jaccard ≥ threshold). The production
+    * ingest shape — a daily batch checks against the standing corpus
+    * WITHOUT re-pairing the corpus against itself: band keys build on
+    * each side and the candidate equi-join crosses sides only, so cost
+    * scales with |batch| + matching buckets, never corpus². At 100 TB the
+    * corpus' banded relation is the precomputed LSH index (write it once,
+    * bucket-partitioned by (band, bh)); each ingest batch re-derives only
+    * its own signatures. Precondition: ids are disjoint across sides
+    * (both relations share one id space).
+    */
+  def minhashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int, numPerm: Int, bands: Int,
+                             threshold: Double): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be a multiple of bands")
+    val shNew = shingleHashTable(newDocs, idCol, textCol, n)
+    val shOld = shingleHashTable(corpus, idCol, textCol, n)
+    def banded(sh: DataFrame): DataFrame = sh.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.MinHashAggFunctions
+        .minhashBandKeys(col("h"), numPerm, bands).as("bk"))
+      .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bh")))
+    val candidates = banded(shNew).as("a")
+      .join(banded(shOld).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification runs over the union of both shingle relations so one
+    // sizes relation serves both sides of every candidate
+    val sh = shNew.unionByName(shOld)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
   /** Benchmark decontamination: for every candidate doc, the number of its
     * distinct n-gram shingles that appear anywhere in the benchmark set,
     * and a flag at `minOverlap` — the standard overlap test run before

@@ -50,6 +50,38 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact && exact.nonEmpty)
   }
 
+  test("minhashLshPairsAgainst equals the cross-side slice of the exhaustive pairs") {
+    val d = Tables.documents(spark, sfDir)
+    val incoming = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    // exhaustive cross-side reference: all jaccard pairs, keep those with
+    // exactly one member in the incoming set, oriented incoming-first
+    val exact = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _ => None
+        }
+      }.toSet
+    val got = TextDedup.minhashLshPairsAgainst(incoming, corpus,
+        "doc_id", "text", 3, 128, 32, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact && exact.nonEmpty)
+  }
+
+  test("applyDedup keeps canonical members and untouched docs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val all = Seq(1L, 2L, 3L, 4L, 7L).toDF("doc_id")
+    // clusters {1,2,3} (via chain) and {4}∅; 7 untouched
+    val pairs = Seq((2L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Clustering.applyDedup(all, pairs, "doc_id", "doc_a", "doc_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L))
+  }
+
   test("MinHashAgg band keys equal the declarative xxhash64 formulation") {
     import org.apache.spark.sql.graft.MinHashAggFunctions
     val numPerm = 16
