@@ -804,6 +804,27 @@ object Queries {
     * (elementwise double products summed left-to-right, then divided by
     * each norm in turn) so doubles match bit-for-bit before rounding.
     */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       | x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
+
+  /** Shared PQ codebook + encoding CTEs (m=4 subspaces x 16 dims, one
+    * codeword per 25th vector): `cb` = (subspace, code, cvs), `enc` =
+    * nearest code per (vec_id, subspace).
+    */
+  private val pqCteSql: String =
+    s"""cb AS (SELECT CAST(s.s AS BIGINT) AS subspace, e.vec_id // 25 AS code,
+       |         list_slice(e.embedding, s.s*16+1, s.s*16+16) AS cvs
+       |       FROM embeddings e, (SELECT unnest([0,1,2,3]) AS s) s
+       |       WHERE e.vec_id % 25 = 0),
+       |scored AS (SELECT e.vec_id, c.subspace, c.code,
+       |    ${l2Sql("list_slice(e.embedding, c.subspace*16+1, c.subspace*16+16)", "c.cvs")} AS d
+       |  FROM embeddings e CROSS JOIN cb c),
+       |enc AS (SELECT vec_id, subspace, code, d FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d, code) AS rn FROM scored) WHERE rn = 1)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -1439,6 +1460,48 @@ object Queries {
         |  ROUND(cos, 4) AS cosine
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("pq_encode",
+      // Product quantization codes: m=4 subspaces x 16 dims, per-subspace
+      // nearest codeword (squared L2, ties -> min code) from a broadcast
+      // sampled codebook. The 64x storage compression in front of ADC.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Pq.encode(emb,
+          Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", m = 4, subDim = 16),
+          "vec_id", "embedding", subDim = 16)
+      },
+      Some(s"""WITH $pqCteSql
+        |SELECT vec_id, subspace, code, ROUND(d, 4) AS dist FROM enc""".stripMargin)),
+
+    Q("pq_topk",
+      // ADC top-k over the PQ codes: query-to-codeword LUT broadcasts,
+      // per-(query, vector) distance = decimal sum of m lookups, bounded-
+      // heap top-k. The memory-bound ANN scan (codes, not vectors).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", m = 4, subDim = 16)
+        Pq.adcTopK(
+          Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
+            .select("vec_id", "subspace", "code"),
+          cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          subDim = 16, k = 3)
+      },
+      Some(s"""WITH $pqCteSql,
+        |lut AS (SELECT q.vec_id AS query_id, c.subspace, c.code,
+        |    ${l2Sql("list_slice(q.embedding, c.subspace*16+1, c.subspace*16+16)", "c.cvs")} AS d
+        |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5),
+        |summed AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+        |    SUM(CAST(l.d AS DECIMAL(38,12))) AS adc_exact
+        |  FROM enc en JOIN lut l ON en.subspace = l.subspace AND en.code = l.code
+        |  WHERE en.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(CAST(adc_exact AS DOUBLE), 4) AS adc
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_exact, neighbor_id) AS rank FROM summed)
         |WHERE rank <= 3""".stripMargin)),
 
     Q("lang_id",

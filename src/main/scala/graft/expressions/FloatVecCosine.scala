@@ -77,10 +77,65 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared euclidean distance over two float-vector columns — the PQ/
+  * kmeans metric — as a native codegen expression. Same rationale and
+  * IEEE discipline as [[FloatVecCosine]]: elementwise double differences
+  * squared and summed left-to-right, one tight primitive loop.
+  */
+case class FloatVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vec_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for graft's native expressions. */
 object GraftExpressions {
   def floatVecCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecCosine(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def floatVecL2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecL2Sq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** DEFLATE/INFLATE as codegen'd StaticInvoke expressions — the codec

@@ -215,6 +215,86 @@ class AnnSpec extends SparkSpec {
     info(f"recall@3: nprobe=1 $r1%.3f, 2 $r2%.3f, 5 $r5%.3f, 20 $r20%.3f")
   }
 
+  test("pq encode picks the per-subspace nearest codeword") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", m = 4, subDim = 16)
+    val enc = Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
+    // every (vec, subspace, candidate code) distance; the encoded choice
+    // must hold the minimum (ties -> min code)
+    val l2 = org.apache.spark.sql.graft.GraftExpressions.floatVecL2Sq _
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cb))
+      .select(col("vec_id"), col("subspace"), col("code"),
+        l2(slice(col("embedding"), col("subspace") * 16 + 1, lit(16)),
+          col("cvs")).as("d"))
+    val best = all.groupBy("vec_id", "subspace")
+      .agg(min(struct(col("d"), col("code"))).as("b"))
+      .select(col("vec_id"), col("subspace"), col("b.code").as("code"))
+    val mismatch = enc.select("vec_id", "subspace", "code")
+      .exceptAll(best).count()
+    assert(mismatch == 0)
+    assert(enc.count() == emb.count() * 4)
+  }
+
+  test("pq adcTopK with a corpus-complete codebook equals exact L2 top-k") {
+    val spark0 = spark
+    import spark0.implicits._
+    // codebook = every vector: each vector encodes to itself (d = 0), so
+    // ADC(q, x) = L2(q, x) exactly and PQ degenerates to exact search
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.6f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.codebookFromSample(vs, "vec_id", "embedding", m = 2, subDim = 2)
+    val codes = Pq.encode(vs, cb, "vec_id", "embedding", subDim = 2)
+    assert(codes.filter(col("dist") =!= 0.0).count() == 0)
+    val got = Pq.adcTopK(codes.select("vec_id", "subspace", "code"), cb, vs,
+        "vec_id", "embedding", subDim = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l2 = org.apache.spark.sql.graft.GraftExpressions.floatVecL2Sq _
+    val truth = vs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rank") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(got == truth)
+  }
+
+  test("pq adcTopK recall vs exact L2 top-k on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", m = 4, subDim = 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
+      .select("vec_id", "subspace", "code")
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val got = Pq.adcTopK(codes, cb, queries, "vec_id", "embedding",
+        subDim = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2 = org.apache.spark.sql.graft.GraftExpressions.floatVecL2Sq _
+    val truth = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), l2(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(truth.contains).toDouble / truth.size
+    assert(recall > 0.0 && recall <= 1.0)
+    info(f"pq adc recall@3 = $recall%.3f (codebook: every 25th vector)")
+  }
+
   test("frameSlices partitions the payload exactly; frameFeatures is deterministic") {
     val spark0 = spark
     import spark0.implicits._
