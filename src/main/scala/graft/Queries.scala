@@ -1411,6 +1411,33 @@ object Queries {
         |        FROM closure GROUP BY node)
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
 
+    Q("semdedup_apply",
+      // SemDeDup (Abbas et al. '23): semantic dedup of the embedding
+      // corpus itself — semantically-duplicate vectors (cosine above the
+      // corpus' near-dup threshold, within IVF buckets) collapse to one
+      // canonical survivor; everything else passes through. The same
+      // applyDedup operator as the text path, composed over embedding
+      // pairs.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Clustering.applyDedup(emb.select("vec_id", "label"),
+          Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
+          "vec_id", "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4)}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS vid, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vid FROM agg WHERE vid <> cluster_id)""".stripMargin)),
+
     Q("ann_ivf_refined_assign",
       // IVF assignment from the full production quantizer: seeded
       // deterministic kmeans‖-style init (configurable k) + two Lloyd
