@@ -1834,7 +1834,20 @@ object Queries {
         Tables.events(s, d).select("user_id"), "user_id", 0.02),
       Some("""SELECT user_id, COUNT(*) AS freq FROM events
         |GROUP BY 1
-        |HAVING COUNT(*) >= 0.02 * (SELECT COUNT(*) FROM events)""".stripMargin))
+        |HAVING COUNT(*) >= 0.02 * (SELECT COUNT(*) FROM events)""".stripMargin)),
+
+    Q("heavy_hitters_cms",
+      // Same answer via the one-pass count-min path: fixed-size mergeable
+      // sketch (keyless aggregate — nothing shuffles by key), broadcast
+      // row-wise candidate filter, exact count of candidate rows only.
+      // CMS never underestimates -> candidate superset -> the final exact
+      // filter reproduces the exact output; the oracle is the SAME query.
+      // Support 0.7% is non-vacuous at the gate scale (54 hitters).
+      (s, d) => Sketches.heavyHittersCms(
+        Tables.events(s, d).select("user_id"), "user_id", 0.007),
+      Some("""SELECT user_id, COUNT(*) AS freq FROM events
+        |GROUP BY 1
+        |HAVING COUNT(*) >= 0.007 * (SELECT COUNT(*) FROM events)""".stripMargin))
   )
 
   // ------------------------------------------------- curation (round 2)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate sketches for profiling at scale: HyperLogLog++ distinct
@@ -32,6 +32,45 @@ object Sketches {
     val totals = df.agg(count(lit(1)).as("__total"))
     df.groupBy(valueCol).agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(totals))
+      .filter(col("freq") >= col("__total") * support)
+      .drop("__total")
+  }
+
+  /** Per-key count-min estimate against a (broadcast) flattened sketch
+    * column: min over the depth rows of the key's cell. Pure codegen'd
+    * Column — `element_at(sketch, i·width + pmod(xxhash64(key, i), width)
+    * + 1)` — bucket arithmetic bit-identical to [[org.apache.spark.sql
+    * .graft.CountMinAgg]]'s update (both are Spark's own xxhash64).
+    */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    least((0 until depth).map { i =>
+      element_at(sketch,
+        (lit(i.toLong * width) + pmod(xxhash64(key, lit(i)), lit(width.toLong))
+          + 1L).cast("int"))
+    }: _*)
+
+  /** [[heavyHitters]] at its 100 TB configuration: a one-pass count-min
+    * sketch (fixed depth×width state, mergeable — the only full-data
+    * aggregate has NO grouping key, so nothing shuffles by key) broadcasts
+    * back as a row-wise candidate filter; only rows of candidate keys
+    * reach the exact groupBy. CMS never underestimates, so the candidate
+    * set is a superset of the true heavy keys and the final exact filter
+    * makes the output IDENTICAL to the exact form — the sketch buys the
+    * shuffle reduction, not an approximation. Both filters compare
+    * against the same `support · total` value, preserving the guarantee
+    * under fp rounding.
+    */
+  def heavyHittersCms(df: DataFrame, valueCol: String, support: Double,
+                      depth: Int = 4, width: Int = 8192): DataFrame = {
+    val sk = df.agg(
+      org.apache.spark.sql.graft.CountMinAggFunctions
+        .countMinSketch(col(valueCol).cast("long"), depth, width).as("__sk"),
+      count(lit(1)).as("__total"))
+    df.crossJoin(broadcast(sk))
+      .filter(cmsEstimate(col("__sk"), col(valueCol).cast("long"),
+        depth, width) >= col("__total") * support)
+      .groupBy(col(valueCol), col("__total"))
+      .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= col("__total") * support)
       .drop("__total")
   }

@@ -31,4 +31,36 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hits == Map("a" -> 50L, "b" -> 30L))
   }
+
+  test("cmsEstimate never underestimates and is exact for isolated keys") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keys = (1L to 200L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val df = keys.toDF("k")
+    val depth = 4
+    val width = 1024
+    val sk = df.agg(org.apache.spark.sql.graft.CountMinAggFunctions
+      .countMinSketch(col("k"), depth, width).as("sk"))
+    val est = df.distinct().crossJoin(broadcast(sk))
+      .select(col("k"),
+        Sketches.cmsEstimate(col("sk"), col("k"), depth, width).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS must never underestimate: key $k est ${est(k)} < $n")
+    }
+    // at this load factor (200 keys / 1024 cells) most rows are clean:
+    // the min over 4 rows should be exact for the large majority
+    val exactCount = exact.count { case (k, n) => est(k) == n }
+    assert(exactCount > 150, s"expected mostly exact estimates, got $exactCount/200")
+  }
+
+  test("heavyHittersCms equals the exact heavy hitters on real events") {
+    val e = Tables.events(spark, sfDir).select("user_id")
+    val exact = Sketches.heavyHitters(e, "user_id", 0.02)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cms = Sketches.heavyHittersCms(e, "user_id", 0.02)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cms == exact && exact.nonEmpty)
+  }
 }
