@@ -2176,6 +2176,26 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS UNBOUNDED PRECEDING)""".stripMargin)),
 
+    Q("events_funnel",
+      // Ordered signup -> view -> purchase funnel: greedy min-ts matching,
+      // step i only counts events at/after the user's step i-1 time. All
+      // stages share one user_id partitioning; counts are one-row aggs.
+      (s, d) => Analytics.funnel(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("signup", "view", "purchase")),
+      Some("""WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |        WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM s0
+        |UNION ALL
+        |SELECT 1, 'view', COUNT(*) FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', COUNT(*) FROM s2""".stripMargin)),
+
     Q("retention_cohorts",
       // Weekly cohort retention: cohort = window-min week per user (no
       // self-join against a per-user aggregate), weeks as epoch-second

@@ -46,6 +46,36 @@ object Analytics {
           .cast("double"), 4))
   }
 
+  /** Ordered funnel conversion: step i counts users whose earliest
+    * qualifying step-i event occurs AT OR AFTER their step-(i-1) time
+    * (min-ts greedy matching — the standard funnel semantics; a user
+    * converts iff the steps occur in order). Each stage is one filtered
+    * aggregate joined on the user key, so all stages reuse a single hash
+    * partitioning on user and the per-stage relations shrink
+    * monotonically; stage counts are one-row aggregates unioned at the
+    * end. No window over the full event log, no per-user event sorting.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+        val qualified = prev match {
+          case None => hits
+          case Some(p) => hits.join(p, "user_id").filter(col("ts") >= col("t"))
+            .select("user_id", "ts")
+        }
+        Some(qualified.groupBy("user_id").agg(min(col("ts")).as("t")))
+    }.flatten
+    stages.zip(steps.zipWithIndex).map { case (stage, (step, i)) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention: users bucket into the week of their first
     * event (cohort), every active (user, week) pair counts once toward
     * (cohort_week, week_offset). The cohort assignment is a window min —

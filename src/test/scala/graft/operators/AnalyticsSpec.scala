@@ -42,6 +42,30 @@ class AnalyticsSpec extends SparkSpec {
         (20L, 4L, 1, 7.0)))
   }
 
+  test("funnel counts ordered conversions only") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      // u1 converts fully in order
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-02 00:00:00")),
+      (1L, "c", ts("2024-01-03 00:00:00")),
+      // u2: b happens BEFORE a -> must not count for step b
+      (2L, "b", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-02 00:00:00")),
+      // u3: a and b, c missing
+      (3L, "a", ts("2024-01-01 00:00:00")),
+      (3L, "b", ts("2024-01-01 00:00:00")), // same instant counts (>=)
+      // u4: never enters the funnel
+      (4L, "c", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(df, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "a", 3L), (1L, "b", 2L), (2L, "c", 1L)))
+  }
+
   test("retentionCohorts counts each user once per active week against its first week") {
     val spark0 = spark
     import spark0.implicits._
