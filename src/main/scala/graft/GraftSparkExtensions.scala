@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{FloatVecCosine, GraftVecOps, MinHashAgg, SimHashAgg}
+import org.apache.spark.sql.graft.{CountMinAgg, FloatVecCosine, FloatVecL2Sq, GraftVecOps, MinHashAgg, SimHashAgg}
 import org.apache.spark.sql.types.IntegerType
 
 /** Spark extension entry point: makes graft's native expressions available
@@ -68,6 +68,21 @@ object GraftSparkExtensions {
           Substring(Md5(Cast(children.head, StringType)),
             Literal(1), Literal(4)),
           Literal(16), Literal(10)), IntegerType)
+      }),
+    (FunctionIdentifier("float_vec_l2sq"),
+      info("float_vec_l2sq",
+        "float_vec_l2sq(a, b) - squared euclidean distance of two float vectors"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_vec_l2sq takes exactly 2 arguments")
+        FloatVecL2Sq(children.head, children(1))
+      }),
+    (FunctionIdentifier("count_min_sketch_flat"),
+      info("count_min_sketch_flat",
+        "count_min_sketch_flat(key, depth, width) - aggregate: depth x width count-min sketch of 64-bit keys, flattened row-major to array<long>; per-key estimate = min over i of sketch[i*width + pmod(xxhash64(key, i), width) + 1]"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "count_min_sketch_flat takes exactly 3 arguments")
+        CountMinAgg(children.head, intArg(children(1), "depth"),
+          intArg(children(2), "width"))
       }),
     (FunctionIdentifier("srp_sign"),
       info("srp_sign",

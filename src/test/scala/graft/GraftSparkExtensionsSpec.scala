@@ -64,6 +64,29 @@ class GraftSparkExtensionsSpec extends SparkSpec {
     assert(srp.getLong(0) == srp.getLong(1)) // deterministic
   }
 
+  test("float_vec_l2sq and count_min_sketch_flat are callable from SQL") {
+    GraftSparkExtensions.register(spark)
+    val d = spark.sql(
+      """SELECT float_vec_l2sq(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(d == 25.0) // 3^2 + 4^2
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(7L, 7L, 9L).toDF("k").createOrReplaceTempView("cms_in")
+    // estimate formula against the SQL-built sketch: key 7 appears twice
+    val est = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch_flat(k, 4, 64) AS s FROM cms_in)
+        |SELECT least(
+        |  element_at(s, CAST(0*64 + pmod(xxhash64(CAST(7 AS BIGINT), 0), 64) + 1 AS INT)),
+        |  element_at(s, CAST(1*64 + pmod(xxhash64(CAST(7 AS BIGINT), 1), 64) + 1 AS INT)),
+        |  element_at(s, CAST(2*64 + pmod(xxhash64(CAST(7 AS BIGINT), 2), 64) + 1 AS INT)),
+        |  element_at(s, CAST(3*64 + pmod(xxhash64(CAST(7 AS BIGINT), 3), 64) + 1 AS INT))) AS est
+        |FROM sk""".stripMargin).head().getLong(0)
+    assert(est >= 2L && est <= 3L)
+  }
+
   test("hash_bucket in SQL equals Sampling.hashBucket and the seed is stable") {
     GraftSparkExtensions.register(spark)
     val spark0 = spark
