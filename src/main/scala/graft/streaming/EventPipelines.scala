@@ -55,6 +55,34 @@ object EventPipelines {
   def windowAggStream(events: DataFrame): DataFrame =
     windowAggCore(events.withWatermark("ts", "2 hours"))
 
+  // ------------------------------------------------- windowed CMS sketch
+
+  /** Tumbling 1-hour count-min sketch of the user key + total: the
+    * streaming half of the heavy-hitter pipeline (Sketches
+    * .heavyHittersCms) — per-window state is ONE fixed depth×width
+    * buffer regardless of key cardinality, merged additively across
+    * micro-batches (commutative, so the streamed sketch is bit-equal to
+    * the batch sketch over the same rows — spec-proven). A consumer
+    * filters candidate keys against the published sketch and exact-counts
+    * only those, exactly as in the batch form.
+    */
+  def cmsWindowCore(events: DataFrame, depth: Int = 4,
+                    width: Int = 1024): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"))
+      .agg(org.apache.spark.sql.graft.CountMinAggFunctions
+          .countMinSketch(col("user_id").cast("long"), depth, width)
+          .as("sketch"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("sketch"), col("n_events"))
+
+  /** Streaming form of [[cmsWindowCore]]: the state store holds the
+    * serialized sketch buffer per window.
+    */
+  def cmsWindowStream(events: DataFrame, depth: Int = 4,
+                      width: Int = 1024): DataFrame =
+    cmsWindowCore(events.withWatermark("ts", "2 hours"), depth, width)
+
   // ------------------------------------------------------- latest-per-key
 
   /** Batch: newest event per (user, type) — upsert/CDC compaction. Ordered

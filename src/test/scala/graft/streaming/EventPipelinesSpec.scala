@@ -43,6 +43,27 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("cmsWindowStream sketches equal the batch sketches bit-for-bit") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    val q = cmsWindowStream(in.toDF(), depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cmsw")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(sample.take(3)); q.processAllAvailable()
+      in.addData(sample.drop(3)); q.processAllAvailable() // cross-batch merge
+    } finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSet
+    val streamed = canon(spark.table("cmsw").collect())
+    val batch = canon(cmsWindowCore(sample.toDF(), depth = 4, width = 64).collect())
+    assert(streamed == batch && batch.nonEmpty)
+    // the sketch really counts: window 0 holds 3 events across 2 keys
+    val w0 = batch.find(_._1 == 0L).get
+    assert(w0._3 == 3L && w0._2.sum == 3L * 4) // each event increments depth cells
+  }
+
   test("latestPerKeyStream upserts to the batch answer across micro-batches") {
     val spark0 = spark
     import spark0.implicits._
