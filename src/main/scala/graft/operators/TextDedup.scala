@@ -103,8 +103,11 @@ object TextDedup {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         wordsPerPara: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
+    // 64-bit hash key (not md5 hex strings): the boilerplate-set shuffle
+    // and the anti join move 8-byte longs; collision argument as in
+    // [[minhashLshPairs]]
     val segs = segmentRows(docs, idCol, textCol, wordsPerPara)
-      .withColumn("para_hash", md5(col("para")))
+      .withColumn("para_hash", xxhash64(col("para")))
     val boiler = segs.groupBy("para_hash")
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
