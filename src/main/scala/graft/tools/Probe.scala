@@ -170,11 +170,19 @@ object Probe {
     }
     for (name <- sys.env.getOrElse("AUDIT", "q1_pricing_agg").split(",")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()   // force AQE final plan
-      val plan = df.queryExecution.executedPlan.toString
+      // Execute THIS plan instance (a writer would build its own
+      // QueryExecution and leave this AdaptiveSparkPlan un-finalized,
+      // hiding the codegen stages from the string).
+      val exec = df.queryExecution.executedPlan
+      exec.execute().foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      val plan = exec.toString
+      // codegen stages appear as `*(N)` operator prefixes in the plan
+      // string — count DISTINCT stage ids, not occurrences
+      val wscg = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"[audit] $name: exchanges=" + "Exchange hashpartitioning".r.findAllIn(plan).length +
         " broadcasts=" + "BroadcastExchange".r.findAllIn(plan).length +
-        " wscg=" + "WholeStageCodegen".r.findAllIn(plan).length)
+        s" wscg=$wscg")
       plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .take(6).foreach(l => println("[audit]   " + l.trim.take(240)))
     }
