@@ -1894,6 +1894,34 @@ object Queries {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM agg WHERE doc_id <> cluster_id)""".stripMargin)),
 
+    Q("dedup_savings",
+      // The dedup accounting report: per-source docs/chars before vs
+      // after dropping non-canonical cluster members. Broadcast left join
+      // of the tiny drop set + one grouped aggregate; long sums (exact).
+      (s, d) => Clustering.dedupSavings(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+        "doc_id", "doc_a", "doc_b", "source", "n_chars"),
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node),
+        |drops AS (SELECT doc_id FROM agg WHERE doc_id <> cluster_id)
+        |SELECT source,
+        |  COUNT(*) AS docs_before,
+        |  COUNT(*) FILTER (dr.doc_id IS NULL) AS docs_after,
+        |  CAST(SUM(n_chars) AS BIGINT) AS weight_before,
+        |  CAST(COALESCE(SUM(n_chars) FILTER (dr.doc_id IS NULL), 0) AS BIGINT)
+        |    AS weight_after
+        |FROM documents LEFT JOIN drops dr USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("dedup_incremental",
       // Ingest-batch dedup against the standing corpus: incoming docs
       // (doc_id % 5 = 0 stands in for "today's batch") band-join the

@@ -113,4 +113,25 @@ object Clustering {
       .filter(!col("keep")).select(col("doc_id").as("__drop_id"))
     docs.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** What dedup bought, per group: document and weight (e.g. char/token)
+    * totals before and after dropping non-canonical cluster members — the
+    * report a corpus owner reads after every dedup run. One broadcast
+    * left join of the tiny drop set + one grouped aggregate; weights sum
+    * as longs (exact).
+    */
+  def dedupSavings(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   aCol: String, bCol: String, groupCol: String,
+                   weightCol: String): DataFrame = {
+    val drop = dedupClusters(pairs, aCol, bCol)
+      .filter(!col("keep")).select(col("doc_id").as("__drop_id"))
+    docs.join(drop, col(idCol) === col("__drop_id"), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("docs_before"),
+        count(when(col("__drop_id").isNull, 1)).as("docs_after"),
+        sum(col(weightCol)).as("weight_before"),
+        coalesce(sum(when(col("__drop_id").isNull, col(weightCol))), lit(0L))
+          .as("weight_after"))
+  }
 }

@@ -82,6 +82,21 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 7L))
   }
 
+  test("dedupSavings accounts docs and weights per group exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val all = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s2", 30L),
+      (4L, "s2", 40L)).toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b") // cluster {1,2,3}
+    val out = Clustering.dedupSavings(all, pairs, "doc_id", "doc_a", "doc_b",
+        "source", "n_chars")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // survivor of {1,2,3} is 1; doc 4 untouched
+    assert(out == Seq(("s1", 2L, 1L, 30L, 10L), ("s2", 2L, 1L, 70L, 40L)))
+  }
+
   test("MinHashAgg band keys equal the declarative xxhash64 formulation") {
     import org.apache.spark.sql.graft.MinHashAggFunctions
     val numPerm = 16
