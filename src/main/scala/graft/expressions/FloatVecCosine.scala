@@ -142,6 +142,16 @@ object GraftExpressions {
     * stays a plain JVM method but the call site lives inside whole-stage
     * codegen (no UDF serialization, no codegen break).
     */
+  /** Z-order bit interleave of two non-negative longs (low 32 bits each;
+    * a takes even bit positions). Codegen'd StaticInvoke — the curve math
+    * stays a plain JVM method inside whole-stage codegen.
+    */
+  def zInterleave(a: Column, b: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.sources.ZOrderOps.getClass, LongType, "interleave",
+      Seq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+      Seq(LongType, LongType)))
+
   def deflate(bin: Column): Column =
     ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       graft.operators.GraftCodec.getClass, BinaryType, "deflate",

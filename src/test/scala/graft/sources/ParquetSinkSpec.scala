@@ -85,6 +85,42 @@ class ParquetSinkSpec extends SparkSpec {
       s"sorted layout read $sortedRead rows vs $unsortedRead unsorted")
   }
 
+  test("writeZOrdered prunes selective scans on BOTH curve dimensions") {
+    val spark0 = spark
+    import spark0.implicits._
+    import java.nio.file.Files
+    // two independent pseudo-random dimensions
+    val df = spark.range(0, 300000).select(
+      (col("id") * 2654435761L % 1000003L).as("k1"),
+      (col("id") * 40503L % 99991L).as("k2"),
+      col("id").as("v"))
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val sortDir = Files.createTempDirectory("graft-sort1").toString
+    val flatDir = Files.createTempDirectory("graft-flat").toString
+    ParquetSink.writeZOrdered(df, zDir, "k1", "k2", numFiles = Some(64))
+    ParquetSink.writeSorted(df, sortDir, Seq("k1"), numFiles = Some(64))
+    df.repartition(4).write.mode("overwrite").parquet(flatDir)
+    def scanRows(dir: String, filter: org.apache.spark.sql.Column): Long = {
+      val qe = spark.read.parquet(dir).filter(filter).queryExecution
+      qe.executedPlan.execute().count()
+      qe.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // answers identical across layouts
+    for (f <- Seq(col("k1") < 1000, col("k2") < 100)) {
+      assert(spark.read.parquet(zDir).filter(f).count() ==
+        spark.read.parquet(flatDir).filter(f).count())
+    }
+    val zK1 = scanRows(zDir, col("k1") < 1000)
+    val zK2 = scanRows(zDir, col("k2") < 100)
+    val sortK2 = scanRows(sortDir, col("k2") < 100)
+    val flatK1 = scanRows(flatDir, col("k1") < 1000)
+    // z-order prunes both dimensions; the single-sort layout cannot help
+    // the other column
+    assert(zK1 < flatK1 / 2, s"z k1 scan $zK1 vs flat $flatK1")
+    assert(zK2 < sortK2 / 2, s"z k2 scan $zK2 vs k1-sorted $sortK2")
+  }
+
   test("saltedJoin equals the plain join") {
     val spark0 = spark
     import spark0.implicits._
