@@ -2204,6 +2204,20 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS UNBOUNDED PRECEDING)""".stripMargin)),
 
+    Q("events_rolling_stats",
+      // Trailing 1-hour rolling count/sum per event type (RANGE frame on
+      // epoch seconds — integer-exact membership, decimal-exact sum).
+      (s, d) => Analytics.rollingStats(Tables.events(s, d), "event_type",
+          "ts", "value", windowSeconds = 3600L)
+        .select("event_id", "event_type", "rolling_n", "rolling_sum"),
+      Some("""SELECT event_id, event_type,
+        |  COUNT(*) OVER w AS rolling_n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 4)
+        |    AS rolling_sum
+        |FROM (SELECT *, epoch_us(ts) // 1000000 AS ep FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ep
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     Q("events_funnel",
       // Ordered signup -> view -> purchase funnel: greedy min-ts matching,
       // step i only counts events at/after the user's step i-1 time. All

@@ -46,6 +46,27 @@ object Analytics {
           .cast("double"), 4))
   }
 
+  /** Trailing-window rolling stats per key: count and exact (decimal)
+    * sum over a RANGE frame of the preceding `windowSeconds` — the
+    * moving-average/anomaly-baseline shape. The range frame is defined
+    * on epoch SECONDS (a long), so frame membership is integer-exact and
+    * engine-portable; ties at one timestamp all enter the frame
+    * (standard RANGE semantics on both engines). One shuffle on the
+    * partition key.
+    */
+  def rollingStats(df: DataFrame, partCol: String, tsCol: String,
+                   valueCol: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col("__epoch"))
+      .rangeBetween(-windowSeconds, 0)
+    df.withColumn("__epoch", unix_timestamp(col(tsCol)))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum",
+        round(sum(col(valueCol).cast(DecimalType(38, 6))).over(w)
+          .cast("double"), 4))
+      .drop("__epoch")
+  }
+
   /** Ordered funnel conversion: step i counts users whose earliest
     * qualifying step-i event occurs AT OR AFTER their step-(i-1) time
     * (min-ts greedy matching — the standard funnel semantics; a user

@@ -42,6 +42,25 @@ class AnalyticsSpec extends SparkSpec {
         (20L, 4L, 1, 7.0)))
   }
 
+  test("rollingStats counts/sums exactly the trailing range frame") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:30:00"), 2.0),
+      ("a", ts("2024-01-01 01:00:00"), 4.0), // exactly 1h after row 1: in frame
+      ("a", ts("2024-01-01 02:30:00"), 8.0), // everything else expired
+      ("b", ts("2024-01-01 00:45:00"), 16.0)
+    ).toDF("event_type", "ts", "value")
+    val out = Analytics.rollingStats(df, "event_type", "ts", "value", 3600L)
+      .select("event_type", "ts", "rolling_n", "rolling_sum")
+      .orderBy("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 7.0), ("a", 1L, 8.0),
+      ("b", 1L, 16.0)))
+  }
+
   test("funnel counts ordered conversions only") {
     val spark0 = spark
     import spark0.implicits._
