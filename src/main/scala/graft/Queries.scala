@@ -804,6 +804,12 @@ object Queries {
     * (elementwise double products summed left-to-right, then divided by
     * each norm in turn) so doubles match bit-for-bit before rounding.
     */
+  /** DuckDB rendering of TextAnalysis.qualityScore (same IEEE order). */
+  private def qualityScoreSql(textCol: String): String =
+    s"""ROUND(0.5 * LEAST(1.0, CAST(len(string_split($textCol, ' ')) AS DOUBLE) / 200.0)
+       |    + 0.5 * (1.0 - CAST(len(list_filter(string_split($textCol, ' '),
+       |        t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split($textCol, ' '))), 4)""".stripMargin
+
   private def l2Sql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        | x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
@@ -1552,12 +1558,9 @@ object Queries {
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("quality")),
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  ROUND(0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
-        |    + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-        |        t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4)
-        |    AS quality
+        |  ${qualityScoreSql("text")} AS quality
         |FROM documents""".stripMargin)),
 
     Q("token_count",
@@ -2146,6 +2149,46 @@ object Queries {
       Some("""SELECT source, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin)),
+
+    Q("corpus_mix_cube",
+      // Full cross-classification: CUBE adds the per-lang marginal the
+      // rollup lacks — all four grouping levels from one shuffle.
+      (s, d) => Tables.documents(s, d)
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars")),
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin)),
+
+    Q("quality_deciles",
+      // Corpus quality distribution: docs bucketed into equi-depth score
+      // deciles, per-decile count, char mass and score bounds — the
+      // threshold-picking report before a quality-gate filter. NOT the
+      // ntile window (unpartitioned ntile = the whole corpus through one
+      // task): rankBuckets derives the global rank from GlobalIds'
+      // bucket-histogram scheme and the decile from integer arithmetic.
+      // Sort key packs (q·10⁴, doc_id) into one unique long — q is
+      // already rounded to 4 decimals, so the pack is exact.
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars"), TextAnalysis.qualityScore(col("text")).as("q"))
+        Analytics.rankBuckets(scored,
+            round(col("q") * 10000).cast("long") * (1L << 33) + col("doc_id"),
+            k = 10, bucketName = "decile")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, n_chars, ${qualityScoreSql("text")} AS q
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n FROM scored)
+        |SELECT (rn - 1) * 10 // n + 1 AS decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(q) AS min_q, MAX(q) AS max_q
+        |FROM r GROUP BY 1""".stripMargin)),
 
     Q("curation_pipeline",
       // The five curation stages composed end-to-end as ONE declarative

@@ -46,6 +46,27 @@ object Analytics {
           .cast("double"), 4))
   }
 
+  /** Equi-depth rank buckets (the scale-safe ntile): bucket of a row with
+    * global rank r (1-based, over a UNIQUE numeric sort key) out of n is
+    * `(r-1)·k div n + 1` — deterministic integer arithmetic, identical on
+    * any engine. The global rank comes from [[GlobalIds.assign]]'s
+    * bucket-histogram scheme (per-range windows + broadcast offsets), so
+    * no single-partition sort ever materializes — ntile/percent_rank over
+    * an unpartitioned window would pull the whole corpus through ONE task
+    * at 100 TB. Total row count joins in as a broadcast one-row aggregate.
+    */
+  def rankBuckets(df: DataFrame, sortKey: Column, k: Int,
+                  bucketName: String = "bucket"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ranked = GlobalIds.assign(df.withColumn("__rk", sortKey), "__rk",
+      idName = "__rank")
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(n))
+      .withColumn(bucketName,
+        expr(s"CAST((__rank - 1) * $k div __n AS BIGINT) + 1"))
+      .drop("__rk", "__rank", "__n")
+  }
+
   /** Trailing-window rolling stats per key: count and exact (decimal)
     * sum over a RANGE frame of the preceding `windowSeconds` — the
     * moving-average/anomaly-baseline shape. The range frame is defined

@@ -42,6 +42,17 @@ class AnalyticsSpec extends SparkSpec {
         (20L, 4L, 1, 7.0)))
   }
 
+  test("rankBuckets assigns equi-depth buckets without a global window") {
+    val spark0 = spark
+    import spark0.implicits._
+    // n = 7, k = 3: ranks 1-7 -> buckets (r-1)*3 div 7 + 1 = 1,1,1,2,2,3,3
+    val df = Seq(30L, 10L, 70L, 50L, 20L, 60L, 40L).toDF("v")
+    val out = Analytics.rankBuckets(df, col("v"), k = 3)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((10L, 1L), (20L, 1L), (30L, 1L), (40L, 2L),
+      (50L, 2L), (60L, 3L), (70L, 3L)))
+  }
+
   test("rollingStats counts/sums exactly the trailing range frame") {
     val spark0 = spark
     import spark0.implicits._
