@@ -2232,6 +2232,26 @@ object Queries {
         |  COUNT(*) AS n_total
         |FROM events GROUP BY 1""".stripMargin)),
 
+    Q("events_unpivot",
+      // melt: the pivot matrix back to long form (round-trip proof of the
+      // wide<->long pair). unpivot is pure projection+generate — no
+      // shuffle beyond the pivot's own aggregate.
+      (s, d) => Analytics.pivotCounts(Tables.events(s, d), "user_id",
+          "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .drop("n_total")
+        .unpivot(Array(col("user_id")), "metric", "n")
+        .select(col("user_id"), expr("substring(metric, 3)").as("event_type"),
+          col("n")),
+      Some("""WITH p AS (SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1)
+        |SELECT user_id, event_type, n FROM p
+        |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))""".stripMargin)),
+
     Q("events_running_total",
       // Per-user running sequence + cumulative sum over (ts, event_id)
       // order. Decimal accumulation keeps the cumsum exact and therefore

@@ -32,6 +32,12 @@ object Pq {
     * would Lloyd-iterate each subspace ([[Ann.kmeansRefine]] shape); the
     * sampled form keeps the codebook an exact, oracle-reproducible
     * function of the data.
+    *
+    * SCALE NOTE: pass a FIXED-SIZE sample (e.g. 256 vectors) — a sample
+    * whose size grows with the corpus (every k-th vector) makes the
+    * encode join n·m·ksub = O(n²/k), the same trap as a grows-with-n IVF
+    * centroid rule. With constant ksub the ADC pipeline probes linear to
+    * 100x (SURVEY §3).
     */
   def codebookFromSample(sample: DataFrame, idCol: String, vecCol: String,
                          m: Int, subDim: Int): DataFrame = {

@@ -128,6 +128,23 @@ object Probe {
       // bucket pairs (n^2/k): both are n^1.5 — the remedy documented in
       // SURVEY §3, measured here.
       val fixedK: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+        // PQ at its production configuration: ksub FIXED (256 codewords
+        // per subspace) instead of the oracle entry's every-25th-vector
+        // rule, whose codeword count grows with n and turns the encode
+        // join into n·m·(n/25) — the same trap as the IVF centroid rule.
+        // With fixed ksub the encode scan is linear in n.
+        "pq_topk_k256" -> { (s, d) =>
+          val emb = graft.Tables.embeddings(s, d)
+          val sample = emb.filter(col("vec_id") % 25 === 0 &&
+            col("vec_id") < 25 * 256)
+          val cb = graft.operators.Pq.codebookFromSample(sample,
+            "vec_id", "embedding", m = 4, subDim = 16)
+          graft.operators.Pq.adcTopK(
+            graft.operators.Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
+              .select("vec_id", "subspace", "code"),
+            cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            subDim = 16, k = 3)
+        },
         "embedding_clusters_sqrtk" -> { (s, d) =>
           val emb = graft.Tables.embeddings(s, d)
           val k = math.max(16, math.sqrt(emb.count().toDouble).toInt)
