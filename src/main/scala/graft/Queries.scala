@@ -1537,6 +1537,76 @@ object Queries {
         |        ORDER BY adc_exact, neighbor_id) AS rank FROM summed)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("ann_ivfadc_topk",
+      // IVFADC (the FAISS IVFPQ composition): coarse-quantize to IVF
+      // buckets, PQ-encode the RESIDUAL of each vector against its
+      // centroid, and answer queries by probing the 2 nearest buckets
+      // with a per-(query, probe) residual LUT. The coarse stage cuts
+      // the scan to the probed buckets; PQ cuts bytes/vector to m codes
+      // — together the billion-scale ANN index. Codebook sample is
+      // FIXED-size (ksub <= 64, offset 7 so sampled residuals are not
+      // the centroids' own zero vectors) per the Pq scale note.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val assign = Ann.ivfAssign(emb, cents,
+          "vec_id", "embedding", "centroid_id", "cv")
+        val rv = Pq.ivfResiduals(emb, assign, cents,
+          "vec_id", "embedding", "centroid_id", "cv")
+        val cb = Pq.codebookFromSample(
+          rv.filter(col("vec_id") % 25 === 7 && col("vec_id") < 25 * 64),
+          "vec_id", "rv", m = 4, subDim = 16)
+        val codes = Pq.encode(rv, cb, "vec_id", "rv", subDim = 16)
+          .join(assign.select("vec_id", "centroid_id"), "vec_id")
+          .select("vec_id", "centroid_id", "subspace", "code")
+        Pq.ivfadcTopK(codes, cb, cents, emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "centroid_id", "cv",
+          subDim = 16, k = 3, nprobe = 2)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, centroid_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, centroid_id, embedding FROM ranked WHERE rn = 1),
+        |rv AS (SELECT a.vec_id, a.centroid_id,
+        |    list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT)) AS rv
+        |  FROM assign a JOIN c USING (centroid_id)),
+        |rcb AS (SELECT CAST(s.s AS BIGINT) AS subspace, r.vec_id // 25 AS code,
+        |    list_slice(r.rv, s.s*16+1, s.s*16+16) AS cvs
+        |  FROM rv r, (SELECT unnest([0,1,2,3]) AS s) s
+        |  WHERE r.vec_id % 25 = 7 AND r.vec_id < 1600),
+        |rscored AS (SELECT r.vec_id, b.subspace, b.code,
+        |    ${l2Sql("list_slice(r.rv, b.subspace*16+1, b.subspace*16+16)", "b.cvs")} AS d
+        |  FROM rv r CROSS JOIN rcb b),
+        |renc AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+        |      ORDER BY d, code) AS rn FROM rscored) WHERE rn = 1),
+        |probes AS (SELECT p.vec_id AS query_id, p.centroid_id,
+        |    list_transform(generate_series(1, len(p.embedding)),
+        |      i -> CAST(CAST(p.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT)) AS qrv
+        |  FROM ranked p JOIN c USING (centroid_id)
+        |  WHERE p.vec_id % 37 = 0 AND p.rn <= 2),
+        |lut AS (SELECT p.query_id, p.centroid_id, b.subspace, b.code,
+        |    ${l2Sql("list_slice(p.qrv, b.subspace*16+1, b.subspace*16+16)", "b.cvs")} AS d
+        |  FROM probes p CROSS JOIN rcb b),
+        |summed AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+        |    SUM(CAST(l.d AS DECIMAL(38,12))) AS adc_exact
+        |  FROM renc en
+        |  JOIN assign a ON a.vec_id = en.vec_id
+        |  JOIN lut l ON l.centroid_id = a.centroid_id
+        |    AND l.subspace = en.subspace AND l.code = en.code
+        |  WHERE en.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(CAST(adc_exact AS DOUBLE), 4) AS adc
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_exact, neighbor_id) AS rank FROM summed)
+        |WHERE rank <= 3""".stripMargin)),
+
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),
       Some("""WITH t AS (SELECT doc_id, lang,

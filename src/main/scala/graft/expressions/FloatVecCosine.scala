@@ -128,6 +128,58 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise difference of two float-vector columns (a - b, truncated
+  * to the shorter length) — the IVF residual step in front of product
+  * quantization, where it runs once per corpus vector. Same rationale as
+  * [[FloatVecCosine]]: the `zip_with` form is an interpreted lambda per
+  * element. Each element is computed as `(float)((double)a - (double)b)`:
+  * the double difference of two floats is exact, so the float cast is the
+  * correctly-rounded float subtraction — reproducible by any engine
+  * casting `CAST(a AS DOUBLE) - CAST(b AS DOUBLE)` back to REAL.
+  */
+case class FloatVecSub(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "float_vec_sub"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (x.getFloat(i).toDouble - y.getFloat(i).toDouble).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |float[] $arr = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = (float) ((double) $a.getFloat($i) - (double) $b.getFloat($i));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FloatVecSub =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for graft's native expressions. */
 object GraftExpressions {
   def floatVecCosine(a: Column, b: Column): Column =
@@ -136,6 +188,10 @@ object GraftExpressions {
 
   def floatVecL2Sq(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecL2Sq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def floatVecSub(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecSub(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** DEFLATE/INFLATE as codegen'd StaticInvoke expressions — the codec

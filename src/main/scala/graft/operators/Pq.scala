@@ -79,6 +79,75 @@ object Pq {
     * per query via the bounded-heap TopKPerGroup operator — the shuffle
     * after the sum carries ≤ k rows per query per partition.
     */
+  /** IVF residuals: each vector minus its assigned centroid — what IVFADC
+    * (Jégou PAMI'11 §IV; the FAISS IVFPQ index) quantizes instead of the
+    * raw vectors, because residuals concentrate near the origin and the
+    * same codebook budget buys far less quantization error. One broadcast
+    * join of the tiny centroid relation; the subtraction is the codegen'd
+    * [[org.apache.spark.sql.graft.FloatVecSub]] (exact float rounding, so
+    * an engine computing `CAST(v AS DOUBLE)-CAST(cv AS DOUBLE)` cast back
+    * to REAL reproduces it bit-for-bit).
+    */
+  def ivfResiduals(emb: DataFrame, assignments: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String,
+                   centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val sub = org.apache.spark.sql.graft.GraftExpressions.floatVecSub _
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+      .join(broadcast(centroids.select(col(centroidIdCol).as("centroid_id"),
+        col(centroidVecCol).as("cv"))), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        sub(col("v"), col("cv")).as("rv"))
+  }
+
+  /** IVFADC top-k (the FAISS IVFPQ search): each query probes its `nprobe`
+    * nearest centroid buckets (cosine ranking, [[Ann.ivfAssign]]'s
+    * tie-break, so one scored relation serves assignment and probing);
+    * within a probed bucket the approximate distance is the ADC sum over
+    * the RESIDUAL codes, with a per-(query, probe) LUT built from the
+    * query's own residual against that centroid. This is the
+    * billion-scale composition: the coarse quantizer cuts the scan to the
+    * probed buckets, PQ cuts the bytes per scanned vector to `m` codes,
+    * and everything that isn't corpus-sized (centroids, codebook, LUT =
+    * queries x nprobe x m x ksub rows) broadcasts.
+    *
+    * `codes` is (vec_id, centroid_id, subspace, code) — [[encode]] over
+    * [[ivfResiduals]] joined back to its assignment. A vector lives in
+    * exactly one bucket, so no (query, neighbor) pair can arrive through
+    * two probes — the decimal ADC sum is over exactly `m` rows.
+    */
+  def ivfadcTopK(codes: DataFrame, codebook: DataFrame, centroids: DataFrame,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 centroidIdCol: String, centroidVecCol: String,
+                 subDim: Int, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cos = org.apache.spark.sql.graft.GraftExpressions.floatVecCosine _
+    val sub = org.apache.spark.sql.graft.GraftExpressions.floatVecSub _
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cts = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    val probes = q.join(broadcast(cts))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(cos(col("qv"), col("cv")).desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"),
+        sub(col("qv"), col("cv")).as("qrv"))
+    val lut = probes.join(codebook)
+      .select(col("query_id"), col("centroid_id"), col("subspace"), col("code"),
+        l2sq(slice(col("qrv"), col("subspace") * subDim + 1, lit(subDim)),
+          col("cvs")).as("d"))
+    val summed = codes.join(broadcast(lut), Seq("centroid_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d").cast(DecimalType(38, 12))).as("adc_exact"))
+    org.apache.spark.sql.graft.TopKPerGroup(summed, Seq(col("query_id")),
+        Seq(col("adc_exact"), col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("adc_exact").cast("double"), 4).as("adc"))
+  }
+
   def adcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, subDim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

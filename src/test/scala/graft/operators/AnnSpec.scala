@@ -295,6 +295,113 @@ class AnnSpec extends SparkSpec {
     info(f"pq adc recall@3 = $recall%.3f (codebook: every 25th vector)")
   }
 
+  test("ivfadcTopK with complete residual codebook + all probes = exact L2 search") {
+    val spark0 = spark
+    import spark0.implicits._
+    // all values are small dyadic rationals, so residual floats are exact
+    // and ADC over a corpus-complete residual codebook degenerates to
+    // EXACT L2 ranking — the FAISS composition's correctness limit
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.75f, 0.25f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.75f, 0.5f, 0.25f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.5f, 0.25f, 0.0f, 0.0f)),
+                    (1L, Array(0.0f, 0.5f, 0.5f, 0.25f)))
+      .toDF("centroid_id", "cv")
+    val assign = Ann.ivfAssign(vs, cents, "vec_id", "embedding", "centroid_id", "cv")
+    val rv = Pq.ivfResiduals(vs, assign, cents,
+      "vec_id", "embedding", "centroid_id", "cv")
+    // corpus-complete codebook: every residual is its own codeword
+    val cb = Pq.codebookFromSample(rv, "vec_id", "rv", m = 2, subDim = 2)
+    val codes = Pq.encode(rv, cb, "vec_id", "rv", subDim = 2)
+      .join(assign.select("vec_id", "centroid_id"), "vec_id")
+      .select("vec_id", "centroid_id", "subspace", "code")
+    // nprobe = all buckets: candidate set = whole corpus; with zero
+    // quantization error ADC(q,x) = L2(q_res, x_res) = L2(q, x) exactly
+    // (dyadic values: the residual subtraction is lossless)
+    val got = Pq.ivfadcTopK(codes, cb, cents, vs,
+        "vec_id", "embedding", "centroid_id", "cv", subDim = 2, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l2 = org.apache.spark.sql.graft.GraftExpressions.floatVecL2Sq _
+    val truth = vs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rank") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assert(got == truth)
+  }
+
+  test("ivfadcTopK on real embeddings: quantization-only loss vs exact probed search") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val assign = Ann.ivfAssign(emb, cents, "vec_id", "embedding", "centroid_id", "cv")
+    val rv = Pq.ivfResiduals(emb, assign, cents,
+      "vec_id", "embedding", "centroid_id", "cv")
+    val cb = Pq.codebookFromSample(
+      rv.filter(col("vec_id") % 25 === 7 && col("vec_id") < 25 * 64),
+      "vec_id", "rv", m = 4, subDim = 16)
+    val codes = Pq.encode(rv, cb, "vec_id", "rv", subDim = 16)
+      .join(assign.select("vec_id", "centroid_id"), "vec_id")
+      .select("vec_id", "centroid_id", "subspace", "code")
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    def adcSet(codebook: org.apache.spark.sql.DataFrame,
+               cds: org.apache.spark.sql.DataFrame) =
+      Pq.ivfadcTopK(cds, codebook, cents, queries,
+          "vec_id", "embedding", "centroid_id", "cv", subDim = 16, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = adcSet(cb, codes)
+    // exact-L2 ranking over the SAME probed candidate set: isolates the
+    // quantization loss from the coarse quantizer's own recall loss
+    val cos = org.apache.spark.sql.graft.GraftExpressions.floatVecCosine _
+    val l2 = org.apache.spark.sql.graft.GraftExpressions.floatVecL2Sq _
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(broadcast(cents))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(cos(col("qv"), col("cv")).desc, col("centroid_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("centroid_id")),
+        "neighbor_id")
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), l2(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.count(exact.contains).toDouble / exact.size
+    assert(got.map(_._1) == exact.map(_._1), "every query answered")
+    // the quantization knob: a corpus-complete residual codebook drives
+    // the quantization error to (float-rounding) zero, so the ADC ranking
+    // must converge to the exact probed-L2 ranking; the small sampled
+    // codebook may rank loosely on these clusterless synthetic vectors
+    // but can never do better than the complete one
+    val cbFull = Pq.codebookFromSample(rv, "vec_id", "rv", m = 4, subDim = 16)
+    val codesFull = Pq.encode(rv, cbFull, "vec_id", "rv", subDim = 16)
+      .join(assign.select("vec_id", "centroid_id"), "vec_id")
+      .select("vec_id", "centroid_id", "subspace", "code")
+    val gotFull = adcSet(cbFull, codesFull)
+    val overlapFull = gotFull.count(exact.contains).toDouble / exact.size
+    assert(overlapFull >= 0.9,
+      s"complete codebook must reproduce exact probed L2: $overlapFull")
+    assert(overlapFull >= overlap,
+      s"more codewords cannot hurt: full $overlapFull vs sampled $overlap")
+    info(f"ivfadc overlap@3 vs exact probed L2: sampled cb $overlap%.3f, complete cb $overlapFull%.3f")
+  }
+
   test("frameSlices partitions the payload exactly; frameFeatures is deterministic") {
     val spark0 = spark
     import spark0.implicits._
