@@ -1607,6 +1607,59 @@ object Queries {
         |        ORDER BY adc_exact, neighbor_id) AS rank FROM summed)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("ann_recall_report",
+      // The ANN evaluation harness as ONE query: recall@3 of the
+      // multi-probe IVF search vs brute-force ground truth, one row per
+      // nprobe level (1/2/4). Cosines are scored once at the widest
+      // probe level and expanded per level (pr <= nprobe) before the
+      // bounded-heap rank; recall in exact integer ppm. What an index
+      // owner reads before picking nprobe.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") % 25 === 0)
+        val assign = Ann.ivfAssign(emb, cents,
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.ivfRecallReport(emb, assign, cents,
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, nprobes = Seq(1, 2, 4))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, centroid_id) AS rn FROM scored),
+        |assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id,
+        |    rn AS pr
+        |  FROM ranked WHERE vec_id % 37 = 0 AND rn <= 4),
+        |pairs AS (SELECT p.query_id, e.vec_id AS neighbor_id, p.pr,
+        |    ${cosSql("p.qv", "e.embedding")} AS cos
+        |  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id),
+        |np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+        |expanded AS (SELECT n.nprobe, p.* FROM pairs p
+        |  JOIN np n ON p.pr <= n.nprobe),
+        |probed AS (SELECT nprobe, query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM expanded)
+        |  WHERE rank <= 3),
+        |tscored AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "t.embedding")} AS cos
+        |  FROM embeddings q JOIN embeddings t
+        |    ON q.vec_id % 37 = 0 AND t.vec_id <> q.vec_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM tscored)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT e.nprobe, COUNT(*) AS n_hits
+        |  FROM probed e JOIN truth t USING (query_id, neighbor_id) GROUP BY 1),
+        |denom AS (SELECT COUNT(*) AS n_truth FROM truth)
+        |SELECT h.nprobe, h.n_hits, h.n_hits * 1000000 // d.n_truth AS recall_ppm
+        |FROM hits h CROSS JOIN denom d""".stripMargin)),
+
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),
       Some("""WITH t AS (SELECT doc_id, lang,

@@ -419,4 +419,57 @@ object Ann {
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"))
   }
+
+  /** The ANN evaluation harness as one query: recall@k of the multi-probe
+    * IVF search against brute-force ground truth, one row per probe
+    * level — what an index owner reads before picking nprobe. Cosines
+    * are computed ONCE at the largest probe level (each candidate pair
+    * tagged with its bucket's probe rank `pr`), then expanded per level
+    * by a broadcast join on `pr <= nprobe` — the expansion duplicates
+    * scored rows, never rescores — and ranked by the bounded-heap
+    * TopKPerGroup on (nprobe, query). Recall is exact integer ppm
+    * (hits·10⁶ div truth rows). Candidate-set nesting makes n_hits
+    * monotone in nprobe by construction (spec-asserted).
+    */
+  def ivfRecallReport(emb: DataFrame, assignments: DataFrame,
+                      centroids: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroidIdCol: String, centroidVecCol: String,
+                      k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val maxNp = nprobes.max
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"))), "query_id")
+    val cts = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    val probes = q.join(broadcast(cts))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("centroid_id"))))
+      .filter(col("pr") <= maxNp)
+      .select(col("query_id"), col("qv"), col("centroid_id"), col("pr"))
+    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(assignments.select(col("vec_id").as("neighbor_id"),
+        col("centroid_id")), "neighbor_id")
+    val scoredPairs = cands.join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pr"),
+        cosine(col("qv"), col("nv")).as("cos_raw"))
+    val np = nprobes.map(_.toLong).toDF("nprobe")
+    val expanded = scoredPairs.join(broadcast(np), col("pr") <= col("nprobe"))
+    val probedTopK = org.apache.spark.sql.graft.TopKPerGroup(expanded,
+        Seq(col("nprobe"), col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopK(queries, emb, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = probedTopK.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    hits.join(broadcast(denom))
+      .select(col("nprobe"), col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+  }
 }

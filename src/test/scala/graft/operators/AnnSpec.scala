@@ -215,6 +215,31 @@ class AnnSpec extends SparkSpec {
     info(f"recall@3: nprobe=1 $r1%.3f, 2 $r2%.3f, 5 $r5%.3f, 20 $r20%.3f")
   }
 
+  test("ivfRecallReport: recall monotone in nprobe, agrees with per-level probed search") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") % 25 === 0)
+    val assign = Ann.ivfAssign(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 37 === 0)
+    val report = Ann.ivfRecallReport(emb, assign, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobes = Seq(1, 2, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(report.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // candidate sets nest, so hits (and ppm) are monotone in nprobe
+    assert(report.sliding(2).forall(p => p(0)._2 <= p(1)._2), report.mkString(", "))
+    assert(report.forall(r => r._3 >= 0 && r._3 <= 1000000))
+    // cross-check one level against the standalone probed search
+    val truth = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed2 = Ann.ivfTopKProbed(emb, assign, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectHits2 = probed2.count(truth.contains).toLong
+    assert(report.find(_._1 == 2L).get._2 == expectHits2,
+      s"report hits@nprobe=2 must equal the standalone search's: $report vs $expectHits2")
+  }
+
   test("pq encode picks the per-subspace nearest codeword") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
