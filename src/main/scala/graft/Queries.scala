@@ -1112,6 +1112,44 @@ object Queries {
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 <> 0) d
         |LEFT JOIN ov USING (doc_id)""".stripMargin)),
 
+    Q("contamination_report",
+      // The decontamination accounting report: per-source doc counts,
+      // contaminated counts (exact integer ppm rate) and total shared
+      // shingles — what a corpus owner reads after a decon run to see
+      // WHERE benchmark leakage concentrates. One grouped aggregate over
+      // the contamination relation joined to source labels.
+      (s, d) => {
+        val all = Tables.documents(s, d)
+        val flags = TextDedup.contamination(
+          all.filter(col("doc_id") % 17 =!= 0),
+          all.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+        flags.join(all.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+            sum(col("n_shared")).as("n_shared_total"))
+          .select(col("source"), col("n_docs"), col("n_contaminated"),
+            expr("n_contaminated * 1000000 div n_docs").as("contam_ppm"),
+            col("n_shared_total"))
+      },
+      Some(s"""WITH $shingleCteSql,
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 17 <> 0 GROUP BY doc_id),
+        |flags AS (SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+        |    COALESCE(ov.n_shared, 0) >= 5 AS contaminated
+        |  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+        |  LEFT JOIN ov USING (doc_id))
+        |SELECT s.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS contam_ppm,
+        |  CAST(SUM(f.n_shared) AS BIGINT) AS n_shared_total
+        |FROM flags f JOIN documents s USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("decontaminate_bloom",
       // decontaminate with a broadcast Bloom prefilter on the corpus
       // shingle stream (the sketch analogue of a broadcast join): false
