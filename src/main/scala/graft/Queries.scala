@@ -991,6 +991,36 @@ object Queries {
         n = 3, numPerm = 128, bands = 32, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("dedup_threshold_report",
+      // The threshold-picking report: candidate pairs bucketed by exact
+      // Jaccard into 5% bands above the recall-certain 0.8 floor (32x4
+      // banding: P(miss) < 5e-8 there, so LSH candidates = the
+      // exhaustive set). Floor filter and banding are exact integer
+      // arithmetic — no float compare at a boundary.
+      (s, d) => TextDedup.thresholdReport(Tables.documents(s, d),
+        "doc_id", "text", n = 3, numPerm = 128, bands = 32,
+        floorNum = 4, floorDen = 5),
+      Some(s"""WITH $shingleCteSql,
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS un
+        |  FROM ip JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4),
+        |b AS (SELECT doc_a, doc_b, (inter * 20) // un AS jacc_band,
+        |    CAST(inter AS DOUBLE) / un AS jacc FROM j),
+        |pc AS (SELECT jacc_band, COUNT(*) AS n_pairs,
+        |    ROUND(MIN(jacc), 4) AS min_jaccard,
+        |    ROUND(MAX(jacc), 4) AS max_jaccard
+        |  FROM b GROUP BY 1),
+        |u AS (SELECT jacc_band, doc_a AS doc_id FROM b
+        |      UNION ALL SELECT jacc_band, doc_b FROM b),
+        |dc AS (SELECT jacc_band, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM u GROUP BY 1)
+        |SELECT pc.jacc_band, pc.n_pairs, dc.n_docs, pc.min_jaccard, pc.max_jaccard
+        |FROM pc JOIN dc USING (jacc_band)""".stripMargin)),
+
     Q("dedup_paragraphs",
       // Paragraph-granularity exact dedup (the unit below document-level
       // dedup: repeated boilerplate inside otherwise-distinct docs).

@@ -373,6 +373,52 @@ object TextDedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** The dedup threshold-picking report: LSH candidate pairs bucketed by
+    * exact shingle-set Jaccard into 5%-wide bands above a recall-certain
+    * floor — pair counts, distinct docs involved, and the band's actual
+    * Jaccard range. What a corpus owner reads BEFORE choosing the dedup
+    * threshold (the text-side sibling of `Ann.ivfRecallReport`).
+    *
+    * Exactness discipline: the floor filter is the exact rational test
+    * `inter·floorDen >= union·floorNum` and the band is pure integer
+    * arithmetic `(inter·20) div union` — no float compare anywhere a
+    * boundary could flip, so the SQL oracle reproduces every bucket
+    * bit-for-bit. The floor must sit where the banding gives ~certain
+    * recall (32x4 bands at 0.8: P(miss) < 5e-8), making LSH candidates
+    * equal to the exhaustive pair set the oracle enumerates.
+    */
+  def thresholdReport(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numPerm: Int, bands: Int,
+                      floorNum: Int, floorDen: Int): DataFrame = {
+    require(floorNum >= 0 && floorDen > 0, "floor must be a valid fraction")
+    val sh = shingleHashTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candidates = lshCandidatesFromHashes(sh, numPerm, bands)
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val b = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * floorDen >= col("un") * floorNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(inter * 20) div un").as("jacc_band"),
+        (col("inter").cast("double") / col("un")).as("jacc"))
+    val pairCounts = b.groupBy("jacc_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jacc")), 4).as("min_jaccard"),
+        round(max(col("jacc")), 4).as("max_jaccard"))
+    val docCounts = b
+      .select(col("jacc_band"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("jacc_band").agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairCounts.join(docCounts, "jacc_band")
+      .select(col("jacc_band"), col("n_pairs"), col("n_docs"),
+        col("min_jaccard"), col("max_jaccard"))
+  }
+
   /** Incremental near-dup detection: every `newDocs` document that
     * near-duplicates a `corpus` document (doc_a = incoming id, doc_b =
     * corpus id, exact shingle-set Jaccard ≥ threshold). The production
