@@ -1105,6 +1105,41 @@ object Queries {
         |    - CAST(FLOOR(cum_before / 2048.0) AS BIGINT) + 1 AS n_spans
         |FROM c""".stripMargin)),
 
+    Q("pack_stats",
+      // The packing-efficiency report: totals, sequence count, exact-ppm
+      // utilization and boundary-straddling doc count over the same
+      // 2048-token packing — what a pretraining-data owner checks before
+      // shipping a packed shard set.
+      (s, d) => Packing.packStats(
+        Packing.packSequences(
+          Tables.documents(s, d)
+            .withColumn("tokens", ((col("n_chars") + 3) / 4).cast("long")),
+          "doc_id", "tokens", capacity = 2048, buckets = 32),
+        capacity = 2048),
+      Some("""WITH t AS (
+        |  SELECT doc_id, (n_chars + 3) // 4 AS tokens,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+        |      % 32) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(SUM(tokens) OVER (ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - tokens AS cum_before
+        |  FROM t),
+        |p AS (SELECT doc_id, tokens,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,
+        |  CAST(FLOOR((cum_before + greatest(tokens, 1) - 1) / 2048.0) AS BIGINT)
+        |    - CAST(FLOOR(cum_before / 2048.0) AS BIGINT) + 1 AS n_spans
+        |FROM c)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |  (CAST(SUM(tokens) AS BIGINT) + 2047) // 2048 AS n_seqs,
+        |  CAST(SUM(tokens) AS BIGINT) * 1000000
+        |    // (((CAST(SUM(tokens) AS BIGINT) + 2047) // 2048) * 2048) AS util_ppm,
+        |  CAST(SUM(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM p""".stripMargin)),
+
     Q("chunk_documents",
       // Sliding-window chunking (size 200, stride 150): the RAG/long-doc
       // segmentation step. Pure per-row generate — no shuffle; chunk

@@ -61,6 +61,26 @@ object Packing {
         col("seq_offset"), col("n_spans"))
   }
 
+  /** The packing-efficiency report over a [[packSequences]] relation: doc
+    * and token totals, sequence count, overall utilization (exact integer
+    * ppm — only the final sequence can be part-empty under
+    * concatenate-and-chunk) and how many documents straddle a sequence
+    * boundary (the cross-attention contamination a span-aware loader
+    * masks). One aggregate, metadata-scale output.
+    */
+  def packStats(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be > 0")
+    packed.agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"),
+        sum(when(col("n_spans") > 1, 1L).otherwise(0L)).as("n_split_docs"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${capacity - 1}) div $capacity").as("n_seqs"),
+        expr(s"total_tokens * 1000000 div (((total_tokens + ${capacity - 1}) div $capacity) * $capacity)")
+          .as("util_ppm"),
+        col("n_split_docs"))
+  }
+
   /** Sliding-window document chunking: cut each document into windows of
     * `size` characters advancing by `stride` (overlap = size - stride) —
     * the segmentation step of RAG indexing and long-document training.

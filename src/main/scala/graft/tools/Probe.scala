@@ -145,6 +145,33 @@ object Probe {
             cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
             subDim = 16, k = 3)
         },
+        // IVFADC at its production configuration: sqrt(n) coarse
+        // centroids (fixed stride subsample — bucket size ~sqrt(n)),
+        // FIXED ksub <= 256 residual codebook, FIXED query set. Encode
+        // is linear (n*m*ksub), assign is n*sqrt(n) — the same n^1.5
+        // balance as embedding_clusters_sqrtk — and the query-side scan
+        // touches only nprobe buckets (~2*sqrt(n) codes/query).
+        "ann_ivfadc_sqrtk" -> { (s, d) =>
+          val emb = graft.Tables.embeddings(s, d)
+          val n = emb.count()
+          val k = math.max(16, math.sqrt(n.toDouble).toInt)
+          val stride = math.max(1L, n / k)
+          val cents = emb.filter(col("vec_id") % stride === 0)
+            .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+          val assign = graft.operators.Ann.ivfAssign(
+            emb, cents, "vec_id", "embedding", "centroid_id", "cv")
+          val rv = graft.operators.Pq.ivfResiduals(
+            emb, assign, cents, "vec_id", "embedding", "centroid_id", "cv")
+          val cb = graft.operators.Pq.codebookFromSample(
+            rv.filter(col("vec_id") % 25 === 7 && col("vec_id") < 25 * 256),
+            "vec_id", "rv", m = 4, subDim = 16)
+          val codes = graft.operators.Pq.encode(rv, cb, "vec_id", "rv", subDim = 16)
+            .join(assign.select("vec_id", "centroid_id"), "vec_id")
+            .select("vec_id", "centroid_id", "subspace", "code")
+          graft.operators.Pq.ivfadcTopK(codes, cb, cents,
+            emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+            "centroid_id", "cv", subDim = 16, k = 3, nprobe = 2)
+        },
         "embedding_clusters_sqrtk" -> { (s, d) =>
           val emb = graft.Tables.embeddings(s, d)
           val k = math.max(16, math.sqrt(emb.count().toDouble).toInt)
