@@ -991,6 +991,33 @@ object Queries {
         n = 3, numPerm = 128, bands = 32, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("repeated_spans",
+      // Exact-substring dedup (Lee et al. '21), windowed form: maximal
+      // per-doc spans of content whose 15-token windows repeat anywhere
+      // in the corpus. Repeats found by GROUPING window hashes, never by
+      // pairing docs; span merge runs only over duplicated starts.
+      (s, d) => TextDedup.repeatedSpans(Tables.documents(s, d),
+        "doc_id", "text", windowTokens = 15),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, i.i AS pos,
+        |    array_to_string(list_slice(w, i.i + 1, i.i + 15), ' ') AS s
+        |  FROM ws JOIN LATERAL (SELECT unnest(range(0, len(w) - 15 + 1)) AS i) i
+        |    ON TRUE
+        |  WHERE len(w) >= 15),
+        |cnt AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN cnt USING (s)),
+        |lagd AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |      THEN 0 ELSE 1 END AS new_span
+        |  FROM dup),
+        |spans AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM lagd)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+        |  COUNT(*) AS n_windows
+        |FROM spans GROUP BY 1, 2""".stripMargin)),
+
     Q("dedup_threshold_report",
       // The threshold-picking report: candidate pairs bucketed by exact
       // Jaccard into 5% bands above the recall-certain 0.8 floor (32x4

@@ -373,6 +373,51 @@ object TextDedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** Cross-document repeated-span detection — the exact-substring dedup
+    * shape of Lee et al. '21 ("Deduplicating Training Data Makes LMs
+    * Better"), token granularity: every stride-1 window of `windowTokens`
+    * tokens is hashed; windows whose hash occurs more than once in the
+    * corpus are duplicated content; per document, overlapping/adjacent
+    * duplicated windows merge into maximal spans (start inclusive, end
+    * exclusive, token positions). Any repeated substring of >=
+    * windowTokens tokens is covered by such a span; two distinct repeats
+    * closer than one window merge conservatively (the over-approximation
+    * every windowed variant of the suffix-array method makes).
+    *
+    * Scale shape: the window relation is one scan + lead() window per
+    * doc (the shingle idiom) hashing to longs; the duplicate filter is
+    * one count-by-hash reusing its own exchange for the semi-join back;
+    * span merging runs only over DUPLICATED window starts (tiny vs the
+    * corpus) with per-doc lag/cumsum windows. No pair join anywhere —
+    * repeats are found by grouping, not pairing.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val l = windowTokens
+    val base = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until l).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
+    val win = base.select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"l${l - 1}").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(concat_ws(" ", col("tok") +: (1 until l).map(i => col(s"l$i")): _*)).as("h"))
+    val dupHashes = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val dup = win.join(dupHashes, "h").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= l, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + l).as("span_end"),
+        count(lit(1)).as("n_windows"))
+  }
+
   /** The dedup threshold-picking report: LSH candidate pairs bucketed by
     * exact shingle-set Jaccard into 5%-wide bands above a recall-certain
     * floor — pair counts, distinct docs involved, and the band's actual

@@ -325,4 +325,38 @@ class TextDedupSpec extends SparkSpec {
     val cp12 = canon(capped.filter(col("doc_a") === 1 && col("doc_b") === 2))
     assert(cp12 === ex12)
   }
+
+  test("repeatedSpans: exact span boundaries around a shared substring") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1 = x1..x30; doc 2 embeds x5..x24 (20 shared tokens) at
+    // position 10. With L=15, duplicated window starts are 4..9 in doc 1
+    // (span [4, 24)) and 10..15 in doc 2 (span [10, 30)); nothing else
+    // repeats.
+    val shared = (5 to 24).map(i => s"x$i")
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (2L, ((1 to 10).map(i => s"a$i") ++ shared ++
+        (11 to 20).map(i => s"b$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 24L, 6L), (2L, 10L, 30L, 6L)), got.toSeq)
+    // two repeats closer than one window merge into one conservative span
+    val near = Seq(
+      (1L, ((1 to 20).map(i => s"p$i") ++ (1 to 5).map(i => s"m$i") ++
+        (1 to 20).map(i => s"q$i")).mkString(" ")),
+      (2L, ((1 to 20).map(i => s"p$i") ++ (1 to 5).map(i => s"n$i") ++
+        (1 to 20).map(i => s"q$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merged = TextDedup.repeatedSpans(near, "doc_id", "text", windowTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // p-block spans [0,20), q-block spans [25,45): gap between last
+    // p-window start (5) and first q-window start (25) is 20 > 15, so
+    // they stay SEPARATE spans here; each doc reports both
+    assert(merged.length == 4, merged.toSeq)
+    assert(merged.toSet == Set((1L, 0L, 20L), (1L, 25L, 45L),
+      (2L, 0L, 20L), (2L, 25L, 45L)), merged.toSeq)
+  }
 }
