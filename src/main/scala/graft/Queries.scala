@@ -1018,6 +1018,60 @@ object Queries {
         |  COUNT(*) AS n_windows
         |FROM spans GROUP BY 1, 2""".stripMargin)),
 
+    Q("repeated_span_stats",
+      // Repeated-content accounting per source: token totals vs tokens
+      // inside repeated spans (exact — merged spans are disjoint by
+      // construction), exact-ppm repetition mass. Where boilerplate
+      // concentrates, read before span removal.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = TextDedup.repeatedSpans(docs, "doc_id", "text",
+          windowTokens = 15)
+        val perDoc = spans.groupBy("doc_id")
+          .agg(sum(col("span_end") - col("span_start")).as("rep_tokens"),
+            count(lit(1)).as("n_spans"))
+        docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(coalesce(col("rep_tokens"), lit(0L))).as("rep_tokens"),
+            sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("rep_tokens"),
+            expr("rep_tokens * 1000000 div total_tokens").as("rep_ppm"),
+            col("n_spans"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, i.i AS pos,
+        |    array_to_string(list_slice(w, i.i + 1, i.i + 15), ' ') AS s
+        |  FROM ws JOIN LATERAL (SELECT unnest(range(0, len(w) - 15 + 1)) AS i) i
+        |    ON TRUE
+        |  WHERE len(w) >= 15),
+        |cnt AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN cnt USING (s)),
+        |lagd AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |      THEN 0 ELSE 1 END AS new_span
+        |  FROM dup),
+        |sp AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM lagd),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s0, MAX(pos) + 15 AS s1
+        |  FROM sp GROUP BY 1, 2),
+        |per_doc AS (SELECT doc_id, CAST(SUM(s1 - s0) AS BIGINT) AS rep_tokens,
+        |    COUNT(*) AS n_spans
+        |  FROM spans GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(COALESCE(p.rep_tokens, 0)) AS BIGINT) AS rep_tokens,
+        |  CAST(SUM(COALESCE(p.rep_tokens, 0)) AS BIGINT) * 1000000
+        |    // CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS rep_ppm,
+        |  CAST(SUM(COALESCE(p.n_spans, 0)) AS BIGINT) AS n_spans
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("dedup_threshold_report",
       // The threshold-picking report: candidate pairs bucketed by exact
       // Jaccard into 5% bands above the recall-certain 0.8 floor (32x4
