@@ -1018,6 +1018,59 @@ object Queries {
         |  COUNT(*) AS n_windows
         |FROM spans GROUP BY 1, 2""".stripMargin)),
 
+    Q("repeated_span_removal",
+      // The cleaned corpus after exact-substring dedup: every repeated
+      // span excised except its canonical occurrence (content-hash
+      // groups, min (doc_id, start) survives). Only docs that lose a
+      // span are re-assembled; the rest pass through — identical output
+      // either way because single-space tokenization inverts exactly.
+      (s, d) => TextDedup.removeRepeatedSpans(Tables.documents(s, d),
+        "doc_id", "text", windowTokens = 15),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, i.i AS pos,
+        |    array_to_string(list_slice(w, i.i + 1, i.i + 15), ' ') AS s
+        |  FROM ws JOIN LATERAL (SELECT unnest(range(0, len(w) - 15 + 1)) AS i) i
+        |    ON TRUE
+        |  WHERE len(w) >= 15),
+        |cnt AS (SELECT s FROM win GROUP BY s HAVING COUNT(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN cnt USING (s)),
+        |lagd AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |      THEN 0 ELSE 1 END AS new_span
+        |  FROM dup),
+        |sp AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM lagd),
+        |spans AS (SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 15 AS s1
+        |  FROM sp GROUP BY doc_id, span_id),
+        |ranked AS (SELECT doc_id, s0, s1, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(array_to_string(list_slice(ws.w, s0 + 1, s1), ' '))
+        |    ORDER BY doc_id, s0) AS rn
+        |  FROM spans JOIN ws USING (doc_id)),
+        |rem AS (SELECT doc_id, s0, s1 FROM ranked WHERE rn > 1),
+        |affected AS (SELECT DISTINCT doc_id FROM rem),
+        |tok AS (SELECT ws.doc_id, i.i AS pos, ws.w[i.i + 1] AS tok
+        |  FROM ws JOIN affected USING (doc_id)
+        |  JOIN LATERAL (SELECT unnest(range(0, len(w))) AS i) i ON TRUE),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  LEFT JOIN rem r ON t.doc_id = r.doc_id
+        |    AND t.pos >= r.s0 AND t.pos < r.s1
+        |  WHERE r.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |aff_out AS (SELECT d.doc_id,
+        |    COALESCE(r.clean_text, '') AS clean_text,
+        |    CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |      AS n_removed_tokens
+        |  FROM documents d JOIN affected USING (doc_id)
+        |  LEFT JOIN rebuilt r USING (doc_id))
+        |SELECT doc_id, clean_text, n_removed_tokens FROM aff_out
+        |UNION ALL
+        |SELECT d.doc_id, d.text AS clean_text, CAST(0 AS BIGINT)
+        |FROM documents d ANTI JOIN affected USING (doc_id)""".stripMargin)),
+
     Q("repeated_span_stats",
       // Repeated-content accounting per source: token totals vs tokens
       // inside repeated spans (exact — merged spans are disjoint by

@@ -133,7 +133,7 @@ object Pq {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id"),
         sub(col("qv"), col("cv")).as("qrv"))
-    val lut = probes.join(codebook)
+    val lut = probes.join(broadcast(codebook))
       .select(col("query_id"), col("centroid_id"), col("subspace"), col("code"),
         l2sq(slice(col("qrv"), col("subspace") * subDim + 1, lit(subDim)),
           col("cvs")).as("d"))
@@ -151,7 +151,7 @@ object Pq {
   def adcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, subDim: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val lut = q.join(codebook)
+    val lut = q.join(broadcast(codebook))
       .select(col("query_id"), col("subspace"), col("code"),
         l2sq(slice(col("qv"), col("subspace") * subDim + 1, lit(subDim)),
           col("cvs")).as("d"))

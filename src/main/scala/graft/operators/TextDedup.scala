@@ -418,6 +418,63 @@ object TextDedup {
         count(lit(1)).as("n_windows"))
   }
 
+  /** The removal half of exact-substring dedup: excise every repeated
+    * span EXCEPT its canonical occurrence (keep-one semantics, Lee et
+    * al. '21). Occurrences are grouped by the md5 of the span's token
+    * slice — spans carrying identical content form one group and the
+    * (min doc_id, min span_start) member survives; partially-overlapping
+    * repeats whose merged spans differ in content keep both (the
+    * conservative choice). Output: (doc_id, clean_text,
+    * n_removed_tokens) for every input document; a fully-boilerplate doc
+    * comes back with empty text, ready for a length gate.
+    *
+    * Scale shape: only documents that LOSE a span are re-assembled
+    * (token explode + in-aggregate sort, the removeBoilerplate idiom);
+    * everything else passes through untouched — and because
+    * single-space tokenization is exactly inverted by the single-space
+    * join, the two branches agree byte-for-byte on any input. The
+    * canonical-pick window partitions by content hash (group size =
+    * occurrence count, never corpus-sized).
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, windowTokens)
+    val withContent = spans
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")), "doc_id")
+      .withColumn("ch", md5(concat_ws(" ",
+        slice(split(col("_t"), " "), col("span_start").cast("int") + 1,
+          (col("span_end") - col("span_start")).cast("int")))))
+    val rem = withContent
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ch").orderBy("doc_id", "span_start")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id").as("r_doc"), col("span_start"), col("span_end"))
+    val affected = rem.select(col("r_doc").as("doc_id")).distinct()
+    val tokens = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(affected, "doc_id")
+    val kept = tokens.join(rem,
+        tokens("doc_id") === rem("r_doc") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val affectedOut = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(affected, "doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed_tokens"))
+    val untouched = docs.select(col(idCol).as("doc_id"), col(textCol).as("clean_text"))
+      .join(affected, Seq("doc_id"), "left_anti")
+      .withColumn("n_removed_tokens", lit(0L))
+    affectedOut.unionByName(untouched)
+  }
+
   /** The dedup threshold-picking report: LSH candidate pairs bucketed by
     * exact shingle-set Jaccard into 5%-wide bands above a recall-certain
     * floor — pair counts, distinct docs involved, and the band's actual

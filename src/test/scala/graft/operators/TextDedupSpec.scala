@@ -359,4 +359,36 @@ class TextDedupSpec extends SparkSpec {
     assert(merged.toSet == Set((1L, 0L, 20L), (1L, 25L, 45L),
       (2L, 0L, 20L), (2L, 25L, 45L)), merged.toSeq)
   }
+
+  test("removeRepeatedSpans: canonical occurrence survives, others excised") {
+    val spark0 = spark
+    import spark0.implicits._
+    // docs 2 and 3 repeat a 20-token block; doc 1 is clean. Spans: doc 2
+    // [10, 30), doc 3 [0, 20) — same content hash, so doc 2 (min doc_id)
+    // keeps its copy and doc 3 loses tokens 0..19.
+    val shared = (1 to 20).map(i => s"s$i")
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"u$i").mkString(" ")),
+      (2L, ((1 to 10).map(i => s"a$i") ++ shared ++
+        (1 to 5).map(i => s"b$i")).mkString(" ")),
+      (3L, (shared ++ (1 to 12).map(i => s"c$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextDedup.removeRepeatedSpans(docs, "doc_id", "text",
+        windowTokens = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1 to 25).map(i => s"u$i").mkString(" "), 0L))
+    assert(got(2L)._1 == ((1 to 10).map(i => s"a$i") ++ shared ++
+      (1 to 5).map(i => s"b$i")).mkString(" "))
+    assert(got(2L)._2 == 0L)
+    assert(got(3L) == ((1 to 12).map(i => s"c$i").mkString(" "), 20L), got(3L))
+    // a doc that is pure boilerplate comes back empty, not missing
+    val allBoiler = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, shared.mkString(" ")))
+      .toDF("doc_id", "text")
+    val gb = TextDedup.removeRepeatedSpans(allBoiler, "doc_id", "text", 15)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(gb(1L) == (shared.mkString(" "), 0L))
+    assert(gb(2L) == ("", 20L))
+  }
 }
