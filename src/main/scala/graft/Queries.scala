@@ -2470,6 +2470,50 @@ object Queries {
         |    AND alpha_frac >= 0.8 AS keep
         |FROM m""".stripMargin)),
 
+    Q("quality_gate_report",
+      // Which gate fires, where: per-source rule-failure counts over the
+      // named-rule battery plus exact-ppm keep rate — the report read
+      // before tuning thresholds (a failing source usually fails ONE
+      // rule, not all of them). One grouped aggregate over the rules
+      // relation joined to source labels.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.qualityRules(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(!col("ok_tokens"), 1L).otherwise(0L)).as("fail_tokens"),
+            sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
+            sum(when(!col("ok_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("fail_tokens"),
+            col("fail_word_len"), col("fail_alpha"), col("n_kept"),
+            expr("n_kept * 1000000 div n_docs").as("keep_ppm"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROUND((CAST(len(text) AS DOUBLE) - len(string_split(text, ' ')) + 1.0)
+        |      / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |    ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS alpha_frac
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    n_tokens >= 25 AND n_tokens <= 100000 AS ok_tokens,
+        |    mean_word_len >= 4.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |    alpha_frac >= 0.8 AS ok_alpha
+        |  FROM m)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END) AS BIGINT) AS fail_tokens,
+        |  CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        |  CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(SUM(CASE WHEN ok_tokens AND ok_word_len AND ok_alpha
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN ok_tokens AND ok_word_len AND ok_alpha
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS keep_ppm
+        |FROM r JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("doc_repetition",
       // Intra-document repetition quality signals (Gopher-style filter
       // rules): duplicate-token fraction and top-token dominance per doc.
