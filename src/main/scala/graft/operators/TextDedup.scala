@@ -444,11 +444,18 @@ object TextDedup {
       .withColumn("ch", md5(concat_ws(" ",
         slice(split(col("_t"), " "), col("span_start").cast("int") + 1,
           (col("span_end") - col("span_start")).cast("int")))))
+    // Eager localCheckpoint TRUNCATES LINEAGE (the Clustering discipline):
+    // the removal set is tiny — only spans that LOSE the canonical pick —
+    // but its upstream plan is the whole span-detection pipeline, and
+    // three downstream branches (anti-join, affected set, accounting)
+    // would otherwise each re-pay it. One evaluation, constant-size plan
+    // for every consumer.
     val rem = withContent
       .withColumn("rn", row_number().over(
         Window.partitionBy("ch").orderBy("doc_id", "span_start")))
       .filter(col("rn") > 1)
       .select(col("doc_id").as("r_doc"), col("span_start"), col("span_end"))
+      .localCheckpoint(true)
     val affected = rem.select(col("r_doc").as("doc_id")).distinct()
     val tokens = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
