@@ -309,12 +309,21 @@ object TextDedup {
     * equi-join on (band, key). Exposed for the streaming form's spec and
     * for callers that verify candidates their own way.
     */
-  def lshCandidatesFromHashes(sh: DataFrame, numPerm: Int,
-                              bands: Int): DataFrame = {
-    val banded = sh.groupBy("doc_id")
+  /** The banded key relation (doc_id, band, bh) — one row per LSH band
+    * per document. THIS is the materializable LSH index: written once
+    * bucketed on (band, bh) (ParquetSink.writeLshIndex), every future
+    * ingest batch equi-joins it for candidates without shuffling the
+    * corpus side.
+    */
+  def bandedKeys(sh: DataFrame, numPerm: Int, bands: Int): DataFrame =
+    sh.groupBy("doc_id")
       .agg(org.apache.spark.sql.graft.MinHashAggFunctions
         .minhashBandKeys(col("h"), numPerm, bands).as("bk"))
       .select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "bh")))
+
+  def lshCandidatesFromHashes(sh: DataFrame, numPerm: Int,
+                              bands: Int): DataFrame = {
+    val banded = bandedKeys(sh, numPerm, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

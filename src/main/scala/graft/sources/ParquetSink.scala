@@ -127,6 +127,21 @@ object ParquetSink {
     * sort-merge joins — no shuffle of the 100 TB sides (SURVEY §3).
     * Bucketed tables require the table catalog, hence saveAsTable.
     */
+  /** Persists a banded LSH key relation (TextDedup.bandedKeys) bucketed
+    * and sorted on (band, bh) — the PRECOMPUTED LSH INDEX the incremental
+    * dedup path reads. A daily ingest batch's candidate equi-join on
+    * (band, bh) then shuffles only the batch side into the bucket
+    * partitioning; the corpus-sized index scans in place, bucket-local
+    * (spec-proven). Write once per corpus version, not per batch.
+    */
+  def writeLshIndex(banded: DataFrame, tableName: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    banded.write.mode(mode)
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   def writeBucketedSnapshot(df: DataFrame, tableName: String,
                             pkCols: Seq[String], buckets: Int,
                             mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
-import graft.operators.{Cdc, Skew}
+import graft.operators.{Cdc, Skew, TextDedup}
 
 class ParquetSinkSpec extends SparkSpec {
 
@@ -54,6 +54,58 @@ class ParquetSinkSpec extends SparkSpec {
     val expected = curr.as("c").join(p.as("p"), Seq("pk"))
       .filter(!(col("c.ts") <=> col("p.ts"))).count()
     assert(diff.count() == expected)
+  }
+
+  test("stored LSH index joins an ingest batch without shuffling the index side") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    val loc = new java.io.File("spark-warehouse/lsh_idx")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val sh = TextDedup.shingleHashTable(corpus, "doc_id", "text", 3)
+    ParquetSink.writeLshIndex(TextDedup.bandedKeys(sh, 128, 32), "lsh_idx", 4)
+    val idx = spark.table("lsh_idx")
+    // ingest batch: a handful of (partly duplicated) docs with fresh ids
+    val batchDocs = corpus.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batchBanded = TextDedup.bandedKeys(
+        TextDedup.shingleHashTable(batchDocs, "doc_id", "text", 3), 128, 32)
+      .localCheckpoint(true) // isolate the join's own exchanges
+    val cand = batchBanded.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val n = cand.count() // finalize AQE
+    assert(n > 0, "duplicated batch docs must hit the index")
+    val plan = cand.queryExecution.executedPlan.toString
+    // the index side scans bucket-local: exchanges exist only for the
+    // batch side + the distinct, never between the index scan and the join
+    assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    if (joinIdx >= 0) {
+      val idxScan = plan.indexOf("lsh_idx")
+      assert(idxScan > joinIdx, "bucketed scan feeds the join")
+      val between = plan.substring(joinIdx, idxScan)
+      // the subtree between the join and the index scan holds no exchange
+      // on the index branch: the scan's bucket partitioning is used as-is
+      assert(!between.split("\n").exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("lsh_idx")),
+        s"index side must not re-shuffle:\n$plan")
+    }
+    // and the index answers are the same as recomputing the corpus bands
+    val recomputed = TextDedup.bandedKeys(sh, 128, 32).as("b")
+      .join(batchBanded.as("a"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    assert(n == recomputed.count())
   }
 
   test("writeSorted layout lets a selective scan skip most row groups") {
