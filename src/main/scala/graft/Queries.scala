@@ -991,6 +991,39 @@ object Queries {
         n = 3, numPerm = 128, bands = 32, threshold = 0.8),
       Some(jaccardPairsSql(0.8))),
 
+    Q("cross_source_overlap",
+      // Which sources copy from each other: near-dup pair counts per
+      // UNORDERED source pair (least/greatest normalization), plus how
+      // many pairs stay inside one source. The provenance diagnostic
+      // read before deciding which feed to drop. Pair relation = the
+      // exact-verified LSH pipeline; the rollup adds two pk joins and
+      // one grouped aggregate.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("source").as("source_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("source").as("source_b")), "doc_b")
+          .groupBy(least(col("source_a"), col("source_b")).as("source_x"),
+            greatest(col("source_a"), col("source_b")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("source_a") === col("source_b"), 1L).otherwise(0L))
+              .as("n_within"))
+      },
+      Some(s"""WITH pr AS (${jaccardPairsSql(0.8)})
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within
+        |FROM pr
+        |JOIN documents da ON pr.doc_a = da.doc_id
+        |JOIN documents db ON pr.doc_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin)),
+
     Q("repeated_spans",
       // Exact-substring dedup (Lee et al. '21), windowed form: maximal
       // per-doc spans of content whose 15-token windows repeat anywhere
