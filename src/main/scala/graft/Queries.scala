@@ -1490,6 +1490,22 @@ object Queries {
         |    // COUNT(*) AS BIGINT) AS oov_ppm
         |FROM toks LEFT JOIN vocab v ON toks.tok = v.tok GROUP BY doc_id""".stripMargin)),
 
+    Q("vocab_build",
+      // The top-V vocabulary as a first-class artifact (rank, token,
+      // corpus + document frequency) — tokenizer-training input and the
+      // relation oov_rate gates against. Ranking window runs over the
+      // vocabulary-sized count relation only.
+      (s, d) => TextAnalysis.vocabBuild(Tables.documents(s, d),
+        "doc_id", "text", vocabSize = 200),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY tok)
+        |SELECT CAST(rank AS BIGINT) AS rank, tok, cf, df FROM (
+        |  SELECT tok, cf, df,
+        |    ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rank FROM c)
+        |WHERE rank <= 200""".stripMargin)),
+
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
       // rows-only here and fixed-value + near-dup-hamming checks in

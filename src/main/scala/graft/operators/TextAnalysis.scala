@@ -334,6 +334,26 @@ object TextAnalysis {
     * semi-join side; per-doc totals are one groupBy. No shuffle carries
     * more than the token explode already did.
     */
+  /** The top-V vocabulary as a first-class artifact (rank, token, corpus
+    * frequency, document frequency) — what a tokenizer trainer or the
+    * [[oovRate]] gate consumes. One token-count aggregate; the ranking
+    * window runs over the VOCABULARY-sized count relation only (never
+    * the token stream), count-desc with token tie-break so the relation
+    * is engine-portable.
+    */
+  def vocabBuild(docs: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    toks.groupBy("tok")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cf").desc, col("tok"))))
+      .filter(col("rank") <= vocabSize)
+      .select(col("rank").cast("long").as("rank"), col("tok"),
+        col("cf"), col("df"))
+  }
+
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
