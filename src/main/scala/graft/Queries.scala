@@ -1730,6 +1730,38 @@ object Queries {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT vid FROM agg WHERE vid <> cluster_id)""".stripMargin)),
 
+    Q("semdedup_savings",
+      // What SemDeDup bought, per label: vector counts before vs after
+      // dropping non-canonical members of embedding near-dup clusters —
+      // the generic dedupSavings operator composed unchanged over the
+      // IVF-bucketed cosine pairs (weight = 1/vector).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Clustering.dedupSavings(
+          emb.select(col("vec_id"), col("label"), lit(1L).as("w")),
+          Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
+          "vec_id", "id_a", "id_b", "label", "w")
+      },
+      Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4)}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS vec_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node),
+        |drops AS (SELECT vec_id FROM agg WHERE vec_id <> cluster_id)
+        |SELECT label,
+        |  COUNT(*) AS docs_before,
+        |  COUNT(*) FILTER (dr.vec_id IS NULL) AS docs_after,
+        |  CAST(COUNT(*) AS BIGINT) AS weight_before,
+        |  CAST(COUNT(*) FILTER (dr.vec_id IS NULL) AS BIGINT) AS weight_after
+        |FROM embeddings LEFT JOIN drops dr USING (vec_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("ann_ivf_refined_assign",
       // IVF assignment from the full production quantizer: seeded
       // deterministic kmeans‖-style init (configurable k) + two Lloyd
