@@ -1975,8 +1975,9 @@ object Queries {
         |hits AS (SELECT e.nprobe, COUNT(*) AS n_hits
         |  FROM probed e JOIN truth t USING (query_id, neighbor_id) GROUP BY 1),
         |denom AS (SELECT COUNT(*) AS n_truth FROM truth)
-        |SELECT h.nprobe, h.n_hits, h.n_hits * 1000000 // d.n_truth AS recall_ppm
-        |FROM hits h CROSS JOIN denom d""".stripMargin)),
+        |SELECT n.nprobe, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) * 1000000 // d.n_truth AS recall_ppm
+        |FROM np n LEFT JOIN hits h USING (nprobe) CROSS JOIN denom d""".stripMargin)),
 
     Q("lang_id",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text", "lang"),

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -35,9 +35,16 @@ case class CountMinAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
 
   require(depth > 0 && width > 0, "depth and width must be positive")
+
+  // update() reads the key as a raw Long — declare it so a non-bigint
+  // argument to SQL count_min_sketch_flat fails at ANALYSIS (with the
+  // implicit-cast machinery fixing up int/short keys) instead of a
+  // ClassCastException on executors mid-job.
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -77,7 +84,10 @@ case class CountMinAgg(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "count_min_sketch"
+  // matches the registered SQL identifier — Spark's built-in
+  // `count_min_sketch` emits a different (binary) format, so plans and
+  // error messages must not suggest that name
+  override def prettyName: String = "count_min_sketch_flat"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -128,13 +128,18 @@ object Analytics {
     */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
-    val week = unix_timestamp(date_trunc("week", col(tsCol)))
+    val week = date_trunc("week", col(tsCol))
     events
-      .select(col(userCol).as("user_id"), week.as("week_start"))
-      .withColumn("cohort_week",
-        min(col("week_start")).over(Window.partitionBy(col("user_id"))))
-      .select(col("user_id"), col("cohort_week"),
-        ((col("week_start") - col("cohort_week")) / 604800L)
+      .select(col(userCol).as("user_id"), week.as("week_ts"))
+      .withColumn("cohort_ts",
+        min(col("week_ts")).over(Window.partitionBy(col("user_id"))))
+      // offset in CALENDAR weeks via datediff over the truncated dates —
+      // a fixed 604800-second divisor would misbucket in DST timezones,
+      // where one local week spans 604800±3600 s (both week-truncated, so
+      // the day gap is always an exact multiple of 7)
+      .select(col("user_id"),
+        unix_timestamp(col("cohort_ts")).as("cohort_week"),
+        (datediff(col("week_ts"), col("cohort_ts")) / 7)
           .cast("long").as("week_offset"))
       .distinct()
       .groupBy("cohort_week", "week_offset")

@@ -468,7 +468,12 @@ object Ann {
     val hits = probedTopK.join(truth, Seq("query_id", "neighbor_id"))
       .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
     val denom = truth.agg(count(lit(1)).as("n_truth"))
-    hits.join(broadcast(denom))
+    // every requested probe level gets a row — a level with recall 0
+    // must report n_hits=0, not vanish from the report (callers iterate
+    // "one row per nprobe")
+    np.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .join(broadcast(denom))
       .select(col("nprobe"), col("n_hits"),
         expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
   }

@@ -59,15 +59,23 @@ object Sketches {
     * shuffle reduction, not an approximation. Both filters compare
     * against the same `support · total` value, preserving the guarantee
     * under fp rounding.
+    *
+    * Keys of ANY type sketch through `xxhash64(value)` (a long on both the
+    * update and estimate sides, so string/decimal/struct keys work — a
+    * bare `cast('long')` would null out non-integral keys and silently
+    * drop them from the sketch). A hash collision only MERGES two keys'
+    * cells, i.e. overestimates — which CMS already does by construction —
+    * and the exact post-filter still prunes it, so the output stays
+    * identical to [[heavyHitters]] for every input type.
     */
   def heavyHittersCms(df: DataFrame, valueCol: String, support: Double,
                       depth: Int = 4, width: Int = 8192): DataFrame = {
     val sk = df.agg(
       org.apache.spark.sql.graft.CountMinAggFunctions
-        .countMinSketch(col(valueCol).cast("long"), depth, width).as("__sk"),
+        .countMinSketch(xxhash64(col(valueCol)), depth, width).as("__sk"),
       count(lit(1)).as("__total"))
     df.crossJoin(broadcast(sk))
-      .filter(cmsEstimate(col("__sk"), col(valueCol).cast("long"),
+      .filter(cmsEstimate(col("__sk"), xxhash64(col(valueCol)),
         depth, width) >= col("__total") * support)
       .groupBy(col(valueCol), col("__total"))
       .agg(count(lit(1)).as("freq"))
