@@ -21,7 +21,10 @@ object Bench {
   private val exclude = Set("dedup_ngram_jaccard", "dedup_embedding_cosine",
     // exhaustive shared-shingle baseline; shingle_containment_capped is
     // the benched df-bounded scale path (identical per-pair values)
-    "shingle_containment")
+    "shingle_containment",
+    // round-4 demoted grows-with-n configs (quadratic by construction;
+    // the promoted √n-stride / capped-ksub entries are the benched paths)
+    "embedding_clusters_sampled", "semdedup_apply_sampled", "pq_topk_sampled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,8 +90,13 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver parses this line from captured stdout; emit it BEFORE
     // spark.stop() (shutdown logging has truncated the tail in past
-    // rounds) and flush explicitly.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir","trials":$trials}""")
+    // rounds) and flush explicitly. Include the HEAVIEST queries inline
+    // (the full ~140-entry map blew past the 2000-char capture window two
+    // rounds running — those live in queries_file), bounded so the line
+    // stays parseable.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, m, _) => "\"" + k + f"\":$m%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$top,"queries_file":"$outFile","sf":"$sfDir","trials":$trials}""")
     System.out.flush()
     spark.stop()
   }

@@ -815,21 +815,33 @@ object Queries {
        | x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))""".stripMargin
 
-  /** Shared PQ codebook + encoding CTEs (m=4 subspaces x 16 dims, one
-    * codeword per 25th vector): `cb` = (subspace, code, cvs), `enc` =
-    * nearest code per (vec_id, subspace).
+  /** Shared PQ codebook + encoding CTEs (m=4 subspaces x 16 dims):
+    * `cb` = (subspace, code, cvs), `enc` = nearest code per
+    * (vec_id, subspace). The PRIMARY sample rule is every 25th vector
+    * CAPPED at 256 codewords (`vec_id < 6400`) — ksub constant in n, so
+    * the encode join stays linear (the Pq scale note); the uncapped
+    * grows-with-n rule survives only in the demoted `pq_topk_sampled`
+    * baseline.
     */
-  private val pqCteSql: String =
+  private def pqCteSql(capped: Boolean = true): String = {
+    val capWhere = if (capped) " AND e.vec_id < 6400" else ""
     s"""cb AS (SELECT CAST(s.s AS BIGINT) AS subspace, e.vec_id // 25 AS code,
        |         list_slice(e.embedding, s.s*16+1, s.s*16+16) AS cvs
        |       FROM embeddings e, (SELECT unnest([0,1,2,3]) AS s) s
-       |       WHERE e.vec_id % 25 = 0),
+       |       WHERE e.vec_id % 25 = 0$capWhere),
        |scored AS (SELECT e.vec_id, c.subspace, c.code,
        |    ${l2Sql("list_slice(e.embedding, c.subspace*16+1, c.subspace*16+16)", "c.cvs")} AS d
        |  FROM embeddings e CROSS JOIN cb c),
        |enc AS (SELECT vec_id, subspace, code, d FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
        |      ORDER BY d, code) AS rn FROM scored) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The PQ codebook sample at its production (capped) rule, Spark side:
+    * every 25th vector, at most 256 codewords.
+    */
+  private def pqSample(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25 * 256)
 
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -861,12 +873,43 @@ object Queries {
        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= $threshold""".stripMargin
 
+  /** Scale-safe IVF centroid rule: stride-sample k ≈ √n vectors. k = √n
+    * balances the assign stage (n·k cosines) against within-bucket pair
+    * generation (n²/k pairs) — both n^1.5, the configuration whose 100x
+    * probe held exponent ≤ 0.7 (SURVEY §3) where the old every-25th rule
+    * (k ∝ n ⇒ assign O(n²/25)) went quadratic. Pure integer/√ function
+    * of COUNT(*), so DuckDB reproduces the centroid set exactly.
+    */
+  private[graft] def sqrtStride(emb: DataFrame): Long = {
+    val n = emb.count()
+    val k = math.max(16L, math.floor(math.sqrt(n.toDouble)).toLong)
+    math.max(1L, n / k)
+  }
+
+  /** Stride-sampled √n centroids of an embeddings relation (Spark side of
+    * the rule above).
+    */
+  private def sqrtCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % sqrtStride(emb) === 0)
+
+  /** The same √n stride as a DuckDB scalar subquery over `embeddings`. */
+  private val sqrtStrideSql: String =
+    "(SELECT GREATEST(1, COUNT(*) // GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
+
+  /** Centroid-selection predicates: the primary √n-stride rule and the
+    * demoted grows-with-n sampled rule (kept only as an unbenched
+    * baseline, like dedup_ngram_jaccard for LSH).
+    */
+  private val sqrtCentsWhereSql: String = s"vec_id % $sqrtStrideSql = 0"
+  private val sampledCentsWhereSql: String = "vec_id % 25 = 0"
+
   /** IVF-bucketed cosine near-dup pairs (the dedup_embedding_bucketed
     * relation), reused by the embedding-cluster oracle.
     */
-  private def bucketedCosPairsSql(threshold: Double): String =
+  private def bucketedCosPairsSql(threshold: Double,
+                                  centsWhere: String = sqrtCentsWhereSql): String =
     s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-       |        FROM embeddings WHERE vec_id % 25 = 0),
+       |        FROM embeddings WHERE $centsWhere),
        |scored AS (SELECT e.vec_id, c.centroid_id,
        |    ${cosSql("e.embedding", "c.cv")} AS cos
        |  FROM embeddings e CROSS JOIN c),
@@ -1593,16 +1636,19 @@ object Queries {
         |GROUP BY a.vec_id""".stripMargin)),
 
     Q("ann_cosine_topk",
+      // Brute-force baseline over a BOUNDED query set (query workloads
+      // don't grow with the corpus): the scan is O(|q|·n) = linear in n.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Ann.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+        Ann.bruteForceTopK(
+          emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500), emb,
           "vec_id", "embedding", k = 5)
       },
       Some(s"""WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    ${cosSql("q.embedding", "c.embedding")} AS cos
         |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
+        |    ON q.vec_id % 25 = 0 AND q.vec_id < 2500 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         |  ROUND(cos, 4) AS cosine
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1610,14 +1656,15 @@ object Queries {
         |WHERE rank <= 5""".stripMargin)),
 
     Q("ann_ivf_assign",
-      // Coarse quantizer: every 25th vector doubles as a centroid.
+      // Coarse quantizer at the √n-stride centroid rule (assign = n^1.5
+      // cosines, not the quadratic k ∝ n of a fixed-modulus sample).
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
         |scored AS (SELECT e.vec_id, c.centroid_id,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
         |  FROM embeddings e CROSS JOIN c)
@@ -1629,13 +1676,13 @@ object Queries {
     Q("ann_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
         Ann.ivfTopK(emb, assign, emb.filter(col("vec_id") % 37 === 0),
           "vec_id", "embedding", k = 3)
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
         |scored AS (SELECT e.vec_id, c.centroid_id,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
         |  FROM embeddings e CROSS JOIN c),
@@ -1674,7 +1721,7 @@ object Queries {
       // recall oracle). Same sampled centroids as the other IVF entries.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
         Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4)
       },
@@ -1686,13 +1733,37 @@ object Queries {
       // whole pipeline is the scale path). doc_id = generic member id.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
         Clustering.dedupClusters(
           Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
           "id_a", "id_b")
       },
       Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4)}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
+
+    Q("embedding_clusters_sampled",
+      // DEMOTED round-4 baseline: the original grows-with-n centroid rule
+      // (every 25th vector ⇒ k ∝ n ⇒ assign O(n²/25), probed 186 s at
+      // 100x). Unbenched, like dedup_ngram_jaccard — the primary
+      // embedding_clusters entry runs the √n-stride rule.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Clustering.dedupClusters(
+          Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
+          "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4, sampledCentsWhereSql)}),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
         |          UNION ALL SELECT id_b, id_a FROM pr),
         |closure(node, reach) AS (
@@ -1712,13 +1783,37 @@ object Queries {
       // pairs.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
         Clustering.applyDedup(emb.select("vec_id", "label"),
           Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
           "vec_id", "id_a", "id_b")
       },
       Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4)}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS vid, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vid FROM agg WHERE vid <> cluster_id)""".stripMargin)),
+
+    Q("semdedup_apply_sampled",
+      // DEMOTED round-4 baseline: SemDeDup over the grows-with-n centroid
+      // rule (282 s at 100x, SURVEY §3). Unbenched; the primary
+      // semdedup_apply entry runs the √n-stride rule.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Clustering.applyDedup(emb.select("vec_id", "label"),
+          Ann.bucketedCosinePairs(emb, assign, "vec_id", "embedding", 0.4),
+          "vec_id", "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE pr AS (${bucketedCosPairsSql(0.4, sampledCentsWhereSql)}),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
         |          UNION ALL SELECT id_b, id_a FROM pr),
         |closure(node, reach) AS (
@@ -1737,7 +1832,7 @@ object Queries {
       // IVF-bucketed cosine pairs (weight = 1/vector).
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, emb.filter(col("vec_id") % 25 === 0),
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
           "vec_id", "embedding", "vec_id", "embedding")
         Clustering.dedupSavings(
           emb.select(col("vec_id"), col("label"), lit(1L).as("w")),
@@ -1786,7 +1881,7 @@ object Queries {
       // reuses one scored relation for assignment and probe selection.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = emb.filter(col("vec_id") % 25 === 0)
+        val cents = sqrtCentroids(emb)
         val assign = Ann.ivfAssign(emb, cents,
           "vec_id", "embedding", "vec_id", "embedding")
         Ann.ivfTopKProbed(emb, assign, cents,
@@ -1794,7 +1889,7 @@ object Queries {
           "vec_id", "embedding", "vec_id", "embedding", k = 3, nprobe = 2)
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
         |  FROM embeddings e CROSS JOIN c),
@@ -1820,17 +1915,46 @@ object Queries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Pq.encode(emb,
-          Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
+          Pq.codebookFromSample(pqSample(emb),
             "vec_id", "embedding", m = 4, subDim = 16),
           "vec_id", "embedding", subDim = 16)
       },
-      Some(s"""WITH $pqCteSql
+      Some(s"""WITH ${pqCteSql()}
         |SELECT vec_id, subspace, code, ROUND(d, 4) AS dist FROM enc""".stripMargin)),
 
     Q("pq_topk",
       // ADC top-k over the PQ codes: query-to-codeword LUT broadcasts,
       // per-(query, vector) distance = decimal sum of m lookups, bounded-
       // heap top-k. The memory-bound ANN scan (codes, not vectors).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.codebookFromSample(pqSample(emb),
+          "vec_id", "embedding", m = 4, subDim = 16)
+        Pq.adcTopK(
+          Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
+            .select("vec_id", "subspace", "code"),
+          cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          subDim = 16, k = 3)
+      },
+      Some(s"""WITH ${pqCteSql()},
+        |lut AS (SELECT q.vec_id AS query_id, c.subspace, c.code,
+        |    ${l2Sql("list_slice(q.embedding, c.subspace*16+1, c.subspace*16+16)", "c.cvs")} AS d
+        |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5),
+        |summed AS (SELECT l.query_id, en.vec_id AS neighbor_id,
+        |    SUM(CAST(l.d AS DECIMAL(38,12))) AS adc_exact
+        |  FROM enc en JOIN lut l ON en.subspace = l.subspace AND en.code = l.code
+        |  WHERE en.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(CAST(adc_exact AS DOUBLE), 4) AS adc
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_exact, neighbor_id) AS rank FROM summed)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("pq_topk_sampled",
+      // DEMOTED round-4 baseline: the uncapped codebook sample (ksub ∝ n
+      // ⇒ encode O(n²/25); its 100x probe spilled local disk — the trap
+      // Pq.codebookFromSample documents). Unbenched; the primary pq_topk
+      // entry caps ksub at 256.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
@@ -1841,7 +1965,7 @@ object Queries {
           cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           subDim = 16, k = 3)
       },
-      Some(s"""WITH $pqCteSql,
+      Some(s"""WITH ${pqCteSql(capped = false)},
         |lut AS (SELECT q.vec_id AS query_id, c.subspace, c.code,
         |    ${l2Sql("list_slice(q.embedding, c.subspace*16+1, c.subspace*16+16)", "c.cvs")} AS d
         |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5),
@@ -1866,7 +1990,7 @@ object Queries {
       // the centroids' own zero vectors) per the Pq scale note.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = emb.filter(col("vec_id") % 25 === 0)
+        val cents = sqrtCentroids(emb)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
         val assign = Ann.ivfAssign(emb, cents,
           "vec_id", "embedding", "centroid_id", "cv")
@@ -1883,7 +2007,7 @@ object Queries {
           subDim = 16, k = 3, nprobe = 2)
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
         |  FROM embeddings e CROSS JOIN c),
@@ -1934,16 +2058,19 @@ object Queries {
       // owner reads before picking nprobe.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = emb.filter(col("vec_id") % 25 === 0)
+        val cents = sqrtCentroids(emb)
         val assign = Ann.ivfAssign(emb, cents,
           "vec_id", "embedding", "vec_id", "embedding")
+        // queries BOUNDED (< 100): the brute-force truth side is
+        // O(|q|·n) — a query set growing with the corpus would make the
+        // report itself quadratic
         Ann.ivfRecallReport(emb, assign, cents,
-          emb.filter(col("vec_id") % 37 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 3700),
           "vec_id", "embedding", "vec_id", "embedding",
           k = 3, nprobes = Seq(1, 2, 4))
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE vec_id % 25 = 0),
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
         |scored AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |    ${cosSql("e.embedding", "c.cv")} AS cos
         |  FROM embeddings e CROSS JOIN c),
@@ -1952,7 +2079,7 @@ object Queries {
         |assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
         |probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id,
         |    rn AS pr
-        |  FROM ranked WHERE vec_id % 37 = 0 AND rn <= 4),
+        |  FROM ranked WHERE vec_id % 37 = 0 AND vec_id < 3700 AND rn <= 4),
         |pairs AS (SELECT p.query_id, e.vec_id AS neighbor_id, p.pr,
         |    ${cosSql("p.qv", "e.embedding")} AS cos
         |  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
@@ -1967,7 +2094,7 @@ object Queries {
         |tscored AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
         |    ${cosSql("q.embedding", "t.embedding")} AS cos
         |  FROM embeddings q JOIN embeddings t
-        |    ON q.vec_id % 37 = 0 AND t.vec_id <> q.vec_id),
+        |    ON q.vec_id % 37 = 0 AND q.vec_id < 3700 AND t.vec_id <> q.vec_id),
         |truth AS (SELECT query_id, neighbor_id FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rank FROM tscored)
