@@ -212,18 +212,6 @@ object Ann {
         round(max(cosine(col("v"), col("bv"))), 4).as("max_cosine"))
   }
 
-  /** Driver-side cosine over small candidate sets (init only). */
-  private def cosJvm(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
-      dot += a(i).toDouble * b(i).toDouble
-      na += a(i).toDouble * a(i).toDouble
-      nb += b(i).toDouble * b(i).toDouble
-      i += 1
-    }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
-  }
-
   /** Deterministic kmeans‖-style seeded centroid init (Bahmani et al.,
     * VLDB'12 sampling shape): `rounds` passes each sample points with
     * probability ∝ their cosine distance from the current center set
@@ -231,9 +219,12 @@ object Ann {
     * an xxhash64(vec_id, seed, round) uniform — same (data, k, seed) ⇒
     * same centroids on any partitioning (costs sum over decimal). Each
     * round is one broadcast-scored scan; only the O(rounds·l) sampled
-    * candidates reach the driver, where a deterministic weighted
-    * farthest-first pass (greedy kmeans++ without RNG, ties → min id)
-    * reduces them to k centers, re-labelled 0..k-1 in candidate-id order.
+    * candidate VECTORS reach the driver (O(k·dim) payload), and the
+    * reduction to k centers — deterministic weighted farthest-first
+    * (greedy kmeans++ without RNG, ties → min id), batched — runs
+    * DISTRIBUTED, so driver compute stays O(k·dim) rather than
+    * O(k·candidates·dim) cosines. Output re-labelled 0..k-1 in
+    * candidate-id order.
     */
   def initCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                     seed: Long, rounds: Int = 2,
@@ -285,41 +276,53 @@ object Ann {
       .groupBy("centroid_id").agg(count(lit(1)).as("w"))
       .as[(Long, Long)].collect().toMap
 
-    // deterministic weighted farthest-first down to k. Each candidate's
-    // min-distance-to-chosen is a running value updated only against the
-    // newly chosen center — O(k·candidates) cosines, not O(k²·candidates)
-    // (at the production k ~ √n the recomputing form would be hours of
-    // serial driver work); same ordering, same result.
-    val cand = candidates.toSeq.map { case (id, vec) =>
-      (id, vec, weights.getOrElse(id, 0L)) }.toArray
-    val minDist = Array.fill(cand.length)(Double.MaxValue)
-    val taken = Array.fill(cand.length)(false)
-    val seed0 = cand.indices.maxBy { i =>
-      val (id, _, w) = cand(i); (w, -id) }
-    taken(seed0) = true
-    val chosen = scala.collection.mutable.ArrayBuffer(cand(seed0))
-    while (chosen.size < k && chosen.size < cand.length) {
-      val lastVec = chosen.last._2
-      var best = -1
-      var bestKey = (Double.MinValue, Long.MinValue)
-      var i = 0
-      while (i < cand.length) {
-        if (!taken(i)) {
-          val d = 1.0 - cosJvm(cand(i)._2, lastVec)
-          if (d < minDist(i)) minDist(i) = d
-          val key = (cand(i)._3 * minDist(i), -cand(i)._1)
-          if (best < 0 || key._1 > bestKey._1 ||
-              (key._1 == bestKey._1 && key._2 > bestKey._2)) {
-            best = i; bestKey = key
-          }
-        }
-        i += 1
-      }
-      taken(best) = true
-      chosen += cand(best)
+    // DISTRIBUTED weighted farthest-first down to k, in batched picks:
+    // each pass updates every candidate's running min-distance-to-chosen
+    // against only the NEWLY chosen centers (broadcast batch, codegen'd
+    // cosine on executors), then takes the next ⌈k/passes⌉ candidates by
+    // (weight·minDist desc, id asc) through a distributed TakeOrdered.
+    // Within a batch picks don't see each other — the scalable-kmeans‖
+    // batching approximation; candidates arrive pre-spread by the
+    // distance-proportional sampling above, so quality tracks the serial
+    // greedy while DRIVER work drops to O(k·dim) (collecting the picks).
+    // The serial one-at-a-time reduction was O(k·candidates·dim) driver
+    // cosines — at the production k ≈ √n (n = 10⁹ ⇒ k ≈ 3·10⁴,
+    // candidates ≈ rounds·oversample·k) that is ~10⁹ serial driver
+    // operations, a real driver bottleneck; here it runs on executors.
+    val candWeighted = candidates.toSeq.map { case (id, vec) =>
+      (id, vec, weights.getOrElse(id, 0L)) }.toDF("cid", "cv", "w")
+    val seedRow = candWeighted.orderBy(col("w").desc, col("cid")).limit(1)
+      .as[(Long, Array[Float], Long)].head()
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
+      (seedRow._1, seedRow._2))
+    val passes = math.min(16, k)
+    val batchSize = math.max(1, (k + passes - 1) / passes)
+    var cand = candWeighted.filter(col("cid") =!= seedRow._1)
+      .withColumn("min_d", lit(Double.MaxValue))
+    var newPicks: Seq[(Long, Array[Float])] = chosen.toSeq
+    while (chosen.size < k && newPicks.nonEmpty) {
+      val batch = newPicks.toDF("bid", "bv")
+      val upd = cand.select(col("cid"), col("cv")).join(broadcast(batch))
+        .groupBy("cid")
+        .agg(min(lit(1.0) - cosine(col("cv"), col("bv"))).as("nd"))
+      // localCheckpoint: the relation is O(candidates) rows — cutting
+      // lineage each pass keeps the plan from re-deriving every earlier
+      // pass's join chain
+      cand = cand.join(upd, "cid")
+        .withColumn("min_d", least(col("min_d"), col("nd")))
+        .drop("nd")
+        .localCheckpoint()
+      val take = math.min(batchSize, k - chosen.size)
+      newPicks = cand
+        .orderBy((col("w").cast("double") * col("min_d")).desc, col("cid"))
+        .limit(take)
+        .select(col("cid"), col("cv")).as[(Long, Array[Float])].collect().toSeq
+      chosen ++= newPicks
+      if (newPicks.nonEmpty)
+        cand = cand.filter(!col("cid").isin(newPicks.map(_._1): _*))
     }
     chosen.sortBy(_._1).zipWithIndex
-      .map { case ((_, vec, _), i) => (i.toLong, vec) }.toSeq
+      .map { case ((_, vec), i) => (i.toLong, vec) }.toSeq
       .toDF("centroid_id", "cv")
   }
 

@@ -184,6 +184,28 @@ class AnnSpec extends SparkSpec {
     assert(c1.values.forall(corpus.contains))
   }
 
+  test("initCentroids at k=1000: full coverage with the distributed reduction") {
+    // The production regime (k ≈ √n): the candidate→k reduction must not
+    // be a serial driver loop. This drives k=1000 over a 5000-vector
+    // synthetic corpus — the batched distributed farthest-first collects
+    // only O(k·dim) to the driver (the picks themselves); the serial form
+    // this replaced would do k·candidates ≈ 4·10⁶ driver cosines here and
+    // ~10⁹ at n=10⁹.
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = spark.range(5000).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        ((pmod(xxhash64(col("id"), lit(d)), lit(1000)).cast("double") / 500.0) - 1.0)
+          .cast("float")): _*)
+        .as("embedding"))
+    val cents = Ann.initCentroids(emb, "vec_id", "embedding",
+      k = 1000, seed = 3L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.size == 1000)
+    assert(cents.keySet == (0L until 1000L).toSet)   // relabelled 0..k-1
+    assert(cents.values.toSeq.distinct.size == 1000) // distinct real centers
+  }
+
   test("ivfTopKProbed: nprobe=1 equals own-bucket ivfTopK; recall monotone in nprobe") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") % 25 === 0)
