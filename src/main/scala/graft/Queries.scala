@@ -334,7 +334,35 @@ object Queries {
         |    FROM orders WHERE o_orderkey % 13 <> 5),
         |t2 AS (SELECT pk_t, (ascii(substr(md5(pk_t), 1, 1)) * 256
         |    + ascii(substr(md5(pk_t), 2, 1))) % 4 AS grp FROM tgt)
-        |SELECT grp, pk_t FROM s2 ANTI JOIN t2 USING (grp, pk_t)""".stripMargin))
+        |SELECT grp, pk_t FROM s2 ANTI JOIN t2 USING (grp, pk_t)""".stripMargin)),
+
+    Q("pk_reconcile_report",
+      // The structured post-reconcile report: per-direction counts plus a
+      // bounded deterministic key sample — the read-after-every-run
+      // surface of PrimaryKeyReconciliation.scala:680-998.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.reconcileReport(o.select("o_orderkey"), targetKeys(o), pk,
+          sampleSize = 10)
+      },
+      Some(s"""WITH tgt AS ($targetKeysSql),
+        |s AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |t AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM tgt),
+        |f AS (SELECT CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'common'
+        |         WHEN s.k IS NOT NULL THEN 'missing_in_target'
+        |         ELSE 'extra_in_target' END AS direction,
+        |       COALESCE(s.k, t.k) AS k
+        |      FROM s FULL JOIN t ON s.k = t.k),
+        |c AS (SELECT direction, COUNT(*) AS n_keys FROM f GROUP BY 1),
+        |smp AS (SELECT direction, string_agg(k, ',' ORDER BY k) AS sample_keys
+        |  FROM (SELECT direction, k, ROW_NUMBER() OVER (PARTITION BY direction
+        |          ORDER BY k) AS rn FROM f)
+        |  WHERE rn <= 10 GROUP BY 1),
+        |d AS (SELECT unnest(['missing_in_target', 'extra_in_target', 'common'])
+        |        AS direction)
+        |SELECT d.direction, COALESCE(c.n_keys, 0) AS n_keys,
+        |  COALESCE(smp.sample_keys, '') AS sample_keys
+        |FROM d LEFT JOIN c USING (direction) LEFT JOIN smp USING (direction)""".stripMargin))
   )
 
   // ------------------------------------------------------------ transforms

@@ -106,4 +106,47 @@ object Cdc {
   def reconcileCommon(source: DataFrame, target: DataFrame, pkCols: Seq[String]): DataFrame =
     source.select(pkCols.map(col): _*).distinct()
       .join(target.select(pkCols.map(col): _*).distinct(), pkCols, "left_semi")
+
+  /** The reconciliation REPORT surface: one row per direction
+    * (`missing_in_target` / `extra_in_target` / `common`) with the
+    * distinct-key count and a bounded, deterministic sample of the
+    * lowest keys (comma-joined over the '|'-rendered pk tuple) — what an
+    * operator reads after every reconcile run (reference
+    * PrimaryKeyReconciliation.scala:680 collectSample, :793 compute,
+    * :896 buildJson, :975 buildLogSummary).
+    *
+    * Scale shape: directions come from ONE full-outer join of the
+    * distinct key sets (counts map-side combined over 3 groups); each
+    * sample is a TakeOrdered — per-partition heads, never a full sort,
+    * at most `sampleSize` rows ever reach the driver side of the plan.
+    * Every direction always appears, zero-count included (callers
+    * iterate "one row per direction").
+    */
+  def reconcileReport(source: DataFrame, target: DataFrame,
+                      pkCols: Seq[String], sampleSize: Int): DataFrame = {
+    require(sampleSize >= 0, "sampleSize must be >= 0")
+    val spark = source.sparkSession
+    import spark.implicits._
+    def keyed(df: DataFrame, flag: String): DataFrame =
+      df.select(concat_ws("|", pkCols.map(c => col(c).cast("string")): _*).as("k"))
+        .distinct().withColumn(flag, lit(true))
+    val flagged = keyed(source, "in_s").join(keyed(target, "in_t"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("in_s").isNotNull && col("in_t").isNotNull, "common")
+          .when(col("in_s").isNotNull, "missing_in_target")
+          .otherwise("extra_in_target").as("direction"))
+    val allDirs = Seq("missing_in_target", "extra_in_target", "common")
+    val counts = flagged.groupBy("direction").agg(count(lit(1)).as("n_keys"))
+    val samples = allDirs.map { dir =>
+      flagged.filter(col("direction") === dir).orderBy("k").limit(sampleSize)
+        .agg(concat_ws(",", sort_array(collect_list(col("k")))).as("sample_keys"))
+        .select(lit(dir).as("direction"), col("sample_keys"))
+    }.reduce(_ unionByName _)
+    allDirs.toDF("direction")
+      .join(counts, Seq("direction"), "left")
+      .join(samples, Seq("direction"), "left")
+      .select(col("direction"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("sample_keys"), lit("")).as("sample_keys"))
+  }
 }

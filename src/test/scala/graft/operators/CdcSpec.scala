@@ -62,4 +62,26 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.reconcileExtra(src, tgt, Seq("id")).as[Long].collect().sorted === Array(9L))
     assert(Cdc.reconcileCommon(src, tgt, Seq("id")).as[Long].collect().sorted === Array(2L, 3L))
   }
+
+  test("reconcileReport: every direction present, sample bounded and ordered") {
+    val src = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")
+    val tgt = Seq(2L, 3L, 4L, 10L, 11L).toDF("id")  // nothing extra
+    val rep = Cdc.reconcileReport(src, tgt, Seq("id"), sampleSize = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rep.keySet == Set("missing_in_target", "extra_in_target", "common"))
+    assert(rep("missing_in_target") == ((1L, "1")))
+    // zero-count direction still reports, with an empty sample
+    assert(rep("extra_in_target") == ((0L, "")))
+    // count is the FULL count; sample is the 3 lexicographically lowest
+    // keys ("10" < "2" in the string key space — deterministic, both
+    // engines sort bytes)
+    assert(rep("common") == ((5L, "10,11,2")))
+    // composite pk renders as a '|'-joined tuple
+    val srcC = Seq((1L, "a"), (1L, "b")).toDF("id", "sub")
+    val tgtC = Seq((1L, "a")).toDF("id", "sub")
+    val repC = Cdc.reconcileReport(srcC, tgtC, Seq("id", "sub"), sampleSize = 5)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(repC("missing_in_target") == "1|b")
+    assert(repC("common") == "1|a")
+  }
 }
