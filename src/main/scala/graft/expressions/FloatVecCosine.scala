@@ -217,4 +217,17 @@ object GraftExpressions {
     ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       graft.operators.GraftCodec.getClass, BinaryType, "inflate",
       Seq(ExpressionUtils.expression(bin)), Seq(BinaryType)))
+
+  /** Membership probe against a driver-built Bloom filter, as Spark's own
+    * codegen'd [[org.apache.spark.sql.catalyst.expressions
+    * .BloomFilterMightContain]] over the serialized filter literal — the
+    * exact expression injected runtime row-level filters use, so the
+    * probe compiles into whole-stage codegen instead of crossing a UDF
+    * boundary. `bytes` is `BloomFilter.writeTo`'s format.
+    */
+  def bloomMightContain(bytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes, BinaryType),
+        ExpressionUtils.expression(value)))
 }

@@ -618,8 +618,10 @@ object TextDedup {
     * The benchmark count + filter build are two metadata-scale driver
     * steps over the SMALL side only (like AQE stats or GlobalIds'
     * min/max); the corpus side stays fully distributed. The membership
-    * probe is a long→boolean UDF — off the codegen path, but it replaces
-    * shuffle IO, and the probe input is one 8-byte column.
+    * probe is Spark's own codegen'd [[BloomFilterMightContain]] over the
+    * serialized filter literal — the exact expression injected runtime
+    * row-level filters use, so the probe stays inside whole-stage
+    * codegen (no UDF boundary on the hot corpus scan).
     */
   def contaminationBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, n: Int, minOverlap: Int,
@@ -629,9 +631,14 @@ object TextDedup {
       .select(col("h")).distinct()
     val expected = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("h", expected, fpp)
-    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val overlaps = docSh.filter(mightContain(col("h")))
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain =
+      org.apache.spark.sql.graft.GraftExpressions.bloomMightContain(bfBytes, col("h"))
+    val overlaps = docSh.filter(mightContain)
       .join(benchSh, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
