@@ -555,6 +555,82 @@ object Queries {
         |  || ');' AS stmt
         |FROM part""".stripMargin)),
 
+    Q("cql_insert_tuple_udt",
+      // Tuple and nested-frozen-UDT CQL literals: tuples render
+      // positionally `(v1,v2)`, UDTs as `{name:v, ...}` with unquoted
+      // field names, frozen<> transparent at every nesting level — the
+      // literal shapes beyond list/set/map a migration user hits next.
+      // Structs built in-query from scalar columns so the oracle renders
+      // the expected text from the same scalars.
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Transforms.cqlInsertStatement("ks.orders_t", Seq(
+          ("o_orderkey", col("o_orderkey"), "bigint"),
+          ("tup", struct(col("o_orderkey"), col("o_orderstatus")),
+            "frozen<tuple<bigint, text>>"),
+          ("addr", struct(
+            col("o_orderpriority").as("street"),
+            struct(col("o_totalprice"), col("o_custkey")).as("geo"),
+            array(col("o_orderstatus"), col("o_orderpriority")).as("tags")),
+            "udt<street:text, geo:frozen<tuple<decimal, bigint>>, tags:frozen<list<text>>>")
+        )).as("stmt")),
+      Some("""SELECT o_orderkey,
+        |  'INSERT INTO ks.orders_t (o_orderkey, tup, addr) VALUES ('
+        |  || CAST(o_orderkey AS VARCHAR) || ', '
+        |  || '(' || CAST(o_orderkey AS VARCHAR) || ','
+        |  || chr(39) || replace(o_orderstatus, chr(39), chr(39) || chr(39)) || chr(39) || '), '
+        |  || '{street:' || chr(39) || replace(o_orderpriority, chr(39), chr(39) || chr(39)) || chr(39)
+        |  || ', geo:(' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |  || ',' || CAST(o_custkey AS VARCHAR) || ')'
+        |  || ', tags:[' || chr(39) || replace(o_orderstatus, chr(39), chr(39) || chr(39)) || chr(39)
+        |  || ',' || chr(39) || replace(o_orderpriority, chr(39), chr(39) || chr(39)) || chr(39) || ']}'
+        |  || ');' AS stmt
+        |FROM orders""".stripMargin)),
+
+    Q("cql_type_mapping",
+      // The Cassandra→Spark-SQL type map the reference renders Iceberg
+      // CREATE TABLE defs from (keyspaces/CQLReplicator.scala:1225-1248
+      // cassandraTypeToSparkSql, :1252 columnDefs), applied over the type
+      // catalog as DATA — one codegen'd projection, unknown types falling
+      // back to STRING like the reference's `case _` ("duration" probes
+      // the fallback).
+      (s, d) => {
+        val types = Seq("text", "varchar", "ascii", "inet", "uuid",
+          "timeuuid", "int", "varint", "bigint", "counter", "float",
+          "double", "boolean", "timestamp", "date", "decimal", "smallint",
+          "tinyint", "blob", "duration")
+        s.range(1)
+          .select(posexplode(array(types.map(lit): _*)).as(Seq("p", "cql_type")))
+          .select((col("p") + 1).cast("long").as("ord"), col("cql_type"),
+            Transforms.cqlTypeToSparkSqlType(col("cql_type")).as("spark_type"))
+          .withColumn("col_def",
+            concat(lit("c"), col("ord").cast("string"), lit(" "), col("spark_type")))
+      },
+      Some("""WITH ty AS (SELECT ['text', 'varchar', 'ascii', 'inet', 'uuid',
+        |    'timeuuid', 'int', 'varint', 'bigint', 'counter', 'float',
+        |    'double', 'boolean', 'timestamp', 'date', 'decimal', 'smallint',
+        |    'tinyint', 'blob', 'duration'] AS a),
+        |x AS (SELECT CAST(i.i AS BIGINT) AS ord, a[i.i] AS cql_type
+        |      FROM ty, (SELECT unnest(generate_series(1, 20)) AS i) i),
+        |m AS (SELECT ord, cql_type,
+        |  CASE WHEN cql_type IN ('text', 'varchar', 'ascii', 'inet', 'uuid', 'timeuuid') THEN 'STRING'
+        |       WHEN cql_type IN ('int', 'varint') THEN 'INT'
+        |       WHEN cql_type IN ('bigint', 'counter') THEN 'BIGINT'
+        |       WHEN cql_type = 'float' THEN 'FLOAT'
+        |       WHEN cql_type = 'double' THEN 'DOUBLE'
+        |       WHEN cql_type = 'boolean' THEN 'BOOLEAN'
+        |       WHEN cql_type = 'timestamp' THEN 'TIMESTAMP'
+        |       WHEN cql_type = 'date' THEN 'DATE'
+        |       WHEN cql_type = 'decimal' THEN 'DECIMAL(38,19)'
+        |       WHEN cql_type = 'smallint' THEN 'SMALLINT'
+        |       WHEN cql_type = 'tinyint' THEN 'TINYINT'
+        |       WHEN cql_type = 'blob' THEN 'BINARY'
+        |       ELSE 'STRING' END AS spark_type
+        |  FROM x)
+        |SELECT ord, cql_type, spark_type,
+        |  'c' || CAST(ord AS VARCHAR) || ' ' || spark_type AS col_def
+        |FROM m""".stripMargin)),
+
     Q("cql_insert_using_ttl",
       // USING TTL / USING TIMESTAMP statement preservation
       // (keyspaces/CQLReplicator.scala:1004-1060): TTL always renders (0 when

@@ -230,4 +230,13 @@ object GraftExpressions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bytes, BinaryType),
         ExpressionUtils.expression(value)))
+
+  /** Struct field by POSITION (GetStructField ordinal) — what CQL tuple
+    * rendering needs: tuples are positional, so the accessor must not
+    * depend on whatever field names the Spark struct happens to carry.
+    */
+  def structFieldAt(c: Column, ordinal: Int): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        ExpressionUtils.expression(c), ordinal))
 }

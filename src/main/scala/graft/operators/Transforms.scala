@@ -53,6 +53,31 @@ object Transforms {
   def fieldMapping(df: DataFrame, mapping: Seq[(String, String, String)]): DataFrame =
     df.select(mapping.map { case (src, tgt, tpe) => col(src).cast(tpe).as(tgt) }: _*)
 
+  /** Cassandra→Spark-SQL type mapping, the reference's
+    * cassandraTypeToSparkSql (keyspaces/CQLReplicator.scala:1225-1248:
+    * what Iceberg CREATE TABLE column defs are rendered from), as a
+    * data-driven Column expression so a schema catalog stored AS DATA
+    * (how a migration service holds table metadata) maps in one codegen'd
+    * projection. Unknown types fall back to STRING, exactly like the
+    * reference's `case _`.
+    */
+  def cqlTypeToSparkSqlType(t: Column): Column = {
+    val lt = lower(trim(t))
+    when(lt.isin("text", "varchar", "ascii", "inet", "uuid", "timeuuid"), "STRING")
+      .when(lt.isin("int", "varint"), "INT")
+      .when(lt.isin("bigint", "counter"), "BIGINT")
+      .when(lt === "float", "FLOAT")
+      .when(lt === "double", "DOUBLE")
+      .when(lt === "boolean", "BOOLEAN")
+      .when(lt === "timestamp", "TIMESTAMP")
+      .when(lt === "date", "DATE")
+      .when(lt === "decimal", "DECIMAL(38,19)")
+      .when(lt === "smallint", "SMALLINT")
+      .when(lt === "tinyint", "TINYINT")
+      .when(lt === "blob", "BINARY")
+      .otherwise("STRING")
+  }
+
   /** DynamoDB-style composite key: values joined by a separator. */
   def compositeKey(cols: Seq[Column], separator: String = "#"): Column =
     concat_ws(separator, cols.map(_.cast("string")): _*)
@@ -125,6 +150,8 @@ object Transforms {
   }
 
   private val CollectionType = "^(list|set|map)<(.*)>$".r
+  private val TupleType = "^tuple<(.*)>$".r
+  private val UdtType = "^udt<(.*)>$".r
 
   /** CQL literal rendering per the reference's convertValue/formatString
     * (dynamodb:180-216): strings quoted with `''` escaping, blobs as 0x-hex,
@@ -155,6 +182,32 @@ object Transforms {
           array_join(transform(map_entries(c), e =>
             concat(cqlLiteral(e.getField("key"), keyT), lit(":"),
               cqlLiteral(e.getField("value"), valT))), ", "),
+          lit("}"))
+      // CQL tuple literal `(v1,v2,...)`: POSITIONAL struct access (tuples
+      // have no field names in CQL; the Spark struct's names are
+      // irrelevant), each element recursing on its declared type.
+      case TupleType(args) =>
+        val elems = splitTypeArgs(args)
+        concat(lit("("),
+          concat_ws(",", elems.zipWithIndex.map { case (et, i) =>
+            cqlLiteral(
+              org.apache.spark.sql.graft.GraftExpressions.structFieldAt(c, i), et)
+          }: _*),
+          lit(")"))
+      // CQL UDT literal `{name:v, name2:v2}` (field names unquoted),
+      // fields accessed by NAME and recursing on their declared types —
+      // `udt<street:text, geo:frozen<tuple<double,double>>>` nests
+      // arbitrarily (frozen wrappers transparent at every level).
+      case UdtType(args) =>
+        val fields = splitTypeArgs(args).map { f =>
+          val cut = f.indexOf(':')
+          require(cut > 0, s"udt field needs name:type, got: $f")
+          (f.substring(0, cut).trim, f.substring(cut + 1).trim)
+        }
+        concat(lit("{"),
+          concat_ws(", ", fields.map { case (n, ft) =>
+            concat(lit(n + ":"), cqlLiteral(c.getField(n), ft))
+          }: _*),
           lit("}"))
       case "text" | "varchar" | "ascii" | "date" =>
         concat(lit("'"), regexp_replace(ddbCanonicalString(c, bare), "'", "''"), lit("'"))

@@ -145,4 +145,33 @@ class TransformsSpec extends SparkSpec {
         usingTtl = Some(col("ttl")), usingTimestamp = Some(col("wt")))
     }
   }
+
+  test("cqlLiteral: tuples positional, UDTs by name, frozen transparent at depth") {
+    val df = Seq((1L, "a'b", BigDecimal("12.34"))).toDF("k", "s", "p")
+    val row = df.select(
+      Transforms.cqlLiteral(struct(col("k"), col("s")),
+        "frozen<tuple<bigint, text>>").as("t"),
+      Transforms.cqlLiteral(struct(
+          col("s").as("street"),
+          struct(col("p"), col("k")).as("geo"),
+          array(col("s")).as("tags")),
+        "udt<street:text, geo:frozen<tuple<decimal, bigint>>, tags:frozen<list<text>>>").as("u"),
+      // a tuple inside a list: the positional accessor must work on
+      // lambda-bound elements, not just top-level columns
+      Transforms.cqlLiteral(array(struct(col("k"), col("s"))),
+        "list<frozen<tuple<bigint, text>>>").as("lt")).head()
+    assert(row.getString(0) === "(1,'a''b')")
+    assert(row.getString(1) === "{street:'a''b', geo:(12.34,1), tags:['a''b']}")
+    assert(row.getString(2) === "[(1,'a''b')]")
+  }
+
+  test("cqlTypeToSparkSqlType matches the reference map, unknown -> STRING") {
+    val pairs = Seq("text" -> "STRING", "inet" -> "STRING", "varint" -> "INT",
+      "counter" -> "BIGINT", "decimal" -> "DECIMAL(38,19)",
+      "blob" -> "BINARY", "TimeUUID" -> "STRING", "duration" -> "STRING")
+    val out = pairs.map(_._1).toDF("t")
+      .select(col("t"), Transforms.cqlTypeToSparkSqlType(col("t")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pairs.foreach { case (t, exp) => assert(out(t) === exp, t) }
+  }
 }
