@@ -2316,6 +2316,30 @@ object Queries {
         |  md5(rz) AS resized_md5
         |FROM r""".stripMargin)),
 
+    Q("multimodal_decode_png",
+      // REAL codec round trip (javax.imageio, pure JDK): deterministic
+      // gray PNGs generated from doc ids — actual encoded PNG bytes —
+      // then decoded BACK through ImageIO in the partition-batched
+      // dataflow. PNG is lossless, so decoded dims + the exact luma sum
+      // must reproduce the generator's integer formula, which is what
+      // the codec-free oracle computes.
+      (s, d) => {
+        val spark0 = s
+        import spark0.implicits._
+        Multimodal.decodeImages(Multimodal.syntheticPngs(
+          Tables.documents(s, d).select(col("doc_id").cast("long"))
+            .as[java.lang.Long])).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w,
+        |    8 + doc_id % 7 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y FROM d,
+        |    (SELECT unnest(generate_series(0, 12)) AS x) x,
+        |    (SELECT unnest(generate_series(0, 14)) AS y) y
+        |  WHERE x.x < w AND y.y < h)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("multimodal_phash",
       // dHash-family perceptual signature over the stub-decoded byte
       // stream: 63 evenly-strided samples, bit j = byte(j+1) > byte(j),

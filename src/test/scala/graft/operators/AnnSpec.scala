@@ -482,6 +482,37 @@ class AnnSpec extends SparkSpec {
     assert(out.view.mapValues(_.checksum).toMap == again)
   }
 
+  test("real JDK codec: PNG round trip is lossless, non-images drop, resize scales") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = Seq(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(3L),
+      java.lang.Long.valueOf(10L)).toDS()
+    val pngs = Multimodal.syntheticPngs(ids)
+    // the payloads are REAL PNG bytes (magic \x89PNG)
+    val first = pngs.collect().map(r => r.doc_id -> r.payload).toMap
+    assert(first.values.forall(p =>
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'))
+    // decode reproduces the generator's integer formula exactly (lossless)
+    val feats = Multimodal.decodeImages(pngs)
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 3L, 10L)) {
+      val (w, h) = ((8 + id % 5).toInt, (8 + id % 7).toInt)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(feats(id).width == w && feats(id).height == h)
+      assert(feats(id).sum_luma == expected, s"doc $id")
+    }
+    // non-image payloads are dropped, not errors
+    val mixed = pngs.union(Seq(
+      Multimodal.MediaRow(99L, "not a png".getBytes("UTF-8"))).toDS())
+    assert(Multimodal.decodeImages(mixed).collect().map(_.doc_id).toSet ==
+      Set(0L, 3L, 10L))
+    // real pixel-domain resize: output decodes to the target dims
+    val resized = Multimodal.decodeImages(Multimodal.resizeImages(pngs, 4, 4))
+      .collect()
+    assert(resized.length == 3 && resized.forall(f => f.width == 4 && f.height == 4))
+  }
+
   test("perceptualHash: gradient-sign fixed values, length gate, dup groups") {
     val spark0 = spark
     import spark0.implicits._
