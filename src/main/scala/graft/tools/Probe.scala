@@ -1,12 +1,53 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev probe for stage-level timing of the hot operators (not part of the
   * driver contract).
   */
 object Probe {
+
+  /** Content-perturbed k-x replica of an sf dir (the SCALE probe's
+    * replication scheme — see the SCALE block below for why perturbation
+    * keeps dup density constant). Dims stay 1x; events/dims are plain
+    * file copies.
+    */
+  def buildScaledDir(spark: SparkSession, sfDir: String, k: Int,
+                     dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val shift = 10000000L
+    def replicate(table: String, keyCols: Seq[String],
+                  perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val parts = (0 until k).map { i =>
+        perturb(keyCols.foldLeft(base) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i * shift)) }, i)
+      }
+      parts.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$dir/$table.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"), (d, _) => d)
+    replicate("orders", Seq("o_orderkey", "o_custkey"), (d, _) => d)
+    replicate("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1_$i")))
+    replicate("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else {
+        val rng = new scala.util.Random(i)
+        val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        d.withColumn("embedding",
+          zip_with(col("embedding"), lit(signs), (x, s) => x * s))
+      })
+    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events")) {
+      val target = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"), target)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -66,6 +107,18 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SCALEGEN")) {
+      // Persistent scale-up dir: SCALEGEN="10:/root/repo/target/sf1"
+      // builds a content-perturbed 10x replica of SPARK_GRAFT_SF_DIR
+      // (same perturbation scheme as the SCALE probe: injective token
+      // suffixes for documents, orthogonal sign-flips for embeddings —
+      // constant dup density, realistic corpus growth) and leaves it on
+      // disk for the sf1 correctness/bench gate.
+      val Array(kStr, outDir) = sys.env("SCALEGEN").split(":", 2)
+      buildScaledDir(spark, sfDir, kStr.toInt, outDir)
+      println(s"[scalegen] wrote ${kStr}x replica of $sfDir to $outDir")
+      spark.stop(); return
+    }
     if (sys.env.contains("SCALE")) {
       // Scale-up probe: replicate sf0.1 at each factor in SCALE (e.g.
       // SCALE=10,100) and measure SCALEQ operators, fitting the scaling
@@ -82,97 +135,23 @@ object Probe {
       //    sign pattern per dimension — an orthogonal transform, so
       //    intra-replica cosines are EXACTLY the base corpus's while
       //    cross-replica cosines collapse to ~N(0, 1/64).
-      import org.apache.spark.sql.DataFrame
       val factors = sys.env("SCALE").split(",").map(_.trim.toInt).filter(_ > 1)
       def buildDir(k: Int): String = {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-scale-$k").toString
-        val shift = 10000000L
-        def replicate(table: String, keyCols: Seq[String],
-                      perturb: (DataFrame, Int) => DataFrame): Unit = {
-          val base = spark.read.parquet(s"$sfDir/$table.parquet")
-          val parts = (0 until k).map { i =>
-            perturb(keyCols.foldLeft(base) { (d, c) =>
-              d.withColumn(c, col(c) + lit(i * shift)) }, i)
-          }
-          parts.reduce(_ unionByName _).write.mode("overwrite")
-            .parquet(s"$dir/$table.parquet")
-        }
-        replicate("lineitem", Seq("l_orderkey"), (d, _) => d)
-        replicate("orders", Seq("o_orderkey", "o_custkey"), (d, _) => d)
-        replicate("documents", Seq("doc_id"), (d, i) =>
-          if (i == 0) d
-          else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1_$i")))
-        replicate("embeddings", Seq("vec_id"), (d, i) =>
-          if (i == 0) d
-          else {
-            val rng = new scala.util.Random(i)
-            val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
-            d.withColumn("embedding",
-              zip_with(col("embedding"), lit(signs), (x, s) => x * s))
-          })
-        // dims stay 1x: scaling facts against fixed dims is the realistic
-        // shape. Plain file copies — no Spark rewrite (events holds nano
-        // timestamps Spark won't re-write).
-        for (t <- Seq("customer", "supplier", "part", "nation", "region", "events"))
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
-            java.nio.file.Paths.get(s"$dir/$t.parquet"))
+        buildScaledDir(spark, sfDir, k, dir)
         dir
       }
       val dirs: Seq[(Int, String)] =
         (1, sfDir) +: factors.toSeq.map(k => k -> buildDir(k))
-      // Probe-only composition: embedding_clusters with PRODUCTION
-      // centroids (k ~ sqrt(n) via seeded kmeans|| init) instead of the
-      // oracle entry's every-25th-vector rule whose assign stage is
-      // O(n^2/25). k ~ sqrt(n) balances assign (n*k cosines) against
-      // bucket pairs (n^2/k): both are n^1.5 — the remedy documented in
-      // SURVEY §3, measured here.
+      // Probe-only composition: embedding clusters with the FULL kmeans‖
+      // quantizer (initCentroids k ≈ √n + distributed reduction) instead
+      // of the primary entry's stride sample — measures what the refined
+      // quantizer costs at scale. The round-3 probe-only scale configs
+      // (stride √n centroids, capped ksub) were PROMOTED to the primary
+      // inventory entries in round 4, so SCALEQ now probes those
+      // directly by name.
       val fixedK: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-        // PQ at its production configuration: ksub FIXED (256 codewords
-        // per subspace) instead of the oracle entry's every-25th-vector
-        // rule, whose codeword count grows with n and turns the encode
-        // join into n·m·(n/25) — the same trap as the IVF centroid rule.
-        // With fixed ksub the encode scan is linear in n.
-        "pq_topk_k256" -> { (s, d) =>
-          val emb = graft.Tables.embeddings(s, d)
-          val sample = emb.filter(col("vec_id") % 25 === 0 &&
-            col("vec_id") < 25 * 256)
-          val cb = graft.operators.Pq.codebookFromSample(sample,
-            "vec_id", "embedding", m = 4, subDim = 16)
-          graft.operators.Pq.adcTopK(
-            graft.operators.Pq.encode(emb, cb, "vec_id", "embedding", subDim = 16)
-              .select("vec_id", "subspace", "code"),
-            cb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-            subDim = 16, k = 3)
-        },
-        // IVFADC at its production configuration: sqrt(n) coarse
-        // centroids (fixed stride subsample — bucket size ~sqrt(n)),
-        // FIXED ksub <= 256 residual codebook, FIXED query set. Encode
-        // is linear (n*m*ksub), assign is n*sqrt(n) — the same n^1.5
-        // balance as embedding_clusters_sqrtk — and the query-side scan
-        // touches only nprobe buckets (~2*sqrt(n) codes/query).
-        "ann_ivfadc_sqrtk" -> { (s, d) =>
-          val emb = graft.Tables.embeddings(s, d)
-          val n = emb.count()
-          val k = math.max(16, math.sqrt(n.toDouble).toInt)
-          val stride = math.max(1L, n / k)
-          val cents = emb.filter(col("vec_id") % stride === 0)
-            .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-          val assign = graft.operators.Ann.ivfAssign(
-            emb, cents, "vec_id", "embedding", "centroid_id", "cv")
-          val rv = graft.operators.Pq.ivfResiduals(
-            emb, assign, cents, "vec_id", "embedding", "centroid_id", "cv")
-          val cb = graft.operators.Pq.codebookFromSample(
-            rv.filter(col("vec_id") % 25 === 7 && col("vec_id") < 25 * 256),
-            "vec_id", "rv", m = 4, subDim = 16)
-          val codes = graft.operators.Pq.encode(rv, cb, "vec_id", "rv", subDim = 16)
-            .join(assign.select("vec_id", "centroid_id"), "vec_id")
-            .select("vec_id", "centroid_id", "subspace", "code")
-          graft.operators.Pq.ivfadcTopK(codes, cb, cents,
-            emb.filter(col("vec_id") < 100), "vec_id", "embedding",
-            "centroid_id", "cv", subDim = 16, k = 3, nprobe = 2)
-        },
-        "embedding_clusters_sqrtk" -> { (s, d) =>
+        "embedding_clusters_kmeans" -> { (s, d) =>
           val emb = graft.Tables.embeddings(s, d)
           val k = math.max(16, math.sqrt(emb.count().toDouble).toInt)
           val cents = graft.operators.Ann.initCentroids(
