@@ -1653,6 +1653,31 @@ object Queries {
         |    ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rank FROM c)
         |WHERE rank <= 200""".stripMargin)),
 
+    Q("bpe_pair_counts",
+      // One BPE training round: corpus-weighted adjacent character-pair
+      // counts — the statistic each byte-pair-encoding merge step
+      // maximizes. The bigram explosion runs over the vocabulary-sized
+      // distinct-word relation (corpus stream collapses in the first
+      // map-side-combined groupBy), so the stage is |vocab|-bound at any
+      // corpus size; top-K is a TakeOrdered.
+      (s, d) => TextAnalysis.bpePairCounts(Tables.documents(s, d),
+        "text", topK = 100),
+      Some("""WITH words AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+        |  FROM words),
+        |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY pair)
+        |SELECT CAST(rank AS BIGINT) AS rank, pair, pair_count FROM (
+        |  SELECT pair, pair_count,
+        |    ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank FROM pc)
+        |WHERE rank <= 100""".stripMargin)),
+
     Q("dedup_simhash",
       // 64-bit TF-weighted SimHash; no DuckDB-reproducible hash, so
       // rows-only here and fixed-value + near-dup-hamming checks in

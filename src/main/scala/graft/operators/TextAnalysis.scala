@@ -354,6 +354,37 @@ object TextAnalysis {
         col("cf"), col("df"))
   }
 
+  /** One BPE training round: corpus-weighted adjacent-symbol-pair counts
+    * (the statistic every merge step of byte-pair-encoding tokenizer
+    * training maximizes — Sennrich et al. '16 shape). Words are
+    * lowercased ASCII-letter runs; each distinct word contributes its
+    * internal character bigrams weighted by its corpus frequency, so a
+    * word with a repeated bigram ("aaa" → "aa" twice) counts it per
+    * occurrence-position, exactly as BPE does.
+    *
+    * Plan: the pair explosion runs over the VOCABULARY-sized distinct-word
+    * relation (first groupBy map-side combines the corpus stream down to
+    * it), never the token stream — at 100 TB the bigram stage is bounded
+    * by |vocab|·avg_len, not corpus size. Top-K is an orderBy+limit =
+    * TakeOrdered, never a full sort.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = docs.select(
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("pair"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"), col("pair"),
+        col("pair_count"))
+  }
+
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -73,6 +73,18 @@ class CurationSpec extends SparkSpec {
     assert(top(3L) == "other")
   }
 
+  test("bpePairCounts weights bigrams by corpus word frequency, per position") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "aaa bb aaa"), (2L, "bb cc!dd")).toDF("doc_id", "text")
+    // word counts: aaa:2 bb:2 cc:1 dd:1; "aaa" holds "aa" at TWO positions
+    // -> pair "aa" counts 2 per occurrence = 4 total
+    val got = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "aa", 4L), (2L, "bb", 2L), (3L, "cc", 1L),
+      (4L, "dd", 1L)))
+  }
+
   test("redact masks all spans and counts them") {
     val spark0 = spark
     import spark0.implicits._

@@ -9,6 +9,7 @@ query plus oracle_sql.json. Registers the sfDir tables as DuckDB views,
 runs each oracle, canonicalizes both sides (columns sorted by name, rows
 sorted), and reports match/mismatch per query.
 """
+import os
 import json
 import sys
 
@@ -32,8 +33,13 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
     for t in TABLES:
+        # Driver sf dirs hold single files; Spark-written replicas (the
+        # SCALEGEN sf1 gate) hold part-file directories — glob those.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
