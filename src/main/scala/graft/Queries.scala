@@ -1830,6 +1830,55 @@ object Queries {
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("ann_hard_negatives",
+      // Hard-negative mining for contrastive training: per anchor, the
+      // top-k most-similar vectors with a DIFFERENT label — the same
+      // IVF-bucketed candidate join as ann_ivf_topk with the
+      // label-mismatch predicate inside the bucket join, so same-class
+      // candidates never reach the bounded top-k heap.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.hardNegatives(emb, assign, emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "label", k = 3)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding, e.label
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND q.vec_id % 37 = 0 AND n.label <> q.label)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("embedding_dim_stats",
+      // Whitening / feature-normalization statistics: per-dimension
+      // mean+variance in exact decimal-sum space (partitioning-independent)
+      // — one posexplode into a |dim|-group map-side-combined aggregate.
+      (s, d) => Ann.dimStats(Tables.embeddings(s, d), "embedding"),
+      Some("""WITH d AS (SELECT unnest(generate_series(1, len(embedding))) AS i,
+        |    embedding FROM embeddings),
+        |v AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS xd FROM d),
+        |s AS (SELECT dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+        |  FROM v GROUP BY dim)
+        |SELECT dim, n, ROUND(sx / n, 6) AS mean,
+        |  ROUND(sx2 / n - (sx / n) * (sx / n), 6) AS variance FROM s""".stripMargin)),
+
     Q("embedding_quantize_int8",
       // Storage-path int8 quantization of the embedding table (4x size cut
       // before ANN indexing); long format so the oracle compares scalars.

@@ -79,6 +79,31 @@ object Ann {
         round(col("x").cast("double") * 127 / col("m")).cast("int").as("q"),
         round(col("m"), 6).as("max_abs"))
 
+  /** Per-dimension mean/variance of the embedding table — the whitening /
+    * feature-normalization statistics an embedding-training pipeline
+    * computes before standardizing or PCA-ing a corpus. Sums run in exact
+    * DECIMAL space so the answer is independent of partitioning (double
+    * accumulation order would drift per run); the final mean/variance
+    * derive from those exact sums in one double step, rounded.
+    *
+    * Plan: one posexplode (n·dim rows) into a single map-side-combined
+    * groupBy of |dim| groups — no join, no window; the shuffle carries
+    * |dim| partial rows per task regardless of corpus size.
+    */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val sxd = col("sx").cast("double") / col("n")
+    val sx2d = col("sx2").cast("double") / col("n")
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("xd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd").cast("decimal(38,12)")).as("sx"),
+        sum((col("xd") * col("xd")).cast("decimal(38,12)")).as("sx2"))
+      .select(col("dim"), col("n"),
+        round(sxd, 6).as("mean"),
+        round(sx2d - sxd * sxd, 6).as("variance"))
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest centroid by
     * cosine (ties → smallest centroid id). Centroids broadcast; one scan of
     * the vectors, no shuffle except the ranking window on vec id.
@@ -375,6 +400,37 @@ object Ann {
       .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("centroid_id"))
       .join(q, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * top-k most-similar vectors whose LABEL differs — the highest-loss
+    * negatives an embedding-model trainer pairs with each anchor. Same
+    * IVF-bucketed shape as [[ivfTopK]] (query side broadcast into its
+    * bucket, bounded-heap top-k), with the label-mismatch predicate
+    * applied inside the bucket join so same-class candidates never reach
+    * the heap. The anchor itself shares its own label, so self-matches are
+    * excluded for free.
+    */
+  def hardNegatives(emb: DataFrame, assignments: DataFrame,
+                    queryIds: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        col(labelCol).as("lbl"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    val q = assigned.join(broadcast(queryIds.select(col(idCol).as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("q_lbl"), col("centroid_id"))
+    val scored = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("lbl").as("n_lbl"), col("centroid_id"))
+      .join(q, "centroid_id")
+      .filter(col("n_lbl") =!= col("q_lbl"))
       .withColumn("cos_raw", cosine(col("qv"), col("nv")))
     org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
         Seq(col("cos_raw").desc, col("neighbor_id")), k)

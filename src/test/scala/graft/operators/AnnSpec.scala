@@ -53,6 +53,37 @@ class AnnSpec extends SparkSpec {
     assert(topk == Set(1L))
   }
 
+  test("hardNegatives keeps only cross-label neighbors, ranked by cosine") {
+    val spark0 = spark
+    import spark0.implicits._
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f), 7),    // same label as anchor -> excluded
+      (2L, Array(0.8f, 0.2f), 8),    // nearest cross-label
+      (3L, Array(0.0f, 1.0f), 9)     // farther cross-label
+    ).toDF("vec_id", "embedding", "label")
+    // one bucket: single centroid
+    val assign = Ann.ivfAssign(labeled, labeled.filter(col("vec_id") === 0),
+      "vec_id", "embedding", "vec_id", "embedding")
+    val out = Ann.hardNegatives(labeled, assign,
+        labeled.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(out == List((2L, 1L), (3L, 2L))) // label-7 neighbor 1 never appears
+  }
+
+  test("dimStats: exact decimal mean/variance per dimension") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 2.0f)),
+      (2L, Array(5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val m = Ann.dimStats(df, "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(0L) == ((3L, 3.0, 2.666667))) // var of {1,3,5} = 8/3, rounded
+    assert(m(1L) == ((3L, 2.0, 0.0)))
+  }
+
   test("srpPairs: precision 1.0 (exact-verified), recall measured vs exhaustive") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val exhaustive = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
