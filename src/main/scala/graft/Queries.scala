@@ -1454,6 +1454,48 @@ object Queries {
         |  CAST(SUM(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
         |FROM p""".stripMargin)),
 
+    Q("length_bucket_batches",
+      // Length-bucketed batching economics: 64-token buckets, per bucket
+      // the doc count, longest member, token total, and the exact-ppm
+      // padding waste of batching at the bucket max — what sizes
+      // inference/training micro-batches. One map-side-combined groupBy.
+      (s, d) => TextAnalysis.lengthBucketReport(Tables.documents(s, d),
+        "text", bucketTokens = 64),
+      Some("""WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT n_tokens // 64 AS bucket, COUNT(*) AS n_docs,
+        |  MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  (COUNT(*) * MAX(n_tokens) - CAST(SUM(n_tokens) AS BIGINT))
+        |    * 1000000 // (COUNT(*) * MAX(n_tokens)) AS pad_waste_ppm
+        |FROM t GROUP BY 1""".stripMargin)),
+
+    Q("span_corruption_masks",
+      // Deterministic T5-style span-corruption masks (15% noise, mean
+      // span 3): doc partitions into equal gaps, one hash-jittered span
+      // per gap — masks reproduce on any engine/partitioning (no RNG).
+      // Pure explode + projection, no shuffle.
+      (s, d) => Packing.spanCorruptionMasks(Tables.documents(s, d),
+        "doc_id", "text", noiseNum = 15, noiseDen = 100, meanSpan = 3),
+      Some("""WITH b AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(string_split(text, ' ')) * 15 // 100 AS n_masked
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |    GREATEST(1, n_masked // 3) AS n_spans
+        |  FROM b WHERE n_masked >= 1),
+        |g AS (SELECT doc_id, n_tokens // n_spans AS gap, n_spans FROM s),
+        |e AS (SELECT doc_id, gap, t.span_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(t.span_id AS VARCHAR)), 1, 4))::BIGINT AS h
+        |  FROM g JOIN LATERAL (
+        |    SELECT UNNEST(range(0, n_spans)) AS span_id) t ON TRUE)
+        |SELECT doc_id, span_id,
+        |  span_id * gap + (h % GREATEST(1,
+        |    gap - LEAST(gap, 2 + h % 3) + 1)) AS start_tok,
+        |  LEAST(gap, 2 + h % 3) AS len_tok
+        |FROM e""".stripMargin)),
+
     Q("chunk_documents",
       // Sliding-window chunking (size 200, stride 150): the RAG/long-doc
       // segmentation step. Pure per-row generate — no shuffle; chunk
@@ -2413,6 +2455,27 @@ object Queries {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1, 2, 3""".stripMargin)),
+
+    Q("multimodal_audio_energy",
+      // Windowed audio energy over a PCM-style sample stream (64-byte
+      // frames, samples centered at 128): per-frame count, energy and
+      // peak — the silence-trim / loudness-profile stage of an audio
+      // pipeline. Per-sample explode collapses map-side; the shuffle
+      // carries one row per (doc, frame). ASCII corpus => ascii(substr())
+      // IS the byte value on both engines.
+      (s, d) => Multimodal.audioFrameEnergy(Tables.documents(s, d),
+        "doc_id", "text", frameBytes = 64),
+      Some("""SELECT doc_id, (t.pos - 1) // 64 AS frame_idx,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM((ascii(substr(text, CAST(t.pos AS INT), 1)) - 128)
+        |         * (ascii(substr(text, CAST(t.pos AS INT), 1)) - 128))
+        |    AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(ascii(substr(text, CAST(t.pos AS INT), 1)) - 128))
+        |    AS BIGINT) AS peak
+        |FROM documents JOIN LATERAL (
+        |  SELECT UNNEST(range(1, length(text) + 1)) AS pos) t ON TRUE
+        |WHERE length(text) > 0
+        |GROUP BY 1, 2""".stripMargin)),
 
     Q("multimodal_phash",
       // dHash-family perceptual signature over the stub-decoded byte

@@ -154,6 +154,40 @@ object Multimodal {
         min(col("doc_id")).as("canonical_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Windowed audio energy over a PCM-style sample stream: each payload
+    * byte is an unsigned 8-bit sample centered at 128, frames are
+    * `frameBytes` consecutive samples, and each frame reports its sample
+    * count, total energy Σ(s-128)² and peak |s-128| — the
+    * silence-detection / loudness-profiling stage of an audio curation
+    * pipeline (silence trim = drop frames under a peak threshold;
+    * clipping detection = peak at 127). The real pipeline runs this over
+    * codec-decoded PCM; here the stub "decode" is the payload's own byte
+    * stream (ASCII text in the testdata, so `ascii(substring(...))` IS
+    * the byte value and any engine reproduces the energies exactly —
+    * same oracle trick as [[perceptualHash]]).
+    *
+    * Per-SAMPLE explode + one grouped aggregate: the explode stays in
+    * whole-stage codegen and partial aggregation collapses it map-side,
+    * so the shuffle carries one row per (doc, frame) — n_bytes/frameBytes
+    * rows — not per byte. All integer arithmetic.
+    */
+  def audioFrameEnergy(df: DataFrame, idCol: String, byteStrCol: String,
+                       frameBytes: Int = 64): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be >= 1")
+    df.select(col(idCol).as("doc_id"), col(byteStrCol).as("b"))
+      .filter(length(col("b")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(1L, cast(length(b) as bigint))")).as("pos"),
+        col("b"))
+      .select(col("doc_id"),
+        expr(s"(pos - 1) div $frameBytes").as("frame_idx"),
+        (ascii(expr("substring(b, cast(pos as int), 1)")) - 128).cast("long").as("s"))
+      .groupBy("doc_id", "frame_idx")
+      .agg(count(lit(1)).cast("long").as("n_samples"),
+        sum(col("s") * col("s")).cast("long").as("energy"),
+        max(abs(col("s"))).cast("long").as("peak"))
+  }
+
   /** STUB per-frame decode/feature-extract (batched mapPartitions — where a
     * real codec or model batch-inference call drops in).
     */

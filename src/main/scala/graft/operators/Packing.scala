@@ -107,4 +107,46 @@ object Packing {
       .withColumn("chunk_text",
         col(textCol).substr(col("chunk_idx") * stride + 1, lit(size)))
   }
+
+  /** Deterministic span-corruption masks (the T5 denoising objective,
+    * Raffel et al. '20 §3.1.4): per document, mask ~`noiseNum/noiseDen`
+    * of the whitespace tokens in spans of mean length `meanSpan`. The
+    * reference recipe samples span starts from an RNG; this re-expression
+    * derives them from a content hash so the same masks come out on any
+    * engine, partitioning, or rerun (dataset lineage at 100 TB — the
+    * same discipline as [[graft.operators.Sampling]]).
+    *
+    * Construction: n_spans = max(1, (n·noise) div meanSpan·den); the doc
+    * partitions into n_spans equal token gaps, each gap holds exactly one
+    * masked span of hash-picked length (meanSpan ± 1, capped at the gap)
+    * at a hash-jittered offset — so spans never overlap or cross gaps by
+    * construction, and the masked fraction tracks the noise density.
+    * Output: one row per span (doc_id, span_id, start_tok, len_tok), the
+    * relation a seq2seq assembler joins to cut inputs/targets. Pure
+    * per-row explode + projection, no shuffle; md5-derived jitter and
+    * integer arithmetic end-to-end.
+    */
+  def spanCorruptionMasks(docs: DataFrame, idCol: String, textCol: String,
+                          noiseNum: Int = 15, noiseDen: Int = 100,
+                          meanSpan: Int = 3): DataFrame = {
+    require(noiseNum > 0 && noiseDen >= noiseNum && meanSpan >= 1,
+      "need 0 < noiseNum <= noiseDen and meanSpan >= 1")
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_masked", expr(s"n_tokens * $noiseNum div $noiseDen"))
+      .filter(col("n_masked") >= 1)
+      .withColumn("n_spans", greatest(lit(1L), expr(s"n_masked div $meanSpan")))
+      .withColumn("gap", expr("n_tokens div n_spans"))
+      .select(col("doc_id"), col("gap"),
+        explode(expr("sequence(0L, n_spans - 1)")).as("span_id"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("span_id"))),
+          1, 4), 16, 10).cast("long"))
+      .withColumn("len_tok",
+        least(col("gap"), lit(meanSpan.toLong) - 1 + col("h") % 3))
+      .withColumn("start_tok",
+        col("span_id") * col("gap") +
+          col("h") % greatest(lit(1L), col("gap") - col("len_tok") + 1))
+      .select(col("doc_id"), col("span_id"), col("start_tok"), col("len_tok"))
+  }
 }

@@ -402,4 +402,27 @@ object TextAnalysis {
           .as("oov_tokens"))
       .withColumn("oov_ppm", expr("oov_tokens * 1000000 div n_tokens"))
   }
+
+  /** Length-bucketed batching economics: bucket documents by whitespace
+    * token count (`bucketTokens`-wide ranges) and report, per bucket, the
+    * doc count, the longest member, total tokens, and the padding waste
+    * (in exact ppm) of batching that bucket at its max length — the
+    * report that sizes inference/training micro-batches (batch same-length
+    * docs together and the pad-token fraction is what you pay; one global
+    * batch pays `1 - mean/max`). Pure projection + one map-side-combined
+    * groupBy over a handful of buckets; all integer arithmetic.
+    */
+  def lengthBucketReport(docs: DataFrame, textCol: String,
+                         bucketTokens: Int = 64): DataFrame = {
+    require(bucketTokens >= 1, "bucketTokens must be >= 1")
+    docs.select(size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .select(expr(s"n_tokens div $bucketTokens").as("bucket"), col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+        expr("(n_docs * max_tokens - sum_tokens) * 1000000 div (n_docs * max_tokens)")
+          .as("pad_waste_ppm"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Audio-frame energy: hand-computed energies on a known byte string,
+  * frame geometry, and the empty-payload guard.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audioFrameEnergy computes per-frame energy/peak over byte samples") {
+    // "AB" = bytes 65,66 → s = -63,-62; energy = 63²+62² = 7813, peak 63
+    val got = Multimodal.audioFrameEnergy(
+        Seq((1L, "AB")).toDF("doc_id", "text"), "doc_id", "text",
+        frameBytes = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 2L, 63L * 63 + 62L * 62, 63L)))
+  }
+
+  test("audioFrameEnergy splits frames at frameBytes boundaries") {
+    val text = "\u0080" * 5 // byte 128 → s = 0 everywhere
+    val got = Multimodal.audioFrameEnergy(
+        Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        frameBytes = 2)
+      .orderBy("frame_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // 5 samples at frame size 2 → frames of 2,2,1 samples, all zero energy
+    assert(got == Seq((7L, 0L, 2L, 0L, 0L), (7L, 1L, 2L, 0L, 0L),
+      (7L, 2L, 1L, 0L, 0L)))
+  }
+
+  test("audioFrameEnergy drops empty payloads") {
+    val got = Multimodal.audioFrameEnergy(
+      Seq((1L, ""), (2L, "Q")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(got.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("lengthBucketReport: bucket geometry and exact pad-waste ppm") {
+    // token counts: 3, 3, 70 → buckets 0 (two docs) and 1 (one doc)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"),
+      (3L, Seq.fill(70)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBucketReport(docs, "text", bucketTokens = 64)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: 2 docs, max 3, sum 6 → waste (2·3-6)/6 = 0 ppm
+    // bucket 1: 1 doc, max 70, sum 70 → 0 ppm
+    assert(got == Seq((0L, 2L, 3L, 6L, 0L), (1L, 1L, 70L, 70L, 0L)))
+    val mixed = TextAnalysis.lengthBucketReport(
+        Seq((1L, "a b c d"), (2L, "e f")).toDF("doc_id", "text"), "text",
+        bucketTokens = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // one bucket: 2 docs, max 4, sum 6 → waste (8-6)·1e6 div 8 = 250000
+    assert(mixed == Seq((0L, 2L, 4L, 6L, 250000L)))
+  }
+}
