@@ -1905,6 +1905,38 @@ object Queries {
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("knn_graph",
+      // k-NN GRAPH over the whole embedding corpus (every vector a
+      // query): the input relation of graph-based curation. No query
+      // broadcast — the IVF bucket SELF-join co-locates each bucket, so
+      // cost is sum(bucket^2) = n^1.5 at sqrt-n centroids, and the
+      // bounded-heap top-k caps the output shuffle at k edges per node.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND n.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
     Q("embedding_dim_stats",
       // Whitening / feature-normalization statistics: per-dimension
       // mean+variance in exact decimal-sum space (partitioning-independent)
@@ -2651,7 +2683,42 @@ object Queries {
         |e AS (SELECT event_id, epoch_ns(ts) // 1000 AS tus FROM events)
         |SELECT w.window_id, COUNT(*) AS n_events
         |FROM e JOIN w ON e.tus >= w.w_start AND e.tus <= w.w_end
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    Q("interval_overlap_join",
+      // Interval-INTERVAL overlap join where both sides are large (user
+      // activity windows x incident windows): tiled equi-join with the
+      // first-overlap-bucket trick — each overlapping pair survives in
+      // exactly one bucket (the one holding max of the starts), so no
+      // DISTINCT pass over the pair relation.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sessions = ev.groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("s_start"))
+          .withColumn("s_end", col("s_start") + 7200000000L)
+        val incidents = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 37 === 0)
+          .select(col("event_id").as("incident_id"),
+            (unix_micros(col("ts")) - 1800000000L).as("i_start"),
+            (unix_micros(col("ts")) + 1800000000L).as("i_end"))
+        RangeJoin.intervalOverlap(sessions, incidents,
+            "s_start", "s_end", "i_start", "i_end", bucketUs = 3600000000L)
+          .select(col("user_id"), col("incident_id"),
+            (least(col("s_end"), col("i_end")) -
+              greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+      },
+      Some("""WITH sess AS (SELECT user_id,
+        |    MIN(epoch_ns(ts) // 1000) AS s_start,
+        |    MIN(epoch_ns(ts) // 1000) + 7200000000 AS s_end
+        |  FROM events GROUP BY 1),
+        |inc AS (SELECT event_id AS incident_id,
+        |    epoch_ns(ts) // 1000 - 1800000000 AS i_start,
+        |    epoch_ns(ts) // 1000 + 1800000000 AS i_end
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 37 = 0)
+        |SELECT s.user_id, i.incident_id,
+        |  LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start) AS overlap_us
+        |FROM sess s JOIN inc i
+        |ON s.s_start <= i.i_end AND i.i_start <= s.s_end""".stripMargin))
   )
 
   private val sketchBlock: Seq[Q] = Seq(
@@ -2889,6 +2956,32 @@ object Queries {
       Some("""SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS global_id
         |FROM documents""".stripMargin)),
+
+    Q("corpus_interleave",
+      // Deterministic source-proportional interleaving: a global training
+      // order spreading each source's docs evenly across the schedule
+      // (doc r of c lands near fraction (2r-1)/(2c)) — the data-mixing
+      // schedule without an RNG shuffle. Exact integer keys through a
+      // decimal intermediate; the global position is GlobalIds' bucket
+      // prefix-sum scheme, never a single-partition window.
+      (s, d) => Packing.corpusInterleave(Tables.documents(s, d),
+        "doc_id", "source"),
+      Some("""WITH s AS (SELECT source, COUNT(*) AS n FROM documents
+        |    GROUP BY 1),
+        |si AS (SELECT source, n,
+        |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx FROM s),
+        |r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER,
+        |      doc_id) AS r
+        |  FROM documents),
+        |k AS (SELECT r.doc_id, r.source, r.r,
+        |    (CAST(2 * r.r - 1 AS HUGEINT) * 1099511627776) // (2 * si.n)
+        |      * 4096 + si.src_idx AS ikey
+        |  FROM r JOIN si ON r.source = si.source)
+        |SELECT doc_id, source, CAST(r AS BIGINT) AS src_rank,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY ikey) AS BIGINT) AS train_pos
+        |FROM k""".stripMargin)),
 
     Q("pii_redact",
       // Pattern-based masking + span count (the PII-scrub shape; the

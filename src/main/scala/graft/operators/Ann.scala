@@ -408,6 +408,34 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** k-nearest-neighbor GRAPH over the whole corpus: every vector is a
+    * query, edges = its top-k most-similar bucket-mates — the input
+    * relation of graph-based curation (kNN-graph clustering, diversity
+    * filtering, graph-connectivity dedup a la SemDeDup variants). Unlike
+    * [[ivfTopK]] there is no query-side broadcast (ALL ids would be the
+    * corpus itself): the bucket SELF-join co-locates each IVF bucket and
+    * scores within it, so cost is Σ bucket² — n^1.5 at k ≈ √n centroids —
+    * and the bounded-heap top-k caps the output shuffle at k edges per
+    * node per partition.
+    */
+  def knnGraph(emb: DataFrame, assignments: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    val scored = assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
+      .join(assigned
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
   /** Hard-negative mining for contrastive training: per query vector, the
     * top-k most-similar vectors whose LABEL differs — the highest-loss
     * negatives an embedding-model trainer pairs with each anchor. Same

@@ -149,4 +149,40 @@ object Packing {
           col("h") % greatest(lit(1L), col("gap") - col("len_tok") + 1))
       .select(col("doc_id"), col("span_id"), col("start_tok"), col("len_tok"))
   }
+
+  /** Deterministic source-proportional interleaving: a global training
+    * order in which every source's documents appear spread evenly across
+    * the whole schedule (document r of c from a source lands near
+    * fraction (2r-1)/(2c) of the run) — the data-mixing schedule that
+    * avoids source-blocked training (all of source A, then all of B)
+    * without an RNG shuffle. Within-source order is hash order (the
+    * document shuffle), so the schedule is reproducible anywhere.
+    *
+    * The interleave key is exact integer arithmetic: the fraction scales
+    * by 2^40 through a DECIMAL(38,0) intermediate (no float rounds, no
+    * overflow for any corpus below ~5·10^11 docs/source), then packs the
+    * source index into the low bits to make keys unique. The global
+    * position is [[GlobalIds.assign]] over that key — the bucket-histogram
+    * prefix-sum scheme, never a single-partition window. One shuffle for
+    * the per-source rank window, one for the id assignment; the
+    * per-source count/index relation is tiny and broadcast.
+    */
+  def corpusInterleave(docs: DataFrame, idCol: String,
+                       sourceCol: String): DataFrame = {
+    val srcs = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_src_n"))
+      .withColumn("_src_idx", row_number().over(
+        Window.orderBy(col(sourceCol))).cast("long") - 1)
+    val ranked = docs.select(col(idCol).as("doc_id"), col(sourceCol))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id")))
+        .cast("long"))
+    val keyed = ranked.join(broadcast(srcs), Seq(sourceCol))
+      .withColumn("_frac",
+        expr("(cast(2 * _r - 1 as decimal(38,0)) * 1099511627776) div (2 * _src_n)"))
+      .withColumn("_ikey", col("_frac") * 4096L + col("_src_idx"))
+    GlobalIds.assign(keyed, "_ikey", idName = "train_pos")
+      .select(col("doc_id"), col(sourceCol).as("source"),
+        col("_r").as("src_rank"), col("train_pos"))
+  }
 }

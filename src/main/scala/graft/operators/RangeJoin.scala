@@ -29,4 +29,30 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointTs) && col(pointTs) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-interval overlap join (closed bounds: pairs with
+    * `lStart <= rEnd && rStart <= lEnd`) — the session-vs-incident /
+    * exposure-vs-outage shape where BOTH sides are large, so neither
+    * broadcasts and a raw inequality join would go nested-loop. Same
+    * bucketing as [[pointInInterval]], with a duplicate-free twist: both
+    * intervals of an overlapping pair always cover the bucket holding
+    * `max(lStart, rStart)` (the overlap's first instant), so keeping only
+    * the join hit in THAT bucket yields each pair exactly once — no
+    * DISTINCT over the pair relation, which at scale would be a second
+    * full shuffle of the output.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val l = left.withColumn("__bucket",
+      explode(expr(s"sequence($lStart div $bucketUs, $lEnd div $bucketUs)")))
+    val r = right.withColumn("__bucket",
+      explode(expr(s"sequence($rStart div $bucketUs, $rEnd div $bucketUs)")))
+    l.join(r, "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === expr(s"greatest($lStart, $rStart) div $bucketUs"))
+      .drop("__bucket")
+  }
 }
