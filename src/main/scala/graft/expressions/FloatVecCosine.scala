@@ -180,6 +180,69 @@ case class FloatVecSub(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Upper-triangle pairwise products of a float vector's elements:
+  * for dims d, an array of d·(d-1)/2 doubles laid out row-major
+  * (i=0: j=1..d-1, i=1: j=2..d-1, …), element = (double)x[i] * (double)x[j]
+  * — the per-row outer-product contribution a covariance aggregate
+  * consumes. The double product of two floats is exact, so any engine
+  * multiplying the same casts reproduces each element bit-for-bit.
+  *
+  * A HOF composition (flatten of nested transforms) is CodegenFallback —
+  * two interpreted lambda layers per element; this emits one tight
+  * primitive double loop. Pair index pidx(i,j) = i·(2d-i-1)/2 + j-i-1,
+  * the same formula the relational (pidx → i,j) mapping table uses.
+  */
+case class FloatVecPairProducts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "float_vec_pair_products"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Double](d * (d - 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < d) {
+      val xi = x.getFloat(i).toDouble
+      var j = i + 1
+      while (j < d) { out(p) = xi * x.getFloat(j).toDouble; p += 1; j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi")
+      s"""
+         |int $d = $a.numElements();
+         |double[] $out = new double[$d * ($d - 1) / 2];
+         |int $p = 0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  for (int $j = $i + 1; $j < $d; $j++) {
+         |    $out[$p++] = $xi * (double) $a.getFloat($j);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecPairProducts =
+    copy(child = newChild)
+}
+
 /** Column-API surface for graft's native expressions. */
 object GraftExpressions {
   def floatVecCosine(a: Column, b: Column): Column =
@@ -193,6 +256,9 @@ object GraftExpressions {
   def floatVecSub(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecSub(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def floatVecPairProducts(a: Column): Column =
+    ExpressionUtils.column(FloatVecPairProducts(ExpressionUtils.expression(a)))
 
   /** DEFLATE/INFLATE as codegen'd StaticInvoke expressions — the codec
     * stays a plain JVM method but the call site lives inside whole-stage

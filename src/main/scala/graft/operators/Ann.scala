@@ -104,6 +104,69 @@ object Ann {
         round(sx2d - sxd * sxd, 6).as("variance"))
   }
 
+  /** Per-dimension-PAIR covariance of the embedding corpus — the full
+    * (upper-triangle) covariance matrix PCA / ZCA whitening consumes,
+    * where [[dimStats]] only gives the diagonal. The per-row outer-product
+    * contribution comes from one codegen'd [[org.apache.spark.sql.graft
+    * .FloatVecPairProducts]] array (a HOF composition would be two
+    * interpreted lambda layers per element), posexploded into a
+    * d·(d-1)/2-group aggregate: partial aggregation collapses the explode
+    * map-side, so the shuffle carries one partial row per pair per task —
+    * constant in the corpus size, like dimStats. Products sum in
+    * DECIMAL(38,12) (order-independent, engine-exact); the (pidx → i,j)
+    * mapping and per-dim mean sums are tiny broadcast relations on the
+    * AGGREGATED side, never touching the corpus scan.
+    */
+  def dimCovariance(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    val spark = emb.sparkSession
+    val pairs = spark.range(dims).selectExpr("cast(id as int) as i")
+      .crossJoin(spark.range(dims).selectExpr("cast(id as int) as j"))
+      .filter(col("j") > col("i"))
+      .withColumn("pidx",
+        expr(s"i * (${2 * dims} - i - 1) div 2 + j - i - 1").cast("int"))
+    val pairSums = emb.select(
+        org.apache.spark.sql.graft.GraftExpressions
+          .floatVecPairProducts(col(vecCol)).as("pp"))
+      .select(posexplode(col("pp")).as(Seq("pidx", "p")))
+      .groupBy("pidx")
+      .agg(count(lit(1)).as("n"), sum(col("p").cast("decimal(38,12)")).as("sp"))
+    val dimSums = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(col("x").cast("double").cast("decimal(38,12)")).as("sx"))
+    pairSums.join(broadcast(pairs), "pidx")
+      .join(broadcast(dimSums.select(col("dim").as("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(dimSums.select(col("dim").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        col("n"),
+        round(col("sp").cast("double") / col("n") -
+          (col("sxi").cast("double") / col("n")) *
+          (col("sxj").cast("double") / col("n")), 6).as("cov"))
+  }
+
+  /** Whitening APPLY: standardize each vector element against the corpus'
+    * own [[dimStats]] — wx = (x - mean_d) / sqrt(var_d + eps) — the
+    * feature-normalization step in front of cosine/PQ stages. The stats
+    * relation is |dim| rows, broadcast into one corpus scan; output in
+    * long (vec_id, dim, wx) format. Stats enter at their ROUNDED
+    * 6-decimal values, so the transform is reproducible from the
+    * published dimStats artifact alone (and engine-portable: sqrt is
+    * correctly rounded, the eval order is fixed).
+    */
+  def standardize(emb: DataFrame, idCol: String, vecCol: String,
+                  eps: Double = 1e-9): DataFrame = {
+    val stats = dimStats(emb, vecCol).select(col("dim"), col("mean"),
+      col("variance"))
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("xd"))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        round((col("xd") - col("mean")) / sqrt(col("variance") + eps), 6)
+          .as("wx"))
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest centroid by
     * cosine (ties → smallest centroid id). Centroids broadcast; one scan of
     * the vectors, no shuffle except the ranking window on vec id.
