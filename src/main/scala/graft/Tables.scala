@@ -23,15 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which vanilla
-    * Spark rejects; read it as raw nanos and convert to a proper
-    * TimestampType (microsecond) column. Integer division — a double would
-    * lose precision above 2^53 ns.
+  /** Generator versions have stored events.ts three ways: INT64
+    * TIMESTAMP(NANOS) (vanilla Spark rejects it — read as raw nanos and
+    * integer-divide; a double would lose precision above 2^53 ns),
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (inferred TIMESTAMP_NTZ), and
+    * plain TIMESTAMP. Normalize all three to session-timezone TimestampType
+    * (sessions here pin UTC) so every downstream operator and oracle sees
+    * identical microsecond values regardless of generator vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

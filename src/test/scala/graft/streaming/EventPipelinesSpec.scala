@@ -215,9 +215,15 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts",
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = windowAggStream(stream)
       .writeStream.format("memory").queryName("fwagg")
       .outputMode(OutputMode.Complete).start()
