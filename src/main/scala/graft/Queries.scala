@@ -1953,6 +1953,49 @@ object Queries {
         |SELECT dim, n, ROUND(sx / n, 6) AS mean,
         |  ROUND(sx2 / n - (sx / n) * (sx / n), 6) AS variance FROM s""".stripMargin)),
 
+    Q("dim_covariance",
+      // Full upper-triangle covariance matrix for PCA/ZCA whitening —
+      // per-row pair products from one codegen'd FloatVecPairProducts
+      // array, posexploded into a d*(d-1)/2-group decimal-sum aggregate
+      // (map-side combine collapses the explode; shuffle is corpus-size-
+      // independent). The (pidx -> i,j) map and per-dim sums broadcast.
+      (s, d) => Ann.dimCovariance(Tables.embeddings(s, d), "embedding", 64),
+      Some("""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i > a.i),
+        |p AS (SELECT pr.i, pr.j, CAST(CAST(e.embedding[pr.i] AS DOUBLE) *
+        |    CAST(e.embedding[pr.j] AS DOUBLE) AS DECIMAL(38,12)) AS prod
+        |  FROM embeddings e CROSS JOIN pr),
+        |ps AS (SELECT i, j, COUNT(*) AS n, CAST(SUM(prod) AS DOUBLE) AS sp
+        |  FROM p GROUP BY i, j),
+        |ds AS (SELECT i, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS sx
+        |  FROM embeddings CROSS JOIN idx GROUP BY i)
+        |SELECT CAST(ps.i - 1 AS BIGINT) AS dim_i,
+        |  CAST(ps.j - 1 AS BIGINT) AS dim_j, ps.n,
+        |  ROUND(ps.sp / ps.n - (di.sx / ps.n) * (dj.sx / ps.n), 6) AS cov
+        |FROM ps JOIN ds di ON di.i = ps.i JOIN ds dj ON dj.i = ps.j"""
+        .stripMargin)),
+
+    Q("whitening_standardize",
+      // Whitening APPLY: wx = (x - mean_d) / sqrt(var_d + 1e-9) against
+      // the corpus's own dimStats (entering at their published 6-decimal
+      // values, so the transform reproduces from the stats artifact
+      // alone); |dim|-row stats broadcast into one corpus scan.
+      (s, d) => Ann.standardize(Tables.embeddings(s, d), "vec_id", "embedding"),
+      Some("""WITH d AS (SELECT unnest(generate_series(1, len(embedding))) AS i,
+        |    vec_id, embedding FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS xd FROM d),
+        |s AS (SELECT dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+        |  FROM v GROUP BY dim),
+        |st AS (SELECT dim, ROUND(sx / n, 6) AS mean,
+        |    ROUND(sx2 / n - (sx / n) * (sx / n), 6) AS variance FROM s)
+        |SELECT v.vec_id, v.dim,
+        |  ROUND((v.xd - st.mean) / sqrt(st.variance + 1e-9), 6) AS wx
+        |FROM v JOIN st USING (dim)""".stripMargin)),
+
     Q("embedding_quantize_int8",
       // Storage-path int8 quantization of the embedding table (4x size cut
       // before ANN indexing); long format so the oracle compares scalars.

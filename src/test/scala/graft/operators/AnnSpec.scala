@@ -84,6 +84,41 @@ class AnnSpec extends SparkSpec {
     assert(m(1L) == ((3L, 2.0, 0.0)))
   }
 
+  test("dimCovariance: upper-triangle covariance matches hand computation") {
+    val spark0 = spark
+    import spark0.implicits._
+    // dims 0 and 1 perfectly correlated (y = 2x), dim 2 constant
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 5.0f)),
+      (1L, Array(2.0f, 4.0f, 5.0f)),
+      (2L, Array(3.0f, 6.0f, 5.0f))).toDF("vec_id", "embedding")
+    val m = Ann.dimCovariance(df, "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // cov(x, 2x) = 2*var(x); var{1,2,3} = 2/3
+    assert(m((0L, 1L)) == ((3L, 1.333333)))
+    assert(m((0L, 2L)) == ((3L, 0.0)))
+    assert(m((1L, 2L)) == ((3L, 0.0)))
+  }
+
+  test("standardize: wx from the rounded published dimStats") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 2.0f)),
+      (2L, Array(5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Ann.standardize(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // dim 0: mean 3, var(rounded) 2.666667 -> wx = (x-3)/sqrt(2.666667+1e-9)
+    val s0 = math.sqrt(2.666667 + 1e-9)
+    assert(out((0L, 0L)) == math.rint((1.0 - 3.0) / s0 * 1e6) / 1e6)
+    assert(out((2L, 0L)) == math.rint((5.0 - 3.0) / s0 * 1e6) / 1e6)
+    // dim 1 constant: variance 0 -> (x-mean)=0, wx exactly 0
+    assert((0L to 2L).forall(i => out((i, 1L)) == 0.0))
+  }
+
   test("srpPairs: precision 1.0 (exact-verified), recall measured vs exhaustive") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val exhaustive = Ann.cosinePairs(emb, "vec_id", "embedding", 0.4)
