@@ -1972,7 +1972,7 @@ object Queries {
         |  FROM embeddings CROSS JOIN idx GROUP BY i)
         |SELECT CAST(ps.i - 1 AS BIGINT) AS dim_i,
         |  CAST(ps.j - 1 AS BIGINT) AS dim_j, ps.n,
-        |  ROUND(ps.sp / ps.n - (di.sx / ps.n) * (dj.sx / ps.n), 6) AS cov
+        |  ROUND(ps.sp / ps.n - (di.sx / ps.n) * (dj.sx / ps.n), 6) + 0 AS cov
         |FROM ps JOIN ds di ON di.i = ps.i JOIN ds dj ON dj.i = ps.j"""
         .stripMargin)),
 
@@ -2535,54 +2535,66 @@ object Queries {
       // Windowed audio energy over a PCM-style sample stream (64-byte
       // frames, samples centered at 128): per-frame count, energy and
       // peak — the silence-trim / loudness-profile stage of an audio
-      // pipeline. Per-sample explode collapses map-side; the shuffle
-      // carries one row per (doc, frame). ASCII corpus => ascii(substr())
-      // IS the byte value on both engines.
-      (s, d) => Multimodal.audioFrameEnergy(Tables.documents(s, d),
-        "doc_id", "text", frameBytes = 64),
-      Some("""SELECT doc_id, (t.pos - 1) // 64 AS frame_idx,
-        |  COUNT(*) AS n_samples,
-        |  CAST(SUM((ascii(substr(text, CAST(t.pos AS INT), 1)) - 128)
-        |         * (ascii(substr(text, CAST(t.pos AS INT), 1)) - 128))
-        |    AS BIGINT) AS energy,
-        |  CAST(MAX(ABS(ascii(substr(text, CAST(t.pos AS INT), 1)) - 128))
-        |    AS BIGINT) AS peak
-        |FROM documents JOIN LATERAL (
-        |  SELECT UNNEST(range(1, length(text) + 1)) AS pos) t ON TRUE
-        |WHERE length(text) > 0
-        |GROUP BY 1, 2""".stripMargin)),
+      // pipeline. Runs over TRUE BinaryType payloads (syntheticPcm:
+      // full 0-255 byte range, every sample an integer function of the
+      // id) read byte-by-byte via hex/conv; the codec-free oracle
+      // recomputes the generator formula arithmetically — the
+      // multimodal_decode_png discipline. Per-sample explode collapses
+      // map-side; the shuffle carries one row per (doc, frame).
+      (s, d) => Multimodal.audioFrameEnergy(
+        Multimodal.syntheticPcm(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload", frameBytes = 64),
+      Some("""WITH d AS (SELECT doc_id, 200 + doc_id % 300 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, t.j AS j,
+        |    (doc_id * 31 + t.j * t.j * 7 + t.j * 13) % 256 - 128 AS sv
+        |  FROM d JOIN LATERAL (
+        |    SELECT UNNEST(range(0, n)) AS j) t ON TRUE)
+        |SELECT doc_id, j // 64 AS frame_idx, COUNT(*) AS n_samples,
+        |  CAST(SUM(sv * sv) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(sv)) AS BIGINT) AS peak
+        |FROM s GROUP BY 1, 2""".stripMargin)),
 
     Q("multimodal_phash",
-      // dHash-family perceptual signature over the stub-decoded byte
-      // stream: 63 evenly-strided samples, bit j = byte(j+1) > byte(j),
-      // folded into one long. ASCII corpus => ascii(substr()) IS the byte
-      // value on both engines, so the signature is oracle-exact.
-      (s, d) => Multimodal.perceptualHash(Tables.documents(s, d),
-        "doc_id", "text", nBits = 62),
-      Some("""WITH p AS (SELECT doc_id, text,
-        |    (length(text) - 1) // 62 AS stride
-        |  FROM documents WHERE length(text) >= 63)
+      // dHash-family perceptual signature over the decoded byte stream:
+      // 63 evenly-strided samples, bit j = byte(j+1) > byte(j), folded
+      // into one long. TRUE BinaryType input (syntheticPcm) read via
+      // hex/conv — exact for all 256 byte values, where the former
+      // ascii() text proxy capped at 7 bits; the oracle recomputes the
+      // byte formula arithmetically, no codec or binary access needed.
+      (s, d) => Multimodal.perceptualHash(
+        Multimodal.syntheticPcm(Tables.documents(s, d), "doc_id"),
+        "doc_id", "payload", nBits = 62),
+      Some("""WITH p AS (SELECT doc_id, 200 + doc_id % 300 AS n,
+        |    (200 + doc_id % 300 - 1) // 62 AS stride
+        |  FROM documents)
         |SELECT doc_id,
         |  CAST(list_sum(list_transform(range(0, 62), j -> CASE
-        |    WHEN ascii(substr(text, CAST(1 + (j+1) * stride AS INT), 1)) >
-        |         ascii(substr(text, CAST(1 + j * stride AS INT), 1))
+        |    WHEN (doc_id * 31 + ((j+1) * stride) * ((j+1) * stride) * 7
+        |          + ((j+1) * stride) * 13) % 256 >
+        |         (doc_id * 31 + (j * stride) * (j * stride) * 7
+        |          + (j * stride) * 13) % 256
         |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS phash
         |FROM p""".stripMargin)),
 
     Q("multimodal_phash_dups",
       // Exact-signature duplicate groups over the perceptual hash — the
       // first cut of media dedup (near grouping = SimHash bit-bands over
-      // the same column). One signature-vocabulary-sized groupBy.
+      // the same column). One signature-vocabulary-sized groupBy over
+      // the BinaryType phash pipeline.
       (s, d) => Multimodal.phashDupGroups(
-        Multimodal.perceptualHash(Tables.documents(s, d),
-          "doc_id", "text", nBits = 62)),
-      Some("""WITH p AS (SELECT doc_id, text,
-        |    (length(text) - 1) // 62 AS stride
-        |  FROM documents WHERE length(text) >= 63),
+        Multimodal.perceptualHash(
+          Multimodal.syntheticPcm(Tables.documents(s, d), "doc_id"),
+          "doc_id", "payload", nBits = 62)),
+      Some("""WITH p AS (SELECT doc_id, 200 + doc_id % 300 AS n,
+        |    (200 + doc_id % 300 - 1) // 62 AS stride
+        |  FROM documents),
         |sig AS (SELECT doc_id,
         |  CAST(list_sum(list_transform(range(0, 62), j -> CASE
-        |    WHEN ascii(substr(text, CAST(1 + (j+1) * stride AS INT), 1)) >
-        |         ascii(substr(text, CAST(1 + j * stride AS INT), 1))
+        |    WHEN (doc_id * 31 + ((j+1) * stride) * ((j+1) * stride) * 7
+        |          + ((j+1) * stride) * 13) % 256 >
+        |         (doc_id * 31 + (j * stride) * (j * stride) * 7
+        |          + (j * stride) * 13) % 256
         |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS phash
         |FROM p)
         |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc

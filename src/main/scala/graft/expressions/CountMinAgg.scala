@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,14 +36,14 @@ case class CountMinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with ExpectsInputTypes with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(depth > 0 && width > 0, "depth and width must be positive")
 
   // update() reads the key as a raw Long — declare it so a non-bigint
-  // argument to SQL count_min_sketch_flat fails at ANALYSIS (with the
-  // implicit-cast machinery fixing up int/short keys) instead of a
-  // ClassCastException on executors mid-job.
+  // argument to SQL count_min_sketch_flat fails at ANALYSIS instead of a
+  // ClassCastException on executors mid-job; ImplicitCastInputTypes (not
+  // bare ExpectsInputTypes, which only validates) widens int/short keys.
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] =

@@ -139,9 +139,10 @@ object Ann {
       .join(broadcast(dimSums.select(col("dim").as("j"), col("sx").as("sxj"))), "j")
       .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
         col("n"),
-        round(col("sp").cast("double") / col("n") -
+        // + 0.0 canonicalizes IEEE -0.0 → 0.0 (engines differ at round())
+        (round(col("sp").cast("double") / col("n") -
           (col("sxi").cast("double") / col("n")) *
-          (col("sxj").cast("double") / col("n")), 6).as("cov"))
+          (col("sxj").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
   /** Whitening APPLY: standardize each vector element against the corpus'
@@ -306,13 +307,14 @@ object Ann {
     * (oversampling l = oversample·k), with every random draw replaced by
     * an xxhash64(vec_id, seed, round) uniform — same (data, k, seed) ⇒
     * same centroids on any partitioning (costs sum over decimal). Each
-    * round is one broadcast-scored scan; only the O(rounds·l) sampled
-    * candidate VECTORS reach the driver (O(k·dim) payload), and the
-    * reduction to k centers — deterministic weighted farthest-first
-    * (greedy kmeans++ without RNG, ties → min id), batched — runs
-    * DISTRIBUTED, so driver compute stays O(k·dim) rather than
-    * O(k·candidates·dim) cosines. Output re-labelled 0..k-1 in
-    * candidate-id order.
+    * round is one broadcast-scored scan; candidates stay in a DataFrame
+    * end-to-end (each round hash-capped at l rows, so the relation is
+    * O(k) by construction) and only the k FINAL picks ever reach the
+    * driver (O(k·dim) payload). The reduction to k centers —
+    * deterministic weighted farthest-first (greedy kmeans++ without RNG,
+    * ties → min id), batched — runs DISTRIBUTED, with pick/membership
+    * set operations as broadcast anti-joins (never k-sized IN-list
+    * literals). Output re-labelled 0..k-1 in candidate-id order.
     */
   def initCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                     seed: Long, rounds: Int = 2,
@@ -326,15 +328,22 @@ object Ann {
       pmod(xxhash64(col("vec_id"), lit(seed), lit(round)), lit(1000000000L))
         .cast("double") / 1e9
 
-    // round 0: the hash-minimal vector seeds the center set
-    val first = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(1).as[(Long, Array[Float])].head()
-    val candidates = scala.collection.mutable.LinkedHashMap(first._1 -> first._2)
+    // round 0: the hash-minimal vector seeds the center set. Candidates
+    // live in a (localCheckpoint'ed) DataFrame throughout — the driver
+    // never holds candidate VECTORS beyond the final k picks, so resident
+    // memory stays O(k·dim) however rounds·oversample scale, and every
+    // membership test is a broadcast (anti-)join, never a k-sized IN-list
+    // literal (whose expression tree alone costs O(k) analysis time).
+    var candDf = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(1)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      .localCheckpoint()
 
     val l = oversample * k
+    val lCap = math.max(1, math.ceil(l).toInt)
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
-      val cents = candidates.toSeq.toDF("centroid_id", "cv")
+      val cents = candDf.select(col("cand_id").as("centroid_id"), col("cv"))
       val scored = ivfAssign(v, cents, "vec_id", "v", "centroid_id", "cv")
         .select(col("vec_id"), greatest(lit(0.0), lit(1.0) - col("cosine")).as("d"))
       val cost = scored
@@ -342,27 +351,37 @@ object Ann {
           .cast("double")).head().getDouble(0)
       if (cost <= 0) exhausted = true // every point already at a center
       else {
+        // distance-proportional sample, hard-capped at l rows per round
+        // (hash-ordered TakeOrdered) so candidate growth is bounded by
+        // design, not by sampling luck
         val sampled = v.join(scored, "vec_id")
           .filter(uniform(r) < least(lit(1.0), lit(l) * col("d") / lit(cost)))
-          .select(col("vec_id"), col("v")).as[(Long, Array[Float])].collect()
-        sampled.foreach { case (id, vec) =>
-          if (!candidates.contains(id)) candidates += id -> vec
-        }
+          .orderBy(xxhash64(col("vec_id"), lit(seed + 2), lit(r)), col("vec_id"))
+          .limit(lCap)
+          .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        // re-sampling an existing center is impossible (its d is 0), but
+        // dedup anyway: the relation is O(k) rows, the safety is free
+        candDf = candDf.unionByName(sampled)
+          .dropDuplicates("cand_id").localCheckpoint()
       }
     }
     // pad deterministically if sampling came up short of k
-    if (candidates.size < k) {
-      val extra = v.filter(!col("vec_id").isin(candidates.keys.toSeq: _*))
+    val nCand = candDf.count()
+    if (nCand < k) {
+      val extra = v
+        .join(broadcast(candDf.select(col("cand_id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
         .orderBy(xxhash64(col("vec_id"), lit(seed + 1)), col("vec_id"))
-        .limit(k - candidates.size).as[(Long, Array[Float])].collect()
-      extra.foreach { case (id, vec) => candidates += id -> vec }
+        .limit(k - nCand.toInt)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      candDf = candDf.unionByName(extra).localCheckpoint()
     }
 
     // weight candidates by their attracted point counts (one assign pass)
-    val candDf = candidates.toSeq.toDF("centroid_id", "cv")
-    val weights = ivfAssign(v, candDf, "vec_id", "v", "centroid_id", "cv")
+    val weights = ivfAssign(v,
+        candDf.select(col("cand_id").as("centroid_id"), col("cv")),
+        "vec_id", "v", "centroid_id", "cv")
       .groupBy("centroid_id").agg(count(lit(1)).as("w"))
-      .as[(Long, Long)].collect().toMap
 
     // DISTRIBUTED weighted farthest-first down to k, in batched picks:
     // each pass updates every candidate's running min-distance-to-chosen
@@ -377,8 +396,12 @@ object Ann {
     // cosines — at the production k ≈ √n (n = 10⁹ ⇒ k ≈ 3·10⁴,
     // candidates ≈ rounds·oversample·k) that is ~10⁹ serial driver
     // operations, a real driver bottleneck; here it runs on executors.
-    val candWeighted = candidates.toSeq.map { case (id, vec) =>
-      (id, vec, weights.getOrElse(id, 0L)) }.toDF("cid", "cv", "w")
+    val candWeighted = candDf
+      .join(weights.select(col("centroid_id").as("cand_id"), col("w")),
+        Seq("cand_id"), "left")
+      .select(col("cand_id").as("cid"), col("cv"),
+        coalesce(col("w"), lit(0L)).as("w"))
+      .localCheckpoint()
     val seedRow = candWeighted.orderBy(col("w").desc, col("cid")).limit(1)
       .as[(Long, Array[Float], Long)].head()
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
@@ -406,8 +429,10 @@ object Ann {
         .limit(take)
         .select(col("cid"), col("cv")).as[(Long, Array[Float])].collect().toSeq
       chosen ++= newPicks
-      if (newPicks.nonEmpty)
-        cand = cand.filter(!col("cid").isin(newPicks.map(_._1): _*))
+      if (newPicks.nonEmpty) {
+        val pickedIds = newPicks.map(_._1).toDF("cid")
+        cand = cand.join(broadcast(pickedIds), Seq("cid"), "left_anti")
+      }
     }
     chosen.sortBy(_._1).zipWithIndex
       .map { case ((_, vec), i) => (i.toLong, vec) }.toSeq

@@ -113,14 +113,40 @@ object Multimodal {
     })
   }
 
+  /** Unsigned byte value at 1-based `pos` of a BINARY payload, as the SQL
+    * fragment `cast(conv(hex(substring(b, pos, 1)), 16, 10) as int)` —
+    * valid for ALL 256 byte values (an `ascii()` text proxy caps at 7-bit
+    * ASCII and a UTF-8 `substring` splits multi-byte runes), and every
+    * piece is a plain codegen'd builtin, so byte extraction rides
+    * whole-stage codegen like any other projection.
+    */
+  private def byteAtSql(bin: String, pos: String): String =
+    s"cast(conv(hex(substring($bin, cast($pos as int), 1)), 16, 10) as int)"
+
+  /** Deterministic synthetic PCM payloads: REAL binary bytes spanning the
+    * full 0-255 range (beyond any ASCII text proxy), with length and every
+    * sample integer functions of the id — n = 200 + id % 300 samples,
+    * byte j = (id·31 + j²·7 + j·13) mod 256 — so a codec-free oracle
+    * reproduces frame energies and gradient signs arithmetically, the
+    * [[syntheticPngs]] discipline. Construction is pure relational
+    * (transform → hex → unhex): no UDF, no mapPartitions, scan-parallel.
+    */
+  def syntheticPcm(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("payload", expr(
+        """unhex(array_join(transform(
+          |  sequence(0L, 200 + doc_id % 300 - 1),
+          |  j -> lpad(hex((doc_id * 31 + j * j * 7 + j * 13) % 256), 2, '0')),
+          |''))""".stripMargin))
+
   /** Perceptual hash (dHash family) over a decoded byte stream: sample
     * `nBits`+1 evenly-strided bytes, bit j = sample(j+1) > sample(j),
     * assembled into one long — the gradient-sign signature used for
     * near-identical media dedup (re-encoded/rescaled copies keep byte
     * gradients even when checksums differ). The real pipeline hashes
-    * decoded pixels; here the stub "decode" is the payload's own byte
-    * stream (ASCII text in the testdata, so `ascii(substring(...))` IS
-    * the byte value and any engine reproduces the signature exactly).
+    * decoded pixels; here the "decoded stream" is a BINARY payload column
+    * read byte-by-byte via hex/conv ([[byteAtSql]]), exact for all 256
+    * byte values on any engine.
     *
     * Pure projection over a sequence explode-free HOF `aggregate` — no
     * shuffle, scan-parallel; the interpreted lambda is acceptable on this
@@ -129,17 +155,17 @@ object Multimodal {
     * nBits+1 bytes carry no gradient signal and are dropped (stride 0
     * would re-read byte 1).
     */
-  def perceptualHash(df: DataFrame, idCol: String, byteStrCol: String,
+  def perceptualHash(df: DataFrame, idCol: String, payloadCol: String,
                      nBits: Int = 62): DataFrame = {
     require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
-    df.filter(length(col(byteStrCol)) >= nBits + 1)
-      .select(col(idCol).as("doc_id"), col(byteStrCol).as("b"))
-      .withColumn("stride", expr(s"(length(b) - 1) div $nBits"))
+    df.filter(octet_length(col(payloadCol)) >= nBits + 1)
+      .select(col(idCol).as("doc_id"), col(payloadCol).as("b"))
+      .withColumn("stride", expr(s"(octet_length(b) - 1) div $nBits"))
       .select(col("doc_id"),
         expr(s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint),
           |(acc, j) -> acc + if(
-          |  ascii(substring(b, cast(1 + (j+1) * stride as int), 1)) >
-          |  ascii(substring(b, cast(1 + j * stride as int), 1)),
+          |  ${byteAtSql("b", "1 + (j+1) * stride")} >
+          |  ${byteAtSql("b", "1 + j * stride")},
           |  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
           .as("phash"))
   }
@@ -161,27 +187,27 @@ object Multimodal {
     * silence-detection / loudness-profiling stage of an audio curation
     * pipeline (silence trim = drop frames under a peak threshold;
     * clipping detection = peak at 127). The real pipeline runs this over
-    * codec-decoded PCM; here the stub "decode" is the payload's own byte
-    * stream (ASCII text in the testdata, so `ascii(substring(...))` IS
-    * the byte value and any engine reproduces the energies exactly —
-    * same oracle trick as [[perceptualHash]]).
+    * codec-decoded PCM; here the "decoded stream" is a BINARY payload
+    * column read byte-by-byte via hex/conv ([[byteAtSql]]) — exact for
+    * the full 0-255 sample range on any engine, where the former ASCII
+    * text proxy capped at 7 bits.
     *
     * Per-SAMPLE explode + one grouped aggregate: the explode stays in
     * whole-stage codegen and partial aggregation collapses it map-side,
     * so the shuffle carries one row per (doc, frame) — n_bytes/frameBytes
     * rows — not per byte. All integer arithmetic.
     */
-  def audioFrameEnergy(df: DataFrame, idCol: String, byteStrCol: String,
+  def audioFrameEnergy(df: DataFrame, idCol: String, payloadCol: String,
                        frameBytes: Int = 64): DataFrame = {
     require(frameBytes >= 1, "frameBytes must be >= 1")
-    df.select(col(idCol).as("doc_id"), col(byteStrCol).as("b"))
-      .filter(length(col("b")) > 0)
+    df.select(col(idCol).as("doc_id"), col(payloadCol).as("b"))
+      .filter(octet_length(col("b")) > 0)
       .select(col("doc_id"),
-        explode(expr("sequence(1L, cast(length(b) as bigint))")).as("pos"),
+        explode(expr("sequence(1L, cast(octet_length(b) as bigint))")).as("pos"),
         col("b"))
       .select(col("doc_id"),
         expr(s"(pos - 1) div $frameBytes").as("frame_idx"),
-        (ascii(expr("substring(b, cast(pos as int), 1)")) - 128).cast("long").as("s"))
+        (expr(byteAtSql("b", "pos")) - 128).cast("long").as("s"))
       .groupBy("doc_id", "frame_idx")
       .agg(count(lit(1)).cast("long").as("n_samples"),
         sum(col("s") * col("s")).cast("long").as("energy"),

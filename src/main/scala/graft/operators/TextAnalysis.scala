@@ -314,10 +314,11 @@ object TextAnalysis {
       .select(col("source"), col("tok"),
         col("c_st").cast("long").as("c_st"),
         expr("c_st * n_total * 1000000 div (n_s * c_t)").as("lift_ppm"))
-    lifted.withColumn("rank",
-        row_number().over(Window.partitionBy("source")
-          .orderBy(col("lift_ppm").desc, col("tok"))))
-      .filter(col("rank") <= k)
+    // TopKPerGroup (bounded per-partition heaps, ≤ k rows/source/partition
+    // cross the shuffle) — the per-source row_number window would sort each
+    // source's FULL filtered vocabulary in a single task.
+    org.apache.spark.sql.graft.TopKPerGroup(lifted, Seq(col("source")),
+        Seq(col("lift_ppm").desc, col("tok")), k)
       .select(col("source"), col("rank").cast("long").as("rank"),
         col("tok"), col("c_st"), col("lift_ppm"))
   }
@@ -336,22 +337,24 @@ object TextAnalysis {
     */
   /** The top-V vocabulary as a first-class artifact (rank, token, corpus
     * frequency, document frequency) — what a tokenizer trainer or the
-    * [[oovRate]] gate consumes. One token-count aggregate; the ranking
-    * window runs over the VOCABULARY-sized count relation only (never
-    * the token stream), count-desc with token tie-break so the relation
-    * is engine-portable.
+    * [[oovRate]] gate consumes. One token-count aggregate, then
+    * [[Analytics.topKRanked]]: distributed TakeOrdered top-V plus a
+    * partitioned-window rank, count-desc with token tie-break so the
+    * relation is engine-portable. The count relation is never sorted in
+    * one task.
     */
   def vocabBuild(docs: DataFrame, idCol: String, textCol: String,
                  vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
-    toks.groupBy("tok")
+    val counts = toks.groupBy("tok")
       .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cf").desc, col("tok"))))
-      .filter(col("rank") <= vocabSize)
-      .select(col("rank").cast("long").as("rank"), col("tok"),
-        col("cf"), col("df"))
+    // Distributed top-V (TakeOrdered) + partitioned-window rank — the
+    // vocabulary relation is corpus-vocab-sized (billions of rows at
+    // 100 TB); an unpartitioned row_number window over it is a one-task
+    // sort.
+    Analytics.topKRanked(counts, "cf", "tok", vocabSize)
+      .select(col("rank"), col("tok"), col("cf"), col("df"))
   }
 
   /** One BPE training round: corpus-weighted adjacent-symbol-pair counts
@@ -373,26 +376,23 @@ object TextAnalysis {
         explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wc"))
-    words
+    val pairCounts = words
       .select(col("wc"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("pair_count").desc, col("pair"))))
-      .filter(col("rank") <= topK)
-      .select(col("rank").cast("long").as("rank"), col("pair"),
-        col("pair_count"))
+    Analytics.topKRanked(pairCounts, "pair_count", "pair", topK)
+      .select(col("rank"), col("pair"), col("pair_count"))
   }
 
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
+    // Membership only — no rank needed, so plain orderBy.limit
+    // (TakeOrdered) suffices; no window at all.
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c").desc, col("tok"))))
-      .filter(col("rnk") <= vocabSize)
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .select(col("tok"))
     toks.join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
         Seq("tok"), "left")

@@ -74,6 +74,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab rankings never run an unpartitioned window") {
+    // An unpartitioned row_number window pulls the whole vocabulary-sized
+    // relation through ONE task; these four must use TakeOrdered +
+    // partitioned rank (topKRanked) or TopKPerGroup instead. A WindowExec
+    // line prints "[exprs], [part], [order]" when partitioned but only
+    // "[exprs], [order]" when not.
+    for (name <- Seq("vocab_build", "bpe_pair_counts", "oov_rate",
+                     "token_lift_by_source")) {
+      val plan = finalPlan(name)
+      val bad = plan.linesIterator.filter { l =>
+        l.contains("Window [") && "\\], \\[".r.findAllIn(l).length < 2
+      }.toSeq
+      assert(bad.isEmpty, s"$name has unpartitioned WindowExec:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("no plan in the inventory contains a cartesian product") {
     // Exhaustive-baseline pair generators legitimately cross-join small
     // inputs (their scale paths are banded/bucketed); everything else must

@@ -115,4 +115,26 @@ class AnalyticsSpec extends SparkSpec {
     val w2 = w0 + 2 * 604800L
     assert(out == Seq((w0, 0L, 1L), (w0, 2L, 1L), (w2, 0L, 1L), (w2, 1L, 1L)))
   }
+
+  test("retentionCohorts week offsets survive a DST transition") {
+    // America/New_York springs forward 2024-03-10: the local week starting
+    // Mon 2024-03-04 spans 604800-3600 s, so a fixed-divisor epoch diff
+    // would floor the offset to 0; datediff-on-truncated-dates div 7 must
+    // still yield offset 1 for the following week.
+    val spark0 = spark
+    import spark0.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = Seq(
+        (1L, ts("2024-03-04 12:00:00")),  // Monday, cohort week
+        (1L, ts("2024-03-12 12:00:00"))   // Tuesday of the NEXT local week
+      ).toDF("user_id", "ts")
+      val out = Analytics.retentionCohorts(df, "user_id", "ts")
+        .orderBy("week_offset").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(out == Seq((0L, 1L), (1L, 1L)),
+        s"expected offsets 0 and 1 across the DST week, got $out")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

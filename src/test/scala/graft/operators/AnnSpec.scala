@@ -328,6 +328,34 @@ class AnnSpec extends SparkSpec {
       s"report hits@nprobe=2 must equal the standalone search's: $report vs $expectHits2")
   }
 
+  test("ivfRecallReport keeps zero-hit probe levels as n_hits=0 rows") {
+    // the query is the LONE member of its own bucket, so nprobe=1 probes
+    // an empty candidate set — that level must still appear in the report
+    // (callers iterate "one row per nprobe"), not silently vanish
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.1f, 1.0f)),
+      (3L, Array(-0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val assign = Ann.ivfAssign(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+    val report = Ann.ivfRecallReport(emb, assign, cents, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 2, nprobes = Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(report.map(_._1).toSeq == Seq(1L, 2L),
+      s"zero-hit level must not vanish: ${report.mkString(", ")}")
+    assert(report(0) == ((1L, 0L, 0L)), report.mkString(", "))
+    assert(report(1) == ((2L, 2L, 1000000L)), report.mkString(", "))
+  }
+
   test("pq encode picks the per-subspace nearest codeword") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cb = Pq.codebookFromSample(emb.filter(col("vec_id") % 25 === 0),
@@ -582,11 +610,13 @@ class AnnSpec extends SparkSpec {
   test("perceptualHash: gradient-sign fixed values, length gate, dup groups") {
     val spark0 = spark
     import spark0.implicits._
-    val up = (0 to 62).map(j => ('0' + j).toChar).mkString   // strictly rising
+    // true binary gradients, spanning beyond 7-bit ASCII (up to byte 255)
+    val up = (0 to 62).map(j => (193 + j).toByte).toArray     // strictly rising
     val down = up.reverse                                     // strictly falling
-    val docs = Seq((1L, up), (2L, down), (3L, up), (4L, "short"))
-      .toDF("doc_id", "text")
-    val sigs = Multimodal.perceptualHash(docs, "doc_id", "text", nBits = 62)
+    val docs = Seq((1L, up), (2L, down), (3L, up),
+        (4L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.perceptualHash(docs, "doc_id", "payload", nBits = 62)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // len 63 => stride 1, all 62 comparisons rise: sum 2^0..2^61 = 2^62-1
     assert(sigs(1L) === (1L << 62) - 1)
@@ -595,7 +625,7 @@ class AnnSpec extends SparkSpec {
     // payloads below nBits+1 bytes carry no gradient signal and drop out
     assert(!sigs.contains(4L))
     val dups = Multimodal.phashDupGroups(
-        Multimodal.perceptualHash(docs, "doc_id", "text", nBits = 62))
+        Multimodal.perceptualHash(docs, "doc_id", "payload", nBits = 62))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(dups.toSeq === Seq(((1L << 62) - 1, 2L, 1L)))
   }

@@ -10,18 +10,42 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   test("audioFrameEnergy computes per-frame energy/peak over byte samples") {
-    // "AB" = bytes 65,66 → s = -63,-62; energy = 63²+62² = 7813, peak 63
+    // bytes 65,66 → s = -63,-62; energy = 63²+62² = 7813, peak 63
     val got = Multimodal.audioFrameEnergy(
-        Seq((1L, "AB")).toDF("doc_id", "text"), "doc_id", "text",
-        frameBytes = 64)
+        Seq((1L, Array[Byte](65, 66))).toDF("doc_id", "payload"),
+        "doc_id", "payload", frameBytes = 64)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L, 2L, 63L * 63 + 62L * 62, 63L)))
   }
 
-  test("audioFrameEnergy splits frames at frameBytes boundaries") {
-    val text = "\u0080" * 5 // byte 128 → s = 0 everywhere
+  test("audioFrameEnergy reads the full 0-255 byte range (true binary)") {
+    // bytes 0 and 255 — both outside 7-bit ASCII, where a text proxy
+    // breaks: s = -128 and 127, energy = 128² + 127², peak 128
     val got = Multimodal.audioFrameEnergy(
-        Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        Seq((3L, Array[Byte](0, -1))).toDF("doc_id", "payload"),
+        "doc_id", "payload", frameBytes = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 0L, 2L, 128L * 128 + 127L * 127, 128L)))
+  }
+
+  test("syntheticPcm generates the documented byte formula as true binary") {
+    val pcm = Multimodal.syntheticPcm(
+        Seq(Tuple1(42L)).toDF("doc_id"), "doc_id")
+      .select("payload").as[Array[Byte]].head()
+    val n = 200 + 42 % 300
+    assert(pcm.length == n)
+    for (j <- 0 until n) {
+      val expect = ((42L * 31 + j.toLong * j * 7 + j * 13) % 256).toByte
+      assert(pcm(j) == expect, s"byte $j: got ${pcm(j)}, want $expect")
+    }
+    // the formula must actually exercise beyond-ASCII byte values
+    assert(pcm.exists(b => (b & 0xff) > 127))
+  }
+
+  test("audioFrameEnergy splits frames at frameBytes boundaries") {
+    val payload = Array.fill[Byte](5)(-128) // byte 128 → s = 0 everywhere
+    val got = Multimodal.audioFrameEnergy(
+        Seq((7L, payload)).toDF("doc_id", "payload"), "doc_id", "payload",
         frameBytes = 2)
       .orderBy("frame_idx")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
@@ -32,7 +56,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("audioFrameEnergy drops empty payloads") {
     val got = Multimodal.audioFrameEnergy(
-      Seq((1L, ""), (2L, "Q")).toDF("doc_id", "text"), "doc_id", "text")
+      Seq((1L, Array.empty[Byte]), (2L, Array[Byte]('Q')))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
     assert(got.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 

@@ -63,4 +63,31 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cms == exact && exact.nonEmpty)
   }
+
+  test("heavyHittersCms handles STRING keys identically to the exact form") {
+    // regression: a cast-to-long key path nulls string keys out of the
+    // sketch and silently returns empty; keys must enter via xxhash64
+    val e = Tables.events(spark, sfDir).select("event_type")
+    val exact = Sketches.heavyHitters(e, "event_type", 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val cms = Sketches.heavyHittersCms(e, "event_type", 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cms == exact && exact.nonEmpty, s"cms=$cms exact=$exact")
+  }
+
+  test("count_min_sketch_flat rejects un-castable key types at analysis") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.GraftSparkExtensions.register(spark)
+    Seq((Array(1, 2), 1)).toDF("a", "n").createOrReplaceTempView("cms_bad_in")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT count_min_sketch_flat(a, 4, 1024) FROM cms_bad_in").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"), err.getMessage)
+    // ...while integral widths narrower than long implicitly widen
+    val ok = spark.sql(
+      "SELECT count_min_sketch_flat(n, 4, 1024) FROM cms_bad_in").collect()
+    assert(ok.length == 1)
+  }
 }
