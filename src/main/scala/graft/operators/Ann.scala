@@ -376,6 +376,7 @@ object Ann {
         .select(col("vec_id").as("cand_id"), col("v").as("cv"))
       candDf = candDf.unionByName(extra).localCheckpoint()
     }
+    val nCandTotal = math.max(nCand, k.toLong)
 
     // weight candidates by their attracted point counts (one assign pass)
     val weights = ivfAssign(v,
@@ -383,31 +384,125 @@ object Ann {
         "vec_id", "v", "centroid_id", "cv")
       .groupBy("centroid_id").agg(count(lit(1)).as("w"))
 
-    // DISTRIBUTED weighted farthest-first down to k, in batched picks:
-    // each pass updates every candidate's running min-distance-to-chosen
-    // against only the NEWLY chosen centers (broadcast batch, codegen'd
-    // cosine on executors), then takes the next ⌈k/passes⌉ candidates by
-    // (weight·minDist desc, id asc) through a distributed TakeOrdered.
-    // Within a batch picks don't see each other — the scalable-kmeans‖
-    // batching approximation; candidates arrive pre-spread by the
-    // distance-proportional sampling above, so quality tracks the serial
-    // greedy while DRIVER work drops to O(k·dim) (collecting the picks).
-    // The serial one-at-a-time reduction was O(k·candidates·dim) driver
-    // cosines — at the production k ≈ √n (n = 10⁹ ⇒ k ≈ 3·10⁴,
-    // candidates ≈ rounds·oversample·k) that is ~10⁹ serial driver
-    // operations, a real driver bottleneck; here it runs on executors.
+    // Weighted farthest-first down to k, in batched picks: each pass
+    // updates every candidate's running min-distance-to-chosen against
+    // only the NEWLY chosen centers, then takes the next ⌈k/passes⌉
+    // candidates by (weight·minDist desc, id asc). Within a batch picks
+    // don't see each other — the scalable-kmeans‖ batching approximation;
+    // candidates arrive pre-spread by the distance-proportional sampling
+    // above, so quality tracks the serial greedy. Two same-semantics
+    // forms: small candidate sets reduce ON THE DRIVER (zero Spark jobs —
+    // the distributed loop's per-pass job overhead dominates tiny
+    // relations), production-scale sets (k ≈ √n ⇒ candidates ≈
+    // rounds·oversample·k) reduce on executors with driver work O(k·dim).
     val candWeighted = candDf
       .join(weights.select(col("centroid_id").as("cand_id"), col("w")),
         Seq("cand_id"), "left")
       .select(col("cand_id").as("cid"), col("cv"),
         coalesce(col("w"), lit(0L)).as("w"))
-      .localCheckpoint()
+    val passes = math.min(16, k)
+    val batchSize = math.max(1, (k + passes - 1) / passes)
+    val chosen =
+      if (nCandTotal * k <= InitCentroidsLocalReduceMaxWork)
+        // collected whole in one job — a checkpoint first would just be
+        // an extra materialization
+        reduceLocal(candWeighted, k, passes, batchSize)
+      else
+        // iterated over by the pass loop — cut lineage once up front
+        reduceDistributed(candWeighted.localCheckpoint(), k, passes,
+          batchSize)
+    chosen.sortBy(_._1).zipWithIndex
+      .map { case ((_, vec), i) => (i.toLong, vec) }.toSeq
+      .toDF("centroid_id", "cv")
+  }
+
+  /** Work ceiling (candidates × k ≈ total distance evaluations) for the
+    * driver-local farthest-first reduction: below it the candidate
+    * relation is a few MB, the whole reduction is ≤ ~2M cosines
+    * (sub-second serial), and the distributed loop's ~4 Spark jobs ×
+    * min(16,k) passes are pure scheduling overhead (measured 2.3× on
+    * ann_ivf_refined_assign at sf0.1); above it — the production k ≈ √n
+    * regime — the reduction runs on executors. Both paths implement
+    * IDENTICAL batched-pick semantics, and [[cosineLocal]] replicates
+    * FloatVecCosine's IEEE evaluation order, so the chosen set is the
+    * same wherever the threshold lands (spec-asserted).
+    */
+  private val InitCentroidsLocalReduceMaxWork = 2000000L
+
+  /** FloatVecCosine's exact arithmetic (elementwise double products
+    * summed left-to-right, dot / sqrt(na) / sqrt(nb)) on the driver —
+    * JVM double ops are deterministic, so this is bit-identical to the
+    * codegen'd executor expression.
+    */
+  private def cosineLocal(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < x.length) { val v = x(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.length) { val v = y(i).toDouble; nb += v * v; i += 1 }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** Weighted farthest-first down to k, batched — driver-local form for
+    * small candidate sets (≤ [[InitCentroidsLocalReduceMax]] rows, a few
+    * MB). Seed = (max weight, min id); each pass updates every remaining
+    * candidate's min-distance against only the NEWLY chosen batch, then
+    * takes the next ⌈k/passes⌉ by (weight·minDist desc, id asc); within a
+    * batch picks don't see each other — semantics identical to
+    * [[reduceDistributed]], job count zero.
+    */
+  private[operators] def reduceLocal(candWeighted: DataFrame, k: Int, passes: Int,
+                          batchSize: Int): Seq[(Long, Array[Float])] = {
+    val spark = candWeighted.sparkSession
+    import spark.implicits._
+    val all = candWeighted.select(col("cid"), col("cv"), col("w"))
+      .as[(Long, Array[Float], Long)]
+      .collect()
+    val seed = all.minBy { case (cid, _, w) => (-w, cid) }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
+      (seed._1, seed._2))
+    var remaining = all.filter(_._1 != seed._1)
+      .map { case (cid, cv, w) => (cid, cv, w, Double.MaxValue) }
+    var newPicks: Seq[(Long, Array[Float])] = chosen.toSeq
+    while (chosen.size < k && newPicks.nonEmpty) {
+      remaining = remaining.map { case (cid, cv, w, d) =>
+        var nd = d
+        newPicks.foreach { case (_, bv) =>
+          val cand = 1.0 - cosineLocal(cv, bv)
+          if (cand < nd) nd = cand
+        }
+        (cid, cv, w, nd)
+      }
+      val take = math.min(batchSize, k - chosen.size)
+      newPicks = remaining
+        .sortBy { case (cid, _, w, d) => (-(w.toDouble * d), cid) }
+        .take(take)
+        .map { case (cid, cv, _, _) => (cid, cv) }.toSeq
+      chosen ++= newPicks
+      val picked = newPicks.map(_._1).toSet
+      remaining = remaining.filterNot { case (cid, _, _, _) => picked(cid) }
+    }
+    chosen.toSeq
+  }
+
+  /** The same batched weighted farthest-first over a candidate DataFrame —
+    * the production-scale path (candidates ≈ rounds·oversample·k rows at
+    * k ≈ √n): min-distance updates and TakeOrdered picks run on
+    * executors; the driver only collects the ≤ k picks (O(k·dim)).
+    */
+  private[operators] def reduceDistributed(candWeighted: DataFrame, k: Int, passes: Int,
+                                batchSize: Int): Seq[(Long, Array[Float])] = {
+    val spark = candWeighted.sparkSession
+    import spark.implicits._
     val seedRow = candWeighted.orderBy(col("w").desc, col("cid")).limit(1)
       .as[(Long, Array[Float], Long)].head()
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](
       (seedRow._1, seedRow._2))
-    val passes = math.min(16, k)
-    val batchSize = math.max(1, (k + passes - 1) / passes)
     var cand = candWeighted.filter(col("cid") =!= seedRow._1)
       .withColumn("min_d", lit(Double.MaxValue))
     var newPicks: Seq[(Long, Array[Float])] = chosen.toSeq
@@ -434,9 +529,7 @@ object Ann {
         cand = cand.join(broadcast(pickedIds), Seq("cid"), "left_anti")
       }
     }
-    chosen.sortBy(_._1).zipWithIndex
-      .map { case ((_, vec), i) => (i.toLong, vec) }.toSeq
-      .toDF("centroid_id", "cv")
+    chosen.toSeq
   }
 
   /** Deterministic Lloyd refinement of IVF centroids: a fixed number of

@@ -250,6 +250,29 @@ class AnnSpec extends SparkSpec {
     assert(c1.values.forall(corpus.contains))
   }
 
+  test("local and distributed farthest-first reductions pick identical sets") {
+    // the small-candidate fast path (zero Spark jobs) must be
+    // semantics-identical to the executor-side batched reduction —
+    // cosineLocal replicates FloatVecCosine's IEEE order, so the picks
+    // agree element-for-element wherever the work threshold lands
+    val spark0 = spark
+    import spark0.implicits._
+    val cand = spark.range(200).select(col("id").as("cid"),
+        array((0 until 6).map(d =>
+          ((pmod(xxhash64(col("id"), lit(d)), lit(1000)).cast("double") / 500.0)
+            - 1.0).cast("float")): _*).as("cv"),
+        pmod(xxhash64(col("id"), lit(99L)), lit(50L)).as("w"))
+      .localCheckpoint()
+    for (k <- Seq(3, 17, 64)) {
+      val passes = math.min(16, k)
+      val batchSize = math.max(1, (k + passes - 1) / passes)
+      val l = Ann.reduceLocal(cand, k, passes, batchSize)
+      val dd = Ann.reduceDistributed(cand, k, passes, batchSize)
+      assert(l.map(_._1) == dd.map(_._1), s"k=$k ids diverge")
+      assert(l.map(_._2.toSeq) == dd.map(_._2.toSeq), s"k=$k vectors diverge")
+    }
+  }
+
   test("initCentroids at k=1000: full coverage with the distributed reduction") {
     // The production regime (k ≈ √n): the candidate→k reduction must not
     // be a serial driver loop. This drives k=1000 over a 5000-vector
