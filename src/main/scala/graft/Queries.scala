@@ -2967,6 +2967,26 @@ object Queries {
         |      doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin)),
 
+    Q("source_quota_cap",
+      // Per-source quota (the web-curation "domain cap"): keep at most 10
+      // docs per source, highest quality first with doc_id tie-break, so
+      // no source dominates the mix and the keeps are the best, not
+      // arbitrary. Ranking = the bounded-heap TopKPerGroup operator — at
+      // scale a mega-source's pages reduce to cap rows in the partial
+      // stage; nothing sorts a whole source in one task.
+      (s, d) => Sampling.sourceCap(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          "source", "doc_id", "quality", cap = 10)
+        .select(col("source"), col("rank"), col("doc_id"), col("quality")),
+      Some(s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+        |FROM (SELECT source, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rank
+        |  FROM (SELECT source, doc_id,
+        |      ${qualityScoreSql("text")} AS quality FROM documents))
+        |WHERE rank <= 10""".stripMargin)),
+
     Q("sample_weighted",
       // Deterministic importance sampling: keep probability proportional
       // to a per-row weight (here min(n_chars, 1000)/1000 — longer docs

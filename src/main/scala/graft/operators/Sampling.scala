@@ -109,4 +109,22 @@ object Sampling {
           .orderBy(hashBucket(col(keyCol)), col(keyCol))))
       .filter(col("_rn") <= perStratum)
       .drop("_rn")
+
+  /** Per-source quota cap: at most `cap` docs per source, highest
+    * `scoreCol` first (key asc tie-break), with the kept rank — the
+    * domain-cap stage of a web-corpus curation pipeline (no single
+    * domain/source may dominate the training mix; the keep choice is
+    * quality-ranked, not arbitrary). Ranking runs through the
+    * bounded-heap TopKPerGroup physical operator: ≤ cap rows per source
+    * per partition cross the shuffle, never a per-source full sort — at
+    * 100 TB a mega-domain's millions of pages reduce to cap rows in the
+    * partial stage.
+    */
+  def sourceCap(df: DataFrame, sourceCol: String, keyCol: String,
+                scoreCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    org.apache.spark.sql.graft.TopKPerGroup(df, Seq(col(sourceCol)),
+        Seq(col(scoreCol).desc, col(keyCol)), cap)
+      .withColumn("rank", col("rank").cast("long"))
+  }
 }

@@ -64,4 +64,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(df.repartition(7), "k", col("w"), 100L)
         .select("k").as[Long].collect().toSet)
   }
+
+  test("sourceCap keeps the cap best-scored docs per source, ranked") {
+    val docs = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.7),
+      ("b", 5L, 0.1),
+      ("c", 6L, 0.3), ("c", 7L, 0.3), ("c", 8L, 0.8)
+    ).toDF("source", "doc_id", "quality")
+    val got = Sampling.sourceCap(docs, "source", "doc_id", "quality", cap = 2)
+      .select("source", "rank", "doc_id", "quality")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // per source: top-2 by quality desc, doc_id asc tie-break; sources
+    // under the cap keep everything
+    assert(got == Set(
+      ("a", 1L, 1L, 0.9), ("a", 2L, 3L, 0.9),
+      ("b", 1L, 5L, 0.1),
+      ("c", 1L, 8L, 0.8), ("c", 2L, 6L, 0.3)))
+    // determinism under repartitioning (the bounded-heap partial stage
+    // must not make the keep set partitioning-dependent)
+    val got2 = Sampling.sourceCap(docs.repartition(5), "source", "doc_id",
+        "quality", cap = 2)
+      .select("source", "rank", "doc_id", "quality")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got2 == got)
+  }
 }
