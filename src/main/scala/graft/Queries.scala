@@ -952,6 +952,31 @@ object Queries {
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        | / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** The IVF-bucketed k-NN edge relation as DuckDB CTEs (no leading WITH):
+    * `knn` = (query_id, neighbor_id, rank, cos), rank ≤ k — shared by the
+    * knn_graph oracle and everything built on the graph (label spread,
+    * confusion) so the edge definition cannot drift between them.
+    */
+  private def knnEdgesCteSql(k: Int): String =
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |        FROM embeddings WHERE $sqrtCentsWhereSql),
+       |scored AS (SELECT e.vec_id, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.cv")} AS cos
+       |  FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT vec_id, centroid_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+       |  FROM assign a JOIN embeddings e USING (vec_id)),
+       |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "n.embedding")} AS cos
+       |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+       |    AND n.vec_id <> q.vec_id),
+       |knn AS (SELECT query_id, neighbor_id, rank, cos
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+       |  WHERE rank <= $k)""".stripMargin
+
   /** The documents table's distinct 3-gram shingle relation (doc_id, s) as
     * DuckDB CTEs — the one definition the jaccard and decontamination
     * oracles share (a drifted copy would silently diverge from the Spark
@@ -1917,25 +1942,10 @@ object Queries {
           "vec_id", "embedding", "vec_id", "embedding")
         Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
       },
-      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-        |        FROM embeddings WHERE $sqrtCentsWhereSql),
-        |scored AS (SELECT e.vec_id, c.centroid_id,
-        |    ${cosSql("e.embedding", "c.cv")} AS cos
-        |  FROM embeddings e CROSS JOIN c),
-        |assign AS (SELECT vec_id, centroid_id
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
-        |  FROM assign a JOIN embeddings e USING (vec_id)),
-        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-        |    ${cosSql("q.embedding", "n.embedding")} AS cos
-        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
-        |    AND n.vec_id <> q.vec_id)
+      Some(s"""WITH ${knnEdgesCteSql(3)}
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         |  ROUND(cos, 4) AS cosine
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
-        |WHERE rank <= 3""".stripMargin)),
+        |FROM knn""".stripMargin)),
 
     Q("embedding_dim_stats",
       // Whitening / feature-normalization statistics: per-dimension
@@ -3465,7 +3475,399 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics
+  // ------------------------------------------------- round-5 batch
+
+  /** Replica A of the LWW-merge fixture: per-cell writetimes deterministic
+    * in the key; some keys absent, some writetimes null (cell never
+    * written). Replica B disagrees on values, writetimes, and key set.
+    */
+  private[graft] def lwwReplicaA(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 19 =!= 3)
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 97).as("wt_price"),
+        col("o_orderpriority").as("prio"),
+        (col("o_orderkey") % 89).as("wt_prio"))
+
+  private[graft] val lwwReplicaASql: String =
+    """SELECT o_orderkey, o_totalprice AS price,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderkey % 97 END AS wt_price,
+      |  o_orderpriority AS prio, o_orderkey % 89 AS wt_prio
+      |FROM orders WHERE o_orderkey % 19 <> 3""".stripMargin
+
+  private[graft] def lwwReplicaB(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 23 =!= 5)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(1.0)).as("price"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("long"))
+          .otherwise((col("o_orderkey") * 3) % 97).as("wt_price"),
+        concat(col("o_orderpriority"), lit("!")).as("prio"),
+        ((col("o_orderkey") * 7) % 89).as("wt_prio"))
+
+  private[graft] val lwwReplicaBSql: String =
+    """SELECT o_orderkey, o_totalprice + 1.0 AS price,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE (o_orderkey * 3) % 97 END AS wt_price,
+      |  o_orderpriority || '!' AS prio, (o_orderkey * 7) % 89 AS wt_prio
+      |FROM orders WHERE o_orderkey % 23 <> 5""".stripMargin
+
+  /** The LWW pick predicate as SQL, mirroring Cdc.cellLwwMerge. */
+  private def lwwPickASql(v: String, w: String): String =
+    s"""(COALESCE(a.$w, -9223372036854775808) > COALESCE(b.$w, -9223372036854775808)
+       | OR (COALESCE(a.$w, -9223372036854775808) = COALESCE(b.$w, -9223372036854775808)
+       |     AND (b.$v IS NULL OR (a.$v IS NOT NULL AND a.$v >= b.$v))))""".stripMargin
+
+  private val roundFive: Seq[Q] = Seq(
+    Q("dedup_clusters_largestar",
+      // The SAME duplicate-cluster output as dedup_clusters, computed by
+      // alternating large-star/small-star rounds (Kiveris et al. SoCC'14)
+      // instead of min-label propagation: convergence is O(log² n) on ANY
+      // graph shape — including long chains where propagation pays
+      // diameter rounds — and a mega-hub sheds its whole neighbourhood in
+      // one round. Shared oracle with dedup_clusters (recursive-CTE
+      // transitive closure): two independent algorithms, one answer.
+      (s, d) => Clustering.connectedComponentsStars(
+          TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+            n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+          "doc_a", "doc_b")
+        .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean")),
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin)),
+
+    Q("cell_lww_merge",
+      // Per-CELL last-writer-wins reconciliation of two replicas — the
+      // Cassandra merge semantic itself (each column independently takes
+      // the greater writetime, ties break to the greater value, null
+      // writetime loses): one full-outer pk join + a projection. With
+      // replicas bucketed by pk the join is shuffle-free at 100 TB.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.cellLwwMerge(lwwReplicaA(o), lwwReplicaB(o), Seq("o_orderkey"),
+          Seq("price" -> "wt_price", "prio" -> "wt_prio"))
+      },
+      Some(s"""WITH a AS ($lwwReplicaASql), b AS ($lwwReplicaBSql)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN ${lwwPickASql("price", "wt_price")} THEN a.price ELSE b.price END AS price,
+        |  CASE WHEN ${lwwPickASql("price", "wt_price")} THEN a.wt_price ELSE b.wt_price END AS wt_price,
+        |  CASE WHEN ${lwwPickASql("prio", "wt_prio")} THEN a.prio ELSE b.prio END AS prio,
+        |  CASE WHEN ${lwwPickASql("prio", "wt_prio")} THEN a.wt_prio ELSE b.wt_prio END AS wt_prio
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin)),
+
+    Q("tombstone_gc_report",
+      // gc_grace_seconds bookkeeping: which delete tombstones may purge at
+      // compaction (aged past grace vs a fixed now), per day — dropping a
+      // tombstone early resurrects deleted rows on a lagging replica.
+      // Tombstone feed synthesized from orders keys; one grouped
+      // aggregate over the delete-only (tiny) relation.
+      (s, d) => Cdc.tombstoneGcReport(
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (lit(1704067200L) + (col("o_orderkey") * 977) % 2592000L)
+              .as("del_ts")),
+        "del_ts", nowEpoch = 1706745600L, gcGraceSeconds = 864000L),
+      Some("""SELECT day, COUNT(*) AS n_tombstones,
+        |  COUNT(CASE WHEN del_ts <= 1706745600 - 864000 THEN 1 END) AS n_purgeable,
+        |  MIN(del_ts) AS oldest_ts, MAX(del_ts) AS newest_ts
+        |FROM (SELECT 1704067200 + (o_orderkey * 977) % 2592000 AS del_ts,
+        |    (1704067200 + (o_orderkey * 977) % 2592000)
+        |      - (1704067200 + (o_orderkey * 977) % 2592000) % 86400 AS day
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |GROUP BY day""".stripMargin)),
+
+    Q("zipf_fit",
+      // One-row corpus diagnostic: OLS slope/intercept of ln(freq) vs
+      // ln(rank) over the top-500 tokens (natural text ≈ −1; spam floods
+      // bend it). Ranking is the scale-safe topKRanked; regression terms
+      // sum in DECIMAL over the 500-row result.
+      (s, d) => TextAnalysis.zipfFit(Tables.documents(s, d), "text", 500),
+      Some("""WITH c AS (SELECT tok, COUNT(*) AS cf
+        |    FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY tok),
+        |r AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(cf AS DOUBLE)) AS y
+        |  FROM c ORDER BY cf DESC, tok LIMIT 500),
+        |s AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,12))) AS sx, SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy FROM r)
+        |SELECT n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM s""".stripMargin)),
+
+    Q("token_entropy",
+      // Per-source unigram Shannon entropy (nats): template-flooded
+      // sources read low, diverse ones high — the corpus-diversity panel
+      // next to the dedup reports. H = ln(N) − Σc·ln(c)/N with the
+      // Σc·ln(c) terms summed in DECIMAL (order-independent).
+      (s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d), "source", "text"),
+      Some("""WITH c AS (SELECT source, tok, COUNT(*) AS c FROM
+        |    (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |    CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / SUM(c), 6) AS entropy_nats
+        |FROM c GROUP BY source""".stripMargin)),
+
+    Q("ttr_profile",
+      // Per-source type/token-ratio panel: corpus TTR (ppm, integer-exact)
+      // vs mean per-doc TTR — they diverge exactly when docs are
+      // individually diverse but repeat EACH OTHER (the near-dup
+      // signature).
+      (s, d) => TextAnalysis.ttrProfile(Tables.documents(s, d),
+        "doc_id", "source", "text"),
+      Some("""WITH t AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |pd AS (SELECT source, doc_id,
+        |    ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 9) AS doc_ttr
+        |  FROM t GROUP BY 1, 2),
+        |ps AS (SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+        |  FROM t GROUP BY 1),
+        |ag AS (SELECT source, COUNT(*) AS n_docs,
+        |    ROUND(CAST(SUM(CAST(doc_ttr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_doc_ttr
+        |  FROM pd GROUP BY 1)
+        |SELECT ag.source, ag.n_docs, ps.n_types * 1000000 // ps.n_tokens AS corpus_ttr_ppm,
+        |  ag.mean_doc_ttr
+        |FROM ag JOIN ps ON ag.source = ps.source""".stripMargin)),
+
+    Q("mad_outliers",
+      // Robust median/MAD outlier screen per event type — heavy-tail-safe
+      // where a z-score gate inflates (|v−med| > 3·1.4826·MAD). Exact
+      // percentiles (Spark percentile ≡ DuckDB quantile_cont); the
+      // medians relation broadcasts back, no window over the data side.
+      (s, d) => Stats.madOutliers(Tables.events(s, d), "value", "event_type",
+        k = 3.0),
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |    FROM events GROUP BY 1),
+        |md AS (SELECT e.event_type,
+        |    quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad,
+        |    ANY_VALUE(m.med) AS med
+        |  FROM events e JOIN m ON e.event_type = m.event_type GROUP BY e.event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(ANY_VALUE(md.med), 6) AS median, ROUND(ANY_VALUE(md.mad), 6) AS mad,
+        |  COUNT(CASE WHEN abs(CAST(e.value AS DOUBLE) - md.med) > 3 * 1.4826 * md.mad
+        |    THEN 1 END) AS n_outliers
+        |FROM events e JOIN md ON e.event_type = md.event_type
+        |GROUP BY e.event_type""".stripMargin)),
+
+    Q("winsorize_events",
+      // Winsorization: clamp each event's value into its type's exact
+      // [p01, p99] band — the trim that stops a handful of broken rows
+      // from dominating downstream means. Bounds broadcast; one clamped
+      // projection.
+      (s, d) => Stats.winsorize(Tables.events(s, d)
+          .select("event_id", "event_type", "value"),
+        "value", "event_type", pLo = 0.01, pHi = 0.99)
+        .select("event_id", "event_type", "value", "value_wins"),
+      Some("""WITH b AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND(GREATEST(b.lo, LEAST(b.hi, CAST(e.value AS DOUBLE))), 6) AS value_wins
+        |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin)),
+
+    Q("key_skew_report",
+      // The number you read BEFORE picking a shuffle/bucketing key at
+      // 100 TB: group-size max, exact p50/p99, and the share held by the
+      // top 1% of keys (≈1e6 ppm ⇒ salt the join). All reductions run on
+      // the KEYS-sized relation; the top slice is a distributed
+      // TakeOrdered, never a window over data.
+      (s, d) => Stats.keySkewReport(Tables.orders(s, d), "o_custkey"),
+      Some("""WITH s AS (SELECT o_custkey AS k, COUNT(*) AS sz FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(sz) AS BIGINT) AS total,
+        |    CAST(MAX(sz) AS BIGINT) AS max_sz,
+        |    quantile_cont(sz, 0.5) AS p50, quantile_cont(sz, 0.99) AS p99 FROM s),
+        |r AS (SELECT sz, ROW_NUMBER() OVER (ORDER BY sz DESC, k) AS rn FROM s),
+        |tp AS (SELECT CAST(SUM(sz) AS BIGINT) AS top_sz FROM r
+        |  WHERE rn <= (SELECT GREATEST(1, CAST(CEIL(n_keys / 100.0) AS BIGINT)) FROM t))
+        |SELECT t.n_keys, t.total AS n_rows, t.max_sz AS max_size,
+        |  ROUND(t.p50, 4) AS p50_size, ROUND(t.p99, 4) AS p99_size,
+        |  tp.top_sz * 1000000 // t.total AS top1pct_share_ppm
+        |FROM t, tp""".stripMargin)),
+
+    Q("time_decay_agg",
+      // Recency-weighted per-user engagement: value·0.5^(age/7d) against a
+      // FIXED anchor (2024-02-01), so the result is a pure function of the
+      // data. Terms are row-wise doubles rounded once, summed in DECIMAL —
+      // engine-portable and partition-order independent. One grouped
+      // aggregate, no window.
+      (s, d) => Analytics.timeDecayAgg(Tables.events(s, d), "user_id", "ts",
+        "value", anchorEpoch = 1706745600L, halfLifeSeconds = 604800L),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        |  ROUND(CAST(SUM(CAST(ROUND(value * POW(0.5,
+        |      CAST(1706745600 - epoch_ns(ts) // 1000000000 AS DOUBLE) / 604800.0), 9)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed_value
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("text_normalize",
+      // Deterministic canonicalization in front of exact dedup (lowercase,
+      // strip non-[a-z0-9 ], collapse spaces, trim) — case/punct/spacing
+      // variants of one content collide. Pure codegen'd projection.
+      (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d), "text")
+        .select("doc_id", "norm_text", "changed"),
+      Some("""SELECT doc_id, norm_text, norm_text <> text AS changed
+        |FROM (SELECT doc_id, text,
+        |    TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)""".stripMargin)),
+
+    Q("dedup_exact_normalized",
+      // Exact dedup AFTER normalization, per source: distinct normalized
+      // texts vs raw docs — what normalization buys the dedup pass. One
+      // projection + one grouped aggregate.
+      (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d), "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm_text")).as("n_distinct_norm"))
+        .withColumn("n_dupes", col("n_docs") - col("n_distinct_norm")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT TRIM(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_distinct_norm,
+        |  COUNT(*) - COUNT(DISTINCT TRIM(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_dupes
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    Q("knn_label_spread",
+      // One round of k-NN label spreading: each vector takes its
+      // neighbourhood's majority label (vote desc, smaller label ties) —
+      // the semi-supervised-labelling / mislabel-detection primitive.
+      // Votes group (query, label); the majority window partitions BY
+      // QUERY over ≤|labels| rows — no corpus-sized single-task sort.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.knnLabelSpread(emb, assign, "vec_id", "embedding", "label", k = 3)
+      },
+      Some(s"""WITH ${knnEdgesCteSql(3)},
+        |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS nlabel,
+        |    COUNT(*) AS votes
+        |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nlabel, votes
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, nlabel) AS rn FROM votes) WHERE rn = 1)
+        |SELECT p.query_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+        |  p.nlabel AS pred_label, p.votes,
+        |  CAST(e.label AS BIGINT) = p.nlabel AS agree
+        |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id""".stripMargin)),
+
+    Q("knn_confusion",
+      // Confusion matrix of the neighbourhood vote vs stored labels — the
+      // one-screen label-quality report (off-diagonal cells localize which
+      // label pairs blur). One grouped count over the spread relation.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.knnConfusion(Ann.knnLabelSpread(emb, assign,
+          "vec_id", "embedding", "label", k = 3))
+      },
+      Some(s"""WITH ${knnEdgesCteSql(3)},
+        |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS nlabel,
+        |    COUNT(*) AS votes
+        |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nlabel
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, nlabel) AS rn FROM votes) WHERE rn = 1)
+        |SELECT CAST(e.label AS BIGINT) AS label, p.nlabel AS pred_label,
+        |  COUNT(*) AS n
+        |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q("bm25_topk",
+      // BM25 relevance ranking against a fixed query — the lexical
+      // retrieval staple in front of (or fused with) the ANN stage.
+      // Term stats are grouped counts; the |Q|-row query relation and the
+      // 1-row avgdl broadcast; per-term contributions rounded once and
+      // DECIMAL-summed; top slice is a distributed TakeOrdered.
+      (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("join", "vector", "scan"), topK = 25),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+        |q(tok) AS (VALUES ('join'), ('vector'), ('scan')),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |term AS (SELECT tf.doc_id,
+        |    ROUND(ln((tot.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (tot.sum_dl / tot.n_docs))),
+        |      9) AS contrib
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, COUNT(*) AS n_matched_terms,
+        |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+        |FROM term GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin)),
+
+    Q("score_calibration_bins",
+      // Reliability diagram for the learned quality score: equi-depth
+      // score bins (scale-safe rankBuckets — never an unpartitioned
+      // ntile) × positive rate against an external binary target
+      // (lang='en') — read BEFORE trusting a classifier score as a gate.
+      // Sort key packs (score, doc_id) into one unique long (the
+      // quality_deciles idiom).
+      (s, d) => {
+        val scored = TextAnalysis.classifierScore(Tables.documents(s, d),
+            "doc_id", "text",
+            TextAnalysis.syntheticWeights(s, dims = 1024), dims = 1024)
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("target")), "doc_id")
+        Analytics.calibrationBins(scored,
+          col("score") * (1L << 33) + col("doc_id"), "score", "target", k = 10)
+      },
+      Some("""WITH w AS (SELECT i AS feature, (i * 2654435761) % 17 - 8 AS weight
+        |  FROM range(0, 1024) t(i)),
+        |toks AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS feature
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |scored AS (SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score
+        |  FROM toks JOIN w USING (feature) GROUP BY doc_id),
+        |st AS (SELECT s.doc_id, s.score,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS target
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n FROM st)
+        |SELECT (rn - 1) * 10 // n + 1 AS bin, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_score,
+        |  CAST(SUM(target) AS BIGINT) AS n_pos,
+        |  CAST(SUM(target) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        |FROM r GROUP BY 1""".stripMargin)),
+
+    Q("fuzzy_blocked_pairs",
+      // Blocked fuzzy-match join: doc pairs whose 64-char prefixes are
+      // within Levenshtein 16, candidates blocked on the 12-char prefix
+      // (equi-join; only same-block pairs pay the O(64²) DP) with a
+      // 500-doc block cap — the boilerplate-prefix guard, same discipline
+      // as the LSH bucket caps. Catches ordered near-identity (byline
+      // edits, injected dates) that token-set Jaccard misses.
+      (s, d) => TextDedup.fuzzyPrefixPairs(Tables.documents(s, d),
+        "doc_id", "text", blockLen = 12, prefixLen = 64, maxDist = 16,
+        maxBlock = 500),
+      Some("""WITH k AS (SELECT doc_id, substring(text, 1, 12) AS blk,
+        |    substring(text, 1, 64) AS pfx FROM documents),
+        |ok AS (SELECT blk FROM k GROUP BY 1 HAVING COUNT(*) <= 500),
+        |b AS (SELECT k.* FROM k JOIN ok USING (blk))
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b2.pfx) AS BIGINT) AS edit_dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.pfx, b2.pfx) <= 16""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -174,4 +174,45 @@ object Analytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Classifier calibration / reliability bins: rank rows by a score
+    * column into `k` equi-depth bins (the scale-safe [[rankBuckets]]
+    * scheme — never an unpartitioned ntile) and report, per bin, the doc
+    * count, exact mean score and positive rate against a binary target —
+    * the reliability diagram a filtering pipeline reads before trusting a
+    * learned quality score as a gate. `sortKey` must be a TOTAL order
+    * (pack ties with the row id, the quality_deciles idiom); `targetCol`
+    * is 0/1.
+    */
+  def calibrationBins(df: DataFrame, sortKey: Column, scoreCol: String,
+                      targetCol: String, k: Int): DataFrame =
+    rankBuckets(df, sortKey, k, bucketName = "bin")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col(scoreCol).cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        sum(col(targetCol)).cast("long").as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
+
+  /** Exponential time-decay weighted aggregate per key: each event
+    * contributes value·0.5^(age/halfLife) against a FIXED anchor instant —
+    * recency-weighted user activity / engagement scoring where the anchor
+    * makes the result a pure function of the data (re-running tomorrow
+    * does not silently re-weight). Age runs in epoch seconds (timezone-
+    * free); each term is a row-wise double rounded once at 9 decimals,
+    * then summed in DECIMAL — partition-order independent and
+    * engine-portable. One scan, one grouped aggregate; no window.
+    */
+  def timeDecayAgg(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, anchorEpoch: Long,
+                   halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val age = lit(anchorEpoch) - unix_timestamp(col(tsCol))
+    val term = round(col(valueCol).cast("double") *
+      pow(lit(0.5), age.cast("double") / lit(halfLifeSeconds.toDouble)), 9)
+    events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(term.cast("decimal(38,12)")).cast("double"), 6)
+          .as("decayed_value"))
+  }
 }

@@ -120,18 +120,22 @@ object Ann {
   def dimCovariance(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
     require(dims >= 2, "dims must be >= 2")
     val spark = emb.sparkSession
+    // FloatVecPairProducts lays pidx out from each vector's OWN length —
+    // a stray short/long vector would silently contribute to the wrong
+    // (i,j) cells. Enforce the declared width up front.
+    val vecs = emb.filter(size(col(vecCol)) === dims)
     val pairs = spark.range(dims).selectExpr("cast(id as int) as i")
       .crossJoin(spark.range(dims).selectExpr("cast(id as int) as j"))
       .filter(col("j") > col("i"))
       .withColumn("pidx",
         expr(s"i * (${2 * dims} - i - 1) div 2 + j - i - 1").cast("int"))
-    val pairSums = emb.select(
+    val pairSums = vecs.select(
         org.apache.spark.sql.graft.GraftExpressions
           .floatVecPairProducts(col(vecCol)).as("pp"))
       .select(posexplode(col("pp")).as(Seq("pidx", "p")))
       .groupBy("pidx")
       .agg(count(lit(1)).as("n"), sum(col("p").cast("decimal(38,12)")).as("sp"))
-    val dimSums = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val dimSums = vecs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy("dim")
       .agg(sum(col("x").cast("double").cast("decimal(38,12)")).as("sx"))
     pairSums.join(broadcast(pairs), "pidx")
@@ -616,6 +620,45 @@ object Ann {
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"))
   }
+
+  /** One round of k-NN label spreading over the [[knnGraph]]: each vector
+    * takes the MAJORITY label of its k nearest neighbours (vote-count
+    * desc, smaller label on ties) — the semi-supervised labelling /
+    * label-noise-detection primitive (a vector whose own label disagrees
+    * with its neighbourhood is a mislabel candidate or a boundary point).
+    * The vote aggregate groups (query, label): ≤ |labels| rows per query
+    * reach the majority window, which partitions BY QUERY — never a
+    * corpus-sized single-task sort.
+    */
+  def knnLabelSpread(emb: DataFrame, assignments: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     k: Int): DataFrame = {
+    val g = knnGraph(emb, assignments, idCol, vecCol, k)
+    val votes = g.join(emb.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlabel")), "neighbor_id")
+      .groupBy("query_id", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("rn") === 1)
+    pred.join(emb.select(col(idCol).as("query_id"),
+        col(labelCol).as("label")), "query_id")
+      .select(col("query_id").as("vec_id"),
+        col("label").cast("long").as("label"),
+        col("nlabel").cast("long").as("pred_label"),
+        col("votes"),
+        (col("label") === col("nlabel")).as("agree"))
+  }
+
+  /** Confusion matrix of [[knnLabelSpread]]'s neighbourhood vote against
+    * the stored labels — the one-screen label-quality report (diagonal =
+    * neighbourhood-consistent mass; off-diagonal cells localize which
+    * label pairs blur). One grouped count over the spread output.
+    */
+  def knnConfusion(spread: DataFrame): DataFrame =
+    spread.groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
 
   /** Hard-negative mining for contrastive training: per query vector, the
     * top-k most-similar vectors whose LABEL differs — the highest-loss

@@ -149,4 +149,60 @@ object Cdc {
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
         coalesce(col("sample_keys"), lit("")).as("sample_keys"))
   }
+
+  /** Per-CELL last-writer-wins merge of two replicas of the same table —
+    * the Cassandra read-repair / replica-reconciliation semantic the
+    * reference's replication target ultimately enforces (each column
+    * carries its own writetime; the cell with the GREATER writetime wins
+    * independently per column, ties break toward the greater value,
+    * a never-written cell — null writetime — loses to any written one).
+    *
+    * `cells` maps each value column to its writetime column; both sides
+    * must carry pk + every value/writetime column. Rows present on one
+    * side only pass through whole. One full-outer shuffle join on the pk
+    * and a projection — no window, no explode; with both replicas
+    * bucket-partitioned by pk the join is shuffle-free at 100 TB.
+    */
+  def cellLwwMerge(a: DataFrame, b: DataFrame, pkCols: Seq[String],
+                   cells: Seq[(String, String)]): DataFrame = {
+    val negInf = Long.MinValue
+    val aa = a.as("a")
+    val bb = b.as("b")
+    val joined = aa.join(bb, pkCols, "full_outer")
+    val merged = cells.flatMap { case (v, w) =>
+      val wa = coalesce(col(s"a.$w"), lit(negInf))
+      val wb = coalesce(col(s"b.$w"), lit(negInf))
+      val va = col(s"a.$v")
+      val vb = col(s"b.$v")
+      // Tie on writetime → greater value wins (null value loses); the
+      // whole-row-absent case degenerates correctly because every cell
+      // of the absent side reads null writetime = -inf.
+      val pickA = wa > wb ||
+        (wa === wb && (vb.isNull || (va.isNotNull && va >= vb)))
+      Seq(
+        when(pickA, va).otherwise(vb).as(v),
+        when(pickA, col(s"a.$w")).otherwise(col(s"b.$w")).as(w))
+    }
+    joined.select(pkCols.map(col) ++ merged: _*)
+  }
+
+  /** Tombstone GC accounting: which delete tombstones have aged past
+    * `gcGraceSeconds` relative to a fixed `nowEpoch` and can purge, per
+    * day bucket — the gc_grace_seconds bookkeeping a Cassandra-compatible
+    * target needs before compaction may drop a tombstone (dropping early
+    * resurrects deleted rows on a lagging replica). One grouped aggregate
+    * over the tombstone feed; the feed is delete-only, tiny next to the
+    * table itself.
+    */
+  def tombstoneGcReport(tombstones: DataFrame, tsCol: String,
+                        nowEpoch: Long, gcGraceSeconds: Long): DataFrame =
+    tombstones
+      .withColumn("purgeable", col(tsCol) <= lit(nowEpoch - gcGraceSeconds))
+      .withColumn("day", (col(tsCol) - (col(tsCol) % 86400L)).cast("long"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_tombstones"),
+        count(when(col("purgeable"), 1)).as("n_purgeable"),
+        min(col(tsCol)).cast("long").as("oldest_ts"),
+        max(col(tsCol)).cast("long").as("newest_ts"))
 }

@@ -92,6 +92,130 @@ object Clustering {
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the other canonical distributed-CC formulation, kept
+    * alongside [[connectedComponents]] because its convergence guarantee
+    * is structural, not diameter-bound: each round strictly shrinks the
+    * potential function and the pair terminates in O(log² n) rounds on
+    * ANY graph, including the long-chain adversarial shapes where plain
+    * min-label propagation needs diameter rounds.
+    *
+    * Both operations are one groupBy over the edge relation:
+    *  - large-star: for every node u, connect every STRICTLY GREATER
+    *    neighbour v > u to m = min(N(u) ∪ u) — high-degree nodes shed
+    *    their big neighbourhoods onto the minimum in a single round,
+    *    which is exactly the skew case (a mega-cluster's hub) where
+    *    propagation pays per-hop.
+    *  - small-star: for every node u, connect all neighbours ≤ u
+    *    (and u itself) to the minimum — flattens the partial trees.
+    *
+    * The edge relation only ever SHRINKS to the forest edges
+    * (node → component min), so per-round cost is bounded by the initial
+    * near-dup edge list; like the propagation variant, every round is
+    * declarative (groupBy + min + explode) with an eager localCheckpoint
+    * truncating lineage. Fixpoint = both stars produce no new edge
+    * (checked with one tiny except-count per round). Returns the same
+    * (doc_id, cluster_id = min reachable node) relation as
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 32): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    // Checkpoint, then rebase the DataFrame on the cached RDD with a
+    // FRESH logical relation: a bare localCheckpoint keeps the original
+    // plan's inferred constraints, which reference attributes the
+    // checkpoint no longer outputs — re-wrapping the next round's
+    // union/join over that relation trips Catalyst's constraint rewrite
+    // ("key not found: src#N"). createDataFrame(rdd, schema) starts the
+    // lineage clean; the row conversion is over the tiny edge relation.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(true)
+      (spark.createDataFrame(ck.rdd, ck.schema),
+        sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def unpersistIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Large-star: group the SYMMETRIC neighbourhood by u, emit
+    // (v, min(N(u) ∪ u)) for v > u. Small-star: orient edges high→low
+    // (u ≥ v), group by the high end, emit (v, m) for every low
+    // neighbour plus (u, m). Both emit distinct undirected (lo, hi)
+    // canonical edges; self-loops drop.
+    // Neither star materializes a neighbourhood array (collect_set would
+    // hand a mega-hub's whole neighbourhood to one row): the per-node min
+    // is a map-side-combined aggregate and the emit is a join back onto
+    // the edge relation — everything stays edge-shaped, so a 10⁷-degree
+    // hub costs 10⁷ ROWS spread across partitions, never one giant cell.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbr.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      nbr.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(least(col("dst"), col("m")).as("src"),
+          greatest(col("dst"), col("m")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val hiLo = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = hiLo.groupBy("u").agg(min(col("v")).as("m"))
+      val viaNbr = hiLo.join(mins, "u")
+        .select(least(col("v"), col("m")).as("src"),
+          greatest(col("v"), col("m")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val viaSelf = mins
+        .select(col("m").as("src"), col("u").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      viaNbr.unionByName(viaSelf).distinct()
+    }
+    var (edges, edgeIds) = checkpointTracked(
+      pairs.select(least(col(aCol), col(bCol)).as("src"),
+          greatest(col(aCol), col(bCol)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    // Nodes with no surviving edge after a star round are their own
+    // component OR have already been attached to their min; track the
+    // full node set once so the final labelling covers singleton-ified
+    // nodes (every original node appears in the output, matching
+    // connectedComponents' contract).
+    val (nodes, nodeIds) = checkpointTracked(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct())
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(edges)))
+      // Fixpoint = identical edge SETS (both sides are distinct() by
+      // construction): two left-anti emptiness probes over the tiny
+      // checkpointed relations. (exceptAll would also work semantically,
+      // but its Union-based rewrite trips Catalyst constraint
+      // propagation when the two sides share a checkpointed subplan.)
+      val changed = next.join(edges, Seq("src", "dst"), "left_anti")
+        .limit(1).count() +
+        edges.join(next, Seq("src", "dst"), "left_anti").limit(1).count()
+      unpersistIds(edgeIds)
+      edges = next
+      edgeIds = nextIds
+      converged = changed == 0
+      iter += 1
+    }
+    // At fixpoint the edge relation IS the star forest: every non-root
+    // appears exactly once as (component min, node). Nodes absent from
+    // the dst side are component roots labelling themselves. Checkpoint
+    // the labels BEFORE releasing the edge/node blocks they derive from
+    // (the caller consumes labels after this frame returns).
+    val (labels, _) = checkpointTracked(nodes
+      .join(edges.select(col("dst").as("node"), col("src").as("comp")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("comp"), col("node")).as("cluster_id")))
+    unpersistIds(edgeIds)
+    unpersistIds(nodeIds)
+    labels
+  }
+
   /** Duplicate clusters from near-dup pairs: every clustered doc with its
     * cluster id (= min doc id in the cluster) and a keep flag on the
     * canonical survivor.

@@ -132,4 +132,80 @@ object Stats {
       .unionByName(count1(deletes, "delete"))
       .groupBy("tile", "op").agg(count(lit(1)).as("n"))
   }
+
+  /** Robust (median/MAD) outlier report per group — the heavy-tail-safe
+    * sibling of [[zscoreOutliers]]: a handful of extreme values inflate a
+    * mean/sigma gate into uselessness, while the median and the median
+    * absolute deviation ignore them (the standard robust screen for
+    * metric columns before training-data filtering). Outlier = |v−med| >
+    * k·1.4826·MAD (1.4826 scales MAD to σ under normality). Two grouped
+    * exact-percentile aggregates (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, probed bit-exact) with the groups-sized median
+    * relation broadcast back — no window over the data side.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)")
+        .as("mad"), first(col("med")).as("med2"))
+      .select(col(groupCol), col("med2").as("med"), col("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("median"),
+        round(first(col("mad")), 6).as("mad"),
+        count(when(abs(v - col("med")) > lit(k * 1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /** Winsorization: clamp a numeric column into its group's [pLo, pHi]
+    * exact-percentile band — the trim step that stops a handful of broken
+    * rows from dominating any downstream mean/sum (loss statistics,
+    * quality scores, reward signals). The bounds relation is groups-sized
+    * → broadcast into one clamped projection of the data side.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("value_wins",
+        round(greatest(col("lo"),
+          least(col("hi"), col(valueCol).cast("double"))), 6))
+      .drop("lo", "hi")
+  }
+
+  /** Partition-key skew report: the distribution of group sizes under a
+    * key — max, exact p50/p99, and the corpus share held by the top 1% of
+    * keys — the number you read BEFORE choosing that key as a shuffle /
+    * bucketing key at 100 TB (a top-1% share near 100% says "salt this
+    * join"; see [[Skew.saltedJoin]]). Sizes are a grouped count; the
+    * percentile/top-share reductions run over the KEYS-sized relation
+    * (never the data side), with the top slice a distributed
+    * TakeOrdered (`orderBy.limit`), not a window.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val sizes = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("sz"))
+    val nKeys = sizes.count()
+    val topN = math.max(1L, math.ceil(nKeys / 100.0).toLong).toInt
+    val topShare = sizes.orderBy(col("sz").desc, col("k")).limit(topN)
+      .agg(sum(col("sz")).as("top_sz"))
+    val total = sizes.agg(sum(col("sz")).as("total"),
+      max(col("sz")).as("max_sz"),
+      expr("percentile(sz, 0.5)").as("p50"),
+      expr("percentile(sz, 0.99)").as("p99"))
+    total.crossJoin(topShare)
+      .select(lit(nKeys).as("n_keys"), col("total").cast("long").as("n_rows"),
+        col("max_sz").cast("long").as("max_size"),
+        round(col("p50"), 4).as("p50_size"),
+        round(col("p99"), 4).as("p99_size"),
+        expr("top_sz * 1000000 div total").as("top1pct_share_ppm"))
+  }
 }

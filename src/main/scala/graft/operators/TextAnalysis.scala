@@ -425,4 +425,144 @@ object TextAnalysis {
         expr("(n_docs * max_tokens - sum_tokens) * 1000000 div (n_docs * max_tokens)")
           .as("pad_waste_ppm"))
   }
+
+  /** Zipf-law fit of the corpus token-frequency distribution: OLS slope /
+    * intercept of ln(count) against ln(rank) over the top-`fitV` tokens —
+    * the one-row diagnostic a corpus owner reads to spot a broken crawl
+    * (natural text slopes ≈ −1; boilerplate floods or synthetic spam bend
+    * the curve). Ranking reuses the scale-safe [[Analytics.topKRanked]]
+    * top-V (the corpus-vocabulary relation is never sorted in one task);
+    * the regression then runs over the V-row result, with each OLS term
+    * cast to DECIMAL before summing so the fit is partition-order
+    * independent.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, fitV: Int): DataFrame = {
+    val counts = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val top = Analytics.topKRanked(counts, "cf", "tok", fitV)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cf").cast("double")).as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,12)")
+    top.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
+  /** Per-source unigram Shannon entropy (in nats): H = ln(N) − Σc·ln(c)/N
+    * over the source's token counts — low entropy flags a template-flooded
+    * or near-constant source, high entropy tracks genuine lexical
+    * diversity; alongside type/token counts it is the standard
+    * corpus-diversity panel. Two grouped aggregates (token counts, then
+    * per-source reduction); the per-token ln(c) terms sum in DECIMAL so
+    * the entropy is exact-reproducible regardless of partitioning.
+    */
+  def tokenEntropy(docs: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val counts = docs.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(38,12)")).as("sclnc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sclnc").cast("double") / col("n_tokens"), 6)
+          .as("entropy_nats"))
+  }
+
+  /** Per-source type-token ratio panel: corpus-level TTR (distinct tokens /
+    * total tokens, in exact ppm) plus the mean per-document TTR — the two
+    * diverge exactly when documents are individually diverse but repeat
+    * EACH OTHER, which is the near-dup signature a quality dashboard wants
+    * next to the dedup reports. Doc-level ratios are row-wise doubles
+    * rounded once, then averaged via a DECIMAL sum (order-independent).
+    */
+  def ttrProfile(docs: DataFrame, idCol: String, sourceCol: String,
+                 textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val perDoc = toks.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("t"))
+      .select(col("source"),
+        round(col("t").cast("double") / col("n"), 9).as("doc_ttr"))
+    val perSource = toks.groupBy("source")
+      .agg(sum(lit(1L)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("doc_ttr").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_doc_ttr"))
+      .join(perSource, "source")
+      .select(col("source"), col("n_docs"),
+        expr("n_types * 1000000 div n_tokens").as("corpus_ttr_ppm"),
+        col("mean_doc_ttr"))
+  }
+
+  /** BM25 retrieval scoring of the corpus against a fixed term set — the
+    * classic relevance ranking (Robertson/Sparck-Jones) a RAG or
+    * search-over-corpus layer runs before any embedding stage:
+    * score(d) = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the
+    * +1-smoothed idf (always positive). Term stats are one grouped count;
+    * the query relation is |Q| rows broadcast into it; avgdl is a 1-row
+    * broadcast. Per-term contributions are row-wise doubles rounded once
+    * and DECIMAL-summed per doc (≤|Q| terms), so the score is exact-
+    * reproducible; the top slice is a distributed TakeOrdered.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl"))
+    val q = queryTerms.toDF("tok")
+    val tf = toks.join(broadcast(q), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val term = tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib", round(col("idf") *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+          (col("sum_dl") / col("n_docs")))), 9))
+    term.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_terms"),
+        round(sum(col("contrib").cast("decimal(38,12)")).cast("double"), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+  }
+
+  /** Deterministic text normalization — lowercase, strip every char
+    * outside [a-z0-9 ], collapse whitespace runs, trim — the
+    * canonicalization in front of exact-dedup so that case / punctuation /
+    * spacing variants of the same content collide (CCNet/RefinedWeb-style
+    * normalize-then-hash). Pure codegen'd projection; returns the original
+    * row plus `norm_text` and a `changed` flag.
+    */
+  def normalizeText(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("changed", col("norm_text") =!= col(textCol))
 }

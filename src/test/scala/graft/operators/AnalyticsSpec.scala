@@ -137,4 +137,23 @@ class AnalyticsSpec extends SparkSpec {
         s"expected offsets 0 and 1 across the DST week, got $out")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("timeDecayAgg halves a contribution per half-life") {
+    val spark0 = spark
+    import spark0.implicits._
+    val anchor = 1000000L
+    val df = Seq(
+      (1L, anchor, 8.0),            // age 0 → weight 1
+      (1L, anchor - 100L, 8.0),     // one half-life → 4
+      (1L, anchor - 200L, 8.0),     // two → 2
+      (2L, anchor - 300L, 16.0)     // three → 2
+    ).map { case (u, ep, v) => (u, new java.sql.Timestamp(ep * 1000L), v) }
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.timeDecayAgg(df, "user_id", "ts", "value",
+        anchorEpoch = anchor, halfLifeSeconds = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((3L, 14.0)))
+    assert(got(2L) == ((1L, 2.0)))
+  }
 }

@@ -100,6 +100,47 @@ class AnnSpec extends SparkSpec {
     assert(m((0L, 1L)) == ((3L, 1.333333)))
     assert(m((0L, 2L)) == ((3L, 0.0)))
     assert(m((1L, 2L)) == ((3L, 0.0)))
+    // a wrong-width vector is excluded, not silently mis-mapped into
+    // the wrong (i,j) cells
+    val withStray = df.unionByName(
+      Seq((3L, Array(9.0f, 9.0f))).toDF("vec_id", "embedding"))
+    val m2 = Ann.dimCovariance(withStray, "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m2 == m)
+  }
+
+  test("knnLabelSpread: majority vote, tie to smaller label, mislabels flagged") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two tight clusters; vec 5 sits in cluster A's region but carries
+    // label 9 (a mislabel). One centroid per cluster (ids 0, 10).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.98f, 0.12f), 1),
+      (5L, Array(0.97f, 0.14f), 9),  // mislabel in cluster A
+      (10L, Array(0.0f, 1.0f), 2),
+      (11L, Array(0.1f, 0.99f), 2),
+      (12L, Array(0.12f, 0.98f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = emb.filter(col("vec_id") % 10 === 0)
+    val assign = Ann.ivfAssign(emb, cents, "vec_id", "embedding",
+      "vec_id", "embedding")
+    val spread = Ann.knnLabelSpread(emb, assign, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // the mislabel's neighbourhood is all label 1 → pred 1, disagree
+    assert(spread(5L) == ((9L, 1L, false)))
+    assert(spread(1L) == ((1L, 1L, true)))
+    assert(spread(11L) == ((2L, 2L, true)))
+    val conf = Ann.knnConfusion(Ann.knnLabelSpread(emb, assign,
+        "vec_id", "embedding", "label", k = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(conf((9L, 1L)) == 1L)
+    assert(conf((1L, 1L)) == 3L)
+    assert(conf((2L, 2L)) == 3L)
   }
 
   test("standardize: wx from the rounded published dimStats") {

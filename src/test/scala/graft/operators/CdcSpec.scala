@@ -84,4 +84,48 @@ class CdcSpec extends SparkSpec {
     assert(repC("missing_in_target") == "1|b")
     assert(repC("common") == "1|a")
   }
+
+  test("cellLwwMerge: per-cell independence, ties, null writetimes, one-side rows") {
+    val a = Seq(
+      // key, v1, w1, v2, w2
+      (1L, Some(10.0), Some(5L), Some("a"), Some(9L)),   // v1 loses, v2 wins
+      (2L, Some(20.0), None, Some("b"), Some(1L)),       // null wt loses
+      (3L, Some(30.0), Some(7L), Some("c"), Some(7L)),   // tie wt → greater value
+      (4L, Some(40.0), Some(2L), Some("d"), Some(2L))    // only in a
+    ).toDF("k", "v1", "w1", "v2", "w2")
+    val b = Seq(
+      (1L, Some(11.0), Some(6L), Some("z"), Some(3L)),
+      (2L, Some(21.0), Some(1L), Some("y"), Some(8L)),
+      (3L, Some(31.0), Some(7L), Some("a"), Some(7L)),
+      (5L, Some(50.0), Some(4L), Some("x"), Some(4L))    // only in b
+    ).toDF("k", "v1", "w1", "v2", "w2")
+    val got = Cdc.cellLwwMerge(a, b, Seq("k"), Seq("v1" -> "w1", "v2" -> "w2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    // key 1: v1 from b (6>5), v2 from a (9>3) — cells split across sides
+    assert(got(1L) == ((11.0, 6L, "a", 9L)))
+    // key 2: null writetime loses to 1 (v1); v2 takes b's newer cell
+    assert(got(2L) == ((21.0, 1L, "y", 8L)))
+    // key 3: wt tie → greater value wins per cell (31.0 > 30.0; "c" > "a")
+    assert(got(3L) == ((31.0, 7L, "c", 7L)))
+    // one-side rows pass through whole
+    assert(got(4L) == ((40.0, 2L, "d", 2L)))
+    assert(got(5L) == ((50.0, 4L, "x", 4L)))
+    assert(got.size == 5)
+  }
+
+  test("tombstoneGcReport: purge boundary is inclusive at now - grace") {
+    val ts = Seq(
+      (1L, 1000L),   // day 0, exactly at boundary → purgeable
+      (2L, 1001L),   // day 0, one past → retained
+      (3L, 999L),    // day 0, older → purgeable
+      (4L, 87000L)   // day 1, young → retained
+    ).toDF("k", "dts")
+    val got = Cdc.tombstoneGcReport(ts, "dts", nowEpoch = 2000L,
+        gcGraceSeconds = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((3L, 2L, 999L, 1001L)))
+    assert(got(86400L) == ((1L, 0L, 87000L, 87000L)))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected components: the large-star/small-star variant must agree
+  * with min-label propagation on every graph shape, including the ones
+  * that stress each algorithm (long chains for propagation, hubs for
+  * anything neighbourhood-materializing).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+
+  test("stars matches propagation on clique + chain + singleton-pair mix") {
+    // clique {1,2,3}, chain 10-11-12-13-14, pair {20,21}, self-contained
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L)).toDF("a", "b")
+    val viaProp = labels(Clustering.connectedComponents(pairs, "a", "b"))
+    val viaStars = labels(Clustering.connectedComponentsStars(pairs, "a", "b"))
+    assert(viaStars == viaProp)
+    assert(viaStars(14L) == 10L && viaStars(3L) == 1L && viaStars(21L) == 20L)
+  }
+
+  test("stars handles a hub star graph and reversed/duplicate edges") {
+    // hub 100 with 50 spokes, edges in mixed orientation with dups
+    val spokes = (101L to 150L)
+    val pairs = (spokes.map(s => (s, 100L)) ++ spokes.take(10).map(s => (100L, s)))
+      .toDF("a", "b")
+    val got = labels(Clustering.connectedComponentsStars(pairs, "a", "b"))
+    assert(got.size == 51 && got.values.toSet == Set(100L))
+  }
+
+  test("stars converges on a long chain (diameter >> large-star rounds)") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = labels(Clustering.connectedComponentsStars(chain, "a", "b"))
+    assert(got.size == 64 && got.values.toSet == Set(0L))
+  }
+
+  test("stars output is identical across partitionings") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 3L))
+      .toDF("a", "b")
+    val one = labels(Clustering.connectedComponentsStars(
+      pairs.repartition(1), "a", "b"))
+    val many = labels(Clustering.connectedComponentsStars(
+      pairs.repartition(7), "a", "b"))
+    assert(one == many)
+  }
+}

@@ -46,4 +46,48 @@ class StatsSpec extends SparkSpec {
     val zs = out.head.getAs[Double]("zscore")
     assert(zs > 3.0)
   }
+
+  test("madOutliers: robust to the very outliers it flags") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 1..9 plus two extreme values that would wreck a mean/sigma gate but
+    // leave median/MAD nearly untouched (median 5; |v-5| sorted has
+    // median 3)
+    val d = ((1 to 9).map(i => ("t", i.toDouble)) ++
+      Seq(("t", 1e6), ("t", -1e6))).toDF("grp", "v")
+    val r = Stats.madOutliers(d, "v", "grp", k = 3.0).collect().head
+    assert(r.getAs[Long]("n") === 11L)
+    assert(r.getAs[Double]("median") === 5.0)
+    assert(r.getAs[Double]("mad") === 3.0)
+    // outliers: |v-5| > 3*1.4826*3 = 13.34 → the two extremes only
+    assert(r.getAs[Long]("n_outliers") === 2L)
+  }
+
+  test("winsorize clamps into the exact percentile band") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
+      .toDF("event_id", "grp", "v")
+    val out = Stats.winsorize(d, "v", "grp", pLo = 0.05, pHi = 0.95)
+      .select(col("event_id"), col("value_wins")).as[(Long, Double)]
+      .collect().toMap
+    // exact interpolated p05 of 1..100 = 5.95, p95 = 95.05
+    assert(out(1L) === 5.95 && out(3L) === 5.95)
+    assert(out(100L) === 95.05 && out(97L) === 95.05)
+    assert(out(50L) === 50.0) // interior values untouched
+  }
+
+  test("keySkewReport reads a known skewed distribution") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 100 keys: key 0 has 901 rows, keys 1..99 have 1 each → top 1% (1 key)
+    // holds 901/1000 of the data
+    val d = ((1 to 901).map(_ => 0L) ++ (1L to 99L)).toDF("k")
+    val r = Stats.keySkewReport(d, "k").collect().head
+    assert(r.getAs[Long]("n_keys") === 100L)
+    assert(r.getAs[Long]("n_rows") === 1000L)
+    assert(r.getAs[Long]("max_size") === 901L)
+    assert(r.getAs[Double]("p50_size") === 1.0)
+    assert(r.getAs[Long]("top1pct_share_ppm") === 901000L)
+  }
 }

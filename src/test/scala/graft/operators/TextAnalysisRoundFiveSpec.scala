@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 text-analysis operators: Zipf fit, entropy, TTR, normalize. */
+class TextAnalysisRoundFiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipfFit recovers the exponent of an exact power-law corpus") {
+    // token tN appears round(1000 / N) times → ln(freq) ≈ -1·ln(rank) + ln(1000)
+    val docs = (1 to 20).flatMap { n =>
+      Seq.fill(math.round(1000.0 / n).toInt)(s"t${"%02d".format(n)}")
+    }.grouped(50).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, "text", fitV = 20).collect().head
+    assert(r.getAs[Long]("n") === 20L)
+    val slope = r.getAs[Double]("slope")
+    val intercept = r.getAs[Double]("intercept")
+    // rounding of 1000/N keeps the fit near the ideal -1 / ln(1000)=6.9078
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope")
+    assert(math.abs(intercept - math.log(1000.0)) < 0.02, s"intercept $intercept")
+  }
+
+  test("tokenEntropy: uniform source maxes, constant source zeroes") {
+    val docs = Seq(
+      (1L, "u", "a b c d"),     // 4 distinct, uniform → H = ln 4
+      (2L, "k", "x x x x")      // constant → H = 0
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("u") == ((4L, 4L, math.rint(math.log(4.0) * 1e6) / 1e6)))
+    assert(got("k") == ((4L, 1L, 0.0)))
+  }
+
+  test("ttrProfile: corpus vs doc-level TTR diverge on cross-doc repeats") {
+    // each doc internally diverse (TTR 1.0) but docs repeat each other
+    val docs = Seq(
+      (1L, "s", "a b"), (2L, "s", "a b"), (3L, "s", "a b"), (4L, "s", "c d")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.ttrProfile(docs, "doc_id", "source", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    // corpus: 4 types / 8 tokens = 500000 ppm; docs: each 1.0
+    assert(r.getAs[Long]("corpus_ttr_ppm") === 500000L)
+    assert(r.getAs[Double]("mean_doc_ttr") === 1.0)
+  }
+
+  test("bm25TopK: rare terms outrank common ones; length normalizes") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare rare common filler filler filler filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.map(t => t._1 -> t).toMap
+    // doc 4 matches nothing → absent
+    assert(!byDoc.contains(4L) && byDoc.size == 3)
+    // docs containing 'rare' (df=2 of 4) beat the common-only doc
+    val ordered = got.sortBy(t => (-t._3, t._1)).map(_._1).toSeq
+    assert(ordered.head != 2L)
+    // doc 1 matches both terms
+    assert(byDoc(1L)._2 == 2L)
+  }
+
+  test("calibrationBins: bins are equi-depth and rates exact") {
+    // 20 rows, score = i, target = 1 for the top half
+    val df = (1 to 20).map(i => (i.toLong, i.toLong, if (i > 10) 1L else 0L))
+      .toDF("doc_id", "score", "target")
+    val bins = Analytics.calibrationBins(df,
+        col("score") * (1L << 33) + col("doc_id"), "score", "target", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(bins.keySet == Set(1L, 2L, 3L, 4L))
+    // 5 rows per bin; bin 3 = scores 11..15 (all positive)
+    assert(bins(1L) == ((5L, 3.0, 0L, 0L)))
+    assert(bins(3L) == ((5L, 13.0, 5L, 1000000L)))
+    assert(bins(4L) == ((5L, 18.0, 5L, 1000000L)))
+  }
+
+  test("normalizeText canonicalizes case, punctuation and spacing") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "  already clean  ")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.normalizeText(docs, "text")
+      .select(col("doc_id"), col("norm_text"), col("changed"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(m(1L) == (("hello world", true)))
+    assert(m(2L) == (("hello world", false)))
+    assert(m(3L) == (("already clean", true)))
+    // variants 1 and 2 now collide for exact dedup
+    assert(m(1L)._1 == m(2L)._1)
+  }
+}

@@ -391,4 +391,28 @@ class TextDedupSpec extends SparkSpec {
     assert(gb(1L) == (shared.mkString(" "), 0L))
     assert(gb(2L) == ("", 20L))
   }
+
+  test("fuzzyPrefixPairs: blocking, distance gate, and the block cap") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the hazy dog today"),   // 1 sub in prefix
+      (3L, "the quick brown cat sleeps all day long"),             // same block, far
+      (4L, "a completely different text altogether")               // different block
+    ).toDF("doc_id", "text")
+    val got = TextDedup.fuzzyPrefixPairs(docs, "doc_id", "text",
+        blockLen = 12, prefixLen = 40, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+    // cap: a block larger than maxBlock produces no pairs at all
+    val flood = (1L to 10L).map(i => (i, s"same same same prefix doc $i"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.fuzzyPrefixPairs(flood, "doc_id", "text",
+      blockLen = 12, prefixLen = 40, maxDist = 30, maxBlock = 5)
+    assert(capped.isEmpty)
+    val uncapped = TextDedup.fuzzyPrefixPairs(flood, "doc_id", "text",
+      blockLen = 12, prefixLen = 40, maxDist = 30, maxBlock = 100)
+    assert(uncapped.count() == 45L) // 10 choose 2
+  }
 }
