@@ -3847,6 +3847,120 @@ object Queries {
         |  CAST(SUM(target) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
         |FROM r GROUP BY 1""".stripMargin)),
 
+    Q("trigram_lm_backoff",
+      // Trigram LM scoring with stupid backoff against a HELD-OUT split
+      // (train: doc_id%10≠0, score: %10=0 — self-scoring would never back
+      // off): the cheap-LM fluency filter one level above bigram_lm_score,
+      // with per-doc backoff-level counts (their histogram is the
+      // domain-shift signal). Trigrams are array transforms, no window;
+      // count tables join back on the test-fraction-sized side only.
+      (s, d) => TextAnalysis.trigramBackoffScore(Tables.documents(s, d),
+        "doc_id", "text", holdoutMod = 10),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws FROM w WHERE doc_id % 10 <> 0),
+        |te AS (SELECT doc_id, ws FROM w WHERE doc_id % 10 = 0 AND len(ws) >= 3),
+        |toks AS (SELECT unnest(ws) AS w FROM tr),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nt FROM toks),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c2
+        |  FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM tr)
+        |  GROUP BY 1, 2),
+        |tri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, COUNT(*) AS c3
+        |  FROM (SELECT ws, unnest(generate_series(1, len(ws)-2)) AS i FROM tr)
+        |  GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM te)),
+        |sc AS (SELECT tt.doc_id,
+        |    CASE WHEN tri.c3 IS NOT NULL THEN 0
+        |         WHEN b23.c2 IS NOT NULL THEN 1 ELSE 2 END AS level,
+        |    CASE WHEN tri.c3 IS NOT NULL THEN CAST(tri.c3 AS DOUBLE) / b12.c2
+        |         WHEN b23.c2 IS NOT NULL THEN 0.4 * CAST(b23.c2 AS DOUBLE) / u2.c1
+        |         ELSE 0.16 * CAST(COALESCE(u3.c1, 1) AS DOUBLE) / n.nt END AS p
+        |  FROM tt
+        |  LEFT JOIN tri ON tt.w1 = tri.w1 AND tt.w2 = tri.w2 AND tt.w3 = tri.w3
+        |  LEFT JOIN bi b12 ON tt.w1 = b12.w1 AND tt.w2 = b12.w2
+        |  LEFT JOIN bi b23 ON tt.w2 = b23.w1 AND tt.w3 = b23.w2
+        |  LEFT JOIN uni u2 ON tt.w2 = u2.w
+        |  LEFT JOIN uni u3 ON tt.w3 = u3.w, n)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(p), 9) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_logp,
+        |  COUNT(CASE WHEN level = 1 THEN 1 END) AS n_backoff_bi,
+        |  COUNT(CASE WHEN level = 2 THEN 1 END) AS n_backoff_uni
+        |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    Q("watermark_planning_report",
+      // Per hourly window × candidate watermark W: events a streaming job
+      // would DROP (arrival > window_end + W; arrival = event time + a
+      // deterministic md5-derived delay standing in for the arrival log).
+      // The completeness-vs-state-cost table read before picking
+      // withWatermark. Integer-exact; one explode + grouped count.
+      (s, d) => Analytics.latenessReport(Tables.events(s, d), "event_id", "ts",
+        maxDelaySeconds = 600, windowSeconds = 3600L,
+        thresholds = Seq(0L, 60L, 300L, 600L)),
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS ep,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 600
+        |      AS delay FROM events),
+        |x AS (SELECT ep - ep % 3600 AS window_start, delay,
+        |    delay - (ep - ep % 3600 + 3600 - ep) AS excess FROM e),
+        |t(watermark_s) AS (VALUES (0), (60), (300), (600))
+        |SELECT window_start, CAST(watermark_s AS BIGINT) AS watermark_s,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN excess > watermark_s THEN 1 END) AS n_dropped,
+        |  CAST(COUNT(CASE WHEN excess > watermark_s THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS dropped_ppm
+        |FROM x, t GROUP BY 1, 2""".stripMargin)),
+
+    Q("compaction_plan",
+      // Iceberg/Delta-style small-file compaction bin-packing: per table
+      // partition, cut the id-ordered cumulative byte stream into
+      // target-size bins — each bin one rewrite task. File metadata
+      // synthesized from orders (file_id = key, bytes = floor(price)).
+      // Prefix sum windows PER PARTITION — the metadata-sized natural
+      // planning unit.
+      (s, d) => Packing.compactionPlan(
+        Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice")),
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        targetBytes = 10000000L),
+      Some("""WITH f AS (SELECT o_orderpriority AS part, o_orderkey AS file_id,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS bytes FROM orders),
+        |c AS (SELECT *, SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM f)
+        |SELECT part, CAST((cum - bytes) // 10000000 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    Q("embedding_norm_outliers",
+      // Broken-embedding detection: per-label robust MAD screen over
+      // vector L2 norms (a truncated/zeroed/exploded vector shows up as a
+      // norm outlier long before any downstream metric). Norm via the
+      // codegen'd FloatVecL2Sq against the zero vector — the same
+      // fixed-order sum the cosine oracles already prove engine-exact.
+      (s, d) => {
+        val zeros = typedLit(Array.fill(64)(0.0f))
+        val norms = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          round(sqrt(org.apache.spark.sql.graft.GraftExpressions
+            .floatVecL2Sq(col("embedding"), zeros)), 9).as("norm"))
+        Stats.madOutliers(norms, "norm", "label", k = 3.0)
+      },
+      Some("""WITH nr AS (SELECT vec_id, label,
+        |    ROUND(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS norm
+        |  FROM embeddings),
+        |m AS (SELECT label, quantile_cont(norm, 0.5) AS med FROM nr GROUP BY 1),
+        |md AS (SELECT nr.label,
+        |    quantile_cont(abs(CAST(nr.norm AS DOUBLE) - m.med), 0.5) AS mad,
+        |    ANY_VALUE(m.med) AS med
+        |  FROM nr JOIN m USING (label) GROUP BY nr.label)
+        |SELECT nr.label, COUNT(*) AS n, ROUND(ANY_VALUE(md.med), 6) AS median,
+        |  ROUND(ANY_VALUE(md.mad), 6) AS mad,
+        |  COUNT(CASE WHEN abs(CAST(nr.norm AS DOUBLE) - md.med)
+        |    > 3 * 1.4826 * md.mad THEN 1 END) AS n_outliers
+        |FROM nr JOIN md USING (label) GROUP BY nr.label""".stripMargin)),
+
     Q("fuzzy_blocked_pairs",
       // Blocked fuzzy-match join: doc pairs whose 64-char prefixes are
       // within Levenshtein 16, candidates blocked on the 12-char prefix

@@ -194,6 +194,36 @@ object Analytics {
         sum(col(targetCol)).cast("long").as("n_pos"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
 
+  /** Watermark planning report: per tumbling window and candidate
+    * watermark W, how many events a streaming job would DROP — an event
+    * lands late by `delay` seconds (here a deterministic md5-derived
+    * delay standing in for the arrival-log column a real deployment
+    * joins in) and is dropped iff arrival > window_end + W, i.e.
+    * delay − (window_end − event_time) > W. The report a stream owner
+    * reads before picking `withWatermark`: completeness (dropped ppm)
+    * vs state-retention cost per candidate W. One projection + a
+    * |thresholds|-way explode + one grouped count; all integer-exact.
+    */
+  def latenessReport(events: DataFrame, idCol: String, tsCol: String,
+                     maxDelaySeconds: Int, windowSeconds: Long,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(maxDelaySeconds > 0 && windowSeconds > 0 && thresholds.nonEmpty,
+      "need positive delay bound / window and at least one threshold")
+    val epoch = unix_timestamp(col(tsCol))
+    val delay = TextAnalysis.hashedFeature(
+      col(idCol).cast("string"), maxDelaySeconds)
+    events
+      .select(epoch.as("ep"), delay.as("delay"))
+      .withColumn("window_start", col("ep") - pmod(col("ep"), lit(windowSeconds)))
+      .withColumn("excess",
+        col("delay") - (col("window_start") + windowSeconds - col("ep")))
+      .withColumn("watermark_s", explode(typedLit(thresholds)))
+      .groupBy("window_start", "watermark_s")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("excess") > col("watermark_s"), 1)).as("n_dropped"))
+      .withColumn("dropped_ppm", expr("n_dropped * 1000000 div n_events"))
+  }
+
   /** Exponential time-decay weighted aggregate per key: each event
     * contributes value·0.5^(age/halfLife) against a FIXED anchor instant —
     * recency-weighted user activity / engagement scoring where the anchor

@@ -185,4 +185,33 @@ object Packing {
       .select(col("doc_id"), col(sourceCol).as("source"),
         col("_r").as("src_rank"), col("train_pos"))
   }
+
+  /** Small-file compaction planning — the Iceberg/Delta `rewriteDataFiles`
+    * bin-pack shape: within each table partition, lay files out in id
+    * order and cut the cumulative byte stream into `targetBytes` bins;
+    * each bin is one rewrite task. Output is the per-bin plan (file
+    * count, byte total, id range) a compactor executes and a table owner
+    * reviews (bins with many files = the small-file problem being fixed;
+    * a single-file bin at target size = already compact, skip it).
+    *
+    * The prefix sum is a window PER PARTITION — the natural parallel unit
+    * (a partition's file list is metadata-sized; Iceberg plans per
+    * partition for the same reason); no corpus-sized relation passes
+    * through one task unless the table itself is one giant partition.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    files.select(col(partCol).as("part"), col(idCol).as("file_id"),
+        col(sizeCol).cast("long").as("bytes"))
+      .withColumn("_cum",
+        sum(col("bytes")).over(Window.partitionBy("part").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", expr(s"(_cum - bytes) div $targetBytes"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).cast("long").as("total_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+  }
 }

@@ -512,6 +512,75 @@ object TextAnalysis {
         col("mean_doc_ttr"))
   }
 
+  /** Trigram language-model scoring with stupid backoff (Brants et al.
+    * '07) against a held-out split: the perplexity-style fluency signal
+    * the cheap-LM filtering stage of a curation pipeline uses, one level
+    * up from [[bigramLmScore]]. Docs with `doc_id % holdoutMod == 0` are
+    * SCORED; all others TRAIN the counts (self-scoring would make every
+    * trigram known and the backoff dead code). Per scored trigram:
+    * p = c123/c12, backing off to 0.4·c23/c2 then 0.4²·c3/N (with a 1/N
+    * OOV floor); the report carries the per-doc mean ln p plus how often
+    * each backoff level fired (the shape of that histogram is itself the
+    * domain-shift signal).
+    *
+    * Plan: trigram construction is an array transform (no window, no
+    * self-join); count tables are grouped counts joined back on the
+    * scored side (test-fraction-sized). Per-token terms are row-wise
+    * doubles rounded once and DECIMAL-summed per doc.
+    */
+  def trigramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                          holdoutMod: Int = 10): DataFrame = {
+    require(holdoutMod >= 2, "holdoutMod must be >= 2")
+    val withWs = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val train = withWs.filter(col("doc_id") % holdoutMod =!= 0)
+    val test = withWs.filter(col("doc_id") % holdoutMod === 0)
+    val trainToks = train.select(explode(col("ws")).as("w"))
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTotal = trainToks.count()
+    def bigrams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(ws) - 1), " +
+        "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+        .as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tri = train.select(
+        explode(expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2, " +
+          "element_at(ws, i + 2) as w3))")).as("t"))
+      .groupBy("t.w1", "t.w2", "t.w3").agg(count(lit(1)).as("c3"))
+    val testTri = test.filter(size(col("ws")) >= 3).select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2, " +
+          "element_at(ws, i + 2) as w3))")).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+    val scoredTri = testTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("c12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .withColumn("level",
+        when(col("c3").isNotNull, 0)
+          .when(col("c23").isNotNull, 1)
+          .otherwise(2))
+      .withColumn("p",
+        when(col("level") === 0,
+          col("c3").cast("double") / col("c12"))
+        .when(col("level") === 1,
+          lit(0.4) * col("c23").cast("double") / col("c1w2"))
+        .otherwise(lit(0.16) *
+          coalesce(col("c1w3"), lit(1L)).cast("double") / lit(nTotal.toDouble)))
+      .withColumn("term", round(log(col("p")), 9))
+    scoredTri.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)), 6).as("avg_logp"),
+        count(when(col("level") === 1, 1)).as("n_backoff_bi"),
+        count(when(col("level") === 2, 1)).as("n_backoff_uni"))
+  }
+
   /** BM25 retrieval scoring of the corpus against a fixed term set — the
     * classic relevance ranking (Robertson/Sparck-Jones) a RAG or
     * search-over-corpus layer runs before any embedding stage:

@@ -82,6 +82,64 @@ class TextAnalysisRoundFiveSpec extends SparkSpec {
     assert(bins(4L) == ((5L, 18.0, 5L, 1000000L)))
   }
 
+  test("trigramBackoffScore: all three backoff levels score correctly") {
+    // train doc 1: trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d); bigrams
+    // ab x2, bc, ca, bd; unigrams a2 b2 c1 d1; N=6
+    val docs = Seq(
+      (1L, "a b c a b d"),
+      (10L, "a b c"),   // known trigram: p = c3/c12 = 1/2
+      (20L, "x b c"),   // backoff to bigram: p = 0.4 * c(b,c)/c(b) = 0.2
+      (30L, "x y z")    // backoff to unigram, z OOV: p = 0.16 * 1/6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramBackoffScore(docs, "doc_id", "text",
+        holdoutMod = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(10L) == ((1L, math.rint(math.log(0.5) * 1e6) / 1e6, 0L, 0L)))
+    assert(got(20L) == ((1L, math.rint(math.log(0.2) * 1e6) / 1e6, 1L, 0L)))
+    val pOov = 0.16 / 6.0
+    assert(got(30L)._3 == 0L && got(30L)._4 == 1L)
+    assert(math.abs(got(30L)._2 - math.log(pOov)) < 1e-5)
+    assert(got.size == 3) // train docs never score
+  }
+
+  test("compactionPlan bins the id-ordered byte stream per partition") {
+    val files = Seq(
+      ("p", 1L, 4L), ("p", 2L, 4L), ("p", 3L, 4L), ("p", 4L, 10L),
+      ("p", 5L, 2L), ("q", 9L, 3L)
+    ).toDF("part", "file_id", "bytes")
+    val got = Packing.compactionPlan(files, "part", "file_id", "bytes",
+        targetBytes = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cum-before in p: 0,4,8,12,22 → bins 0,0,0,1,2
+    assert(got(("p", 0L)) == ((3L, 12L, 1L, 3L)))
+    assert(got(("p", 1L)) == ((1L, 10L, 4L, 4L)))
+    assert(got(("p", 2L)) == ((1L, 2L, 5L, 5L)))
+    assert(got(("q", 0L)) == ((1L, 3L, 9L, 9L)))
+  }
+
+  test("latenessReport: counts conserved, drops monotone in W, bound respected") {
+    val events = graft.Tables.events(spark, sfDir)
+    val rep = Analytics.latenessReport(events, "event_id", "ts",
+        maxDelaySeconds = 600, windowSeconds = 3600L,
+        thresholds = Seq(0L, 300L, 600L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val windows = rep.keys.map(_._1).toSet
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val (n0, d0) = rep((w, 0L))
+      val (n3, d3) = rep((w, 300L))
+      val (n6, d6) = rep((w, 600L))
+      // every threshold sees the same event population
+      assert(n0 == n3 && n3 == n6)
+      // drops shrink as the watermark loosens; at W = maxDelay none drop
+      assert(d0 >= d3 && d3 >= d6)
+      assert(d6 == 0L)
+    }
+  }
+
   test("normalizeText canonicalizes case, punctuation and spacing") {
     val docs = Seq(
       (1L, "Hello,  World!"),
