@@ -3961,6 +3961,94 @@ object Queries {
         |    > 3 * 1.4826 * md.mad THEN 1 END) AS n_outliers
         |FROM nr JOIN md USING (label) GROUP BY nr.label""".stripMargin)),
 
+    Q("cluster_size_histogram",
+      // The first chart after a dedup run: duplicate-cluster size
+      // distribution (a fat tail = boilerplate / crawler loop, not
+      // organic duplication — invisible in pairs-only views). Two grouped
+      // counts over the tiny membership relation.
+      (s, d) => Clustering.clusterSizeHistogram(
+        TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+        "doc_a", "doc_b"),
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS size FROM agg GROUP BY 1)
+        |SELECT size, COUNT(*) AS n_clusters, size * COUNT(*) AS n_docs
+        |FROM sizes GROUP BY size""".stripMargin)),
+
+    Q("doc_overlap_stitch",
+      // Split-document detection: doc A's TAIL = doc B's HEAD (pagination
+      // halves, chunked uploads) — the overlap neither Jaccard nor
+      // prefix-fuzzy targets. Exact 16-char tail=head equi-join blocks
+      // candidates; overlap widens to the longest verified 16/32/64 level.
+      (s, d) => TextDedup.overlapStitchPairs(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE length(text) >= 64),
+        |h AS (SELECT doc_id AS doc_b, substr(text, 1, 16) AS h16,
+        |    substr(text, 1, 32) AS h32, substr(text, 1, 64) AS h64 FROM d),
+        |t AS (SELECT doc_id AS doc_a,
+        |    substr(text, length(text) - 15, 16) AS t16,
+        |    substr(text, length(text) - 31, 32) AS t32,
+        |    substr(text, length(text) - 63, 64) AS t64 FROM d)
+        |SELECT doc_a, doc_b,
+        |  CASE WHEN t64 = h64 THEN 64 WHEN t32 = h32 THEN 32
+        |       ELSE 16 END AS overlap_len
+        |FROM t JOIN h ON t16 = h16 AND doc_a <> doc_b""".stripMargin)),
+
+    Q("event_transitions",
+      // First-order Markov view of the event stream: per (from→to) type
+      // transition, frequency + mean dwell seconds — funnel discovery and
+      // impossible-dwell bot detection. One per-user lag window
+      // (μs-exact, id tie-break) + one grouped aggregate.
+      (s, d) => Analytics.eventTransitions(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type AS to_type,
+        |    epoch_ns(ts) // 1000 AS tus FROM events),
+        |l AS (SELECT *, lag(to_type) OVER w AS from_type,
+        |    tus - lag(tus) OVER w AS gap_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT from_type, to_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (COUNT(*) * 1000000.0), 6) AS mean_gap_s
+        |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    Q("dataset_card",
+      // The one-row corpus datasheet ("nutrition label"): doc/token/
+      // source/lang counts, English share, mean doc length, exact-dup
+      // rate — the summary row every corpus release ships with. One
+      // single-pass aggregate (plus the distinct-text count).
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("count(CASE WHEN lang = 'en' THEN 1 END) * 1000000 div count(1)")
+            .as("en_ppm"),
+          expr("sum(n_toks) div count(1)").as("mean_doc_tokens"),
+          expr("(count(1) - count(DISTINCT text)) * 1000000 div count(1)")
+            .as("exact_dup_ppm")),
+      Some("""SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS en_ppm,
+        |  CAST(SUM(len(string_split(text, ' '))) // COUNT(*) AS BIGINT)
+        |    AS mean_doc_tokens,
+        |  CAST((COUNT(*) - COUNT(DISTINCT text)) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS exact_dup_ppm
+        |FROM documents""".stripMargin)),
+
     Q("fuzzy_blocked_pairs",
       // Blocked fuzzy-match join: doc pairs whose 64-char prefixes are
       // within Levenshtein 16, candidates blocked on the 12-char prefix

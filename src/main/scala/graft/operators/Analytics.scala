@@ -194,6 +194,32 @@ object Analytics {
         sum(col(targetCol)).cast("long").as("n_pos"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
 
+  /** Event transition matrix with dwell times: per (from_type → to_type),
+    * how often users make that step and the mean gap between the two
+    * events — the first-order Markov view of a product event stream
+    * (funnel discovery, bot detection via impossible dwell times). One
+    * lag window per user (microsecond-exact ordering with id tie-break),
+    * then one grouped aggregate; gaps sum as exact longs.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("tus"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), col(typeCol).as("to_type"),
+        unix_micros(col(tsCol)).as("tus"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"),
+        // DECIMAL sum: exact at any scale (a long sum of μs gaps brushes
+        // 2^53 once groups hold ~10⁴ month-long gaps), single double
+        // rounding at the end on both engines
+        round(sum(col("gap_us").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)) * lit(1000000.0)), 6).as("mean_gap_s"))
+  }
+
   /** Watermark planning report: per tumbling window and candidate
     * watermark W, how many events a streaming job would DROP — an event
     * lands late by `delay` seconds (here a deterministic md5-derived

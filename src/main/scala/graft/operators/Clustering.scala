@@ -238,6 +238,21 @@ object Clustering {
     docs.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Cluster-size distribution of the duplicate graph: for each cluster
+    * size, how many clusters and how many documents sit in them — the
+    * first chart a corpus owner reads after a dedup run (a fat tail of
+    * giant clusters means boilerplate or a crawler loop, not organic
+    * duplication; pairs-only views hide this). Two grouped counts over
+    * the (tiny) cluster-membership relation.
+    */
+  def clusterSizeHistogram(pairs: DataFrame, aCol: String,
+                           bCol: String): DataFrame =
+    dedupClusters(pairs, aCol, bCol)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+
   /** What dedup bought, per group: document and weight (e.g. char/token)
     * totals before and after dropping non-canonical cluster members — the
     * report a corpus owner reads after every dedup run. One broadcast

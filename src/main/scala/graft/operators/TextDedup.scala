@@ -720,6 +720,35 @@ object TextDedup {
       .distinct()
   }
 
+  /** Suffix→prefix overlap join — split-document detection: pairs where
+    * doc A's TAIL equals doc B's HEAD (pagination splits, "continued on
+    * next page" article halves, chunked uploads), which neither Jaccard
+    * nor prefix-fuzzy matching targets. Candidates block on an exact
+    * 16-char tail=head equi-join; the overlap then widens to the longest
+    * verified level (16/32/64 chars). Only same-block pairs are ever
+    * compared, and the block key is a 16-char exact match — collisions
+    * between unrelated docs are rare by construction, no cap needed at
+    * the 64-char verify cost.
+    */
+  def overlapStitchPairs(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val d = docs.filter(length(col(textCol)) >= 64)
+    def tailN(n: Int) =
+      expr(s"substring($textCol, length($textCol) - ${n - 1}, $n)")
+    val heads = d.select(col(idCol).as("doc_b"),
+      substring(col(textCol), 1, 16).as("h16"),
+      substring(col(textCol), 1, 32).as("h32"),
+      substring(col(textCol), 1, 64).as("h64"))
+    val tails = d.select(col(idCol).as("doc_a"),
+      tailN(16).as("t16"), tailN(32).as("t32"), tailN(64).as("t64"))
+    tails.join(heads,
+        col("t16") === col("h16") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("t64") === col("h64"), 64L)
+          .when(col("t32") === col("h32"), 32L)
+          .otherwise(16L).as("overlap_len"))
+  }
+
   /** Blocked fuzzy-match join by edit distance: document pairs whose
     * text PREFIXES (first `prefixLen` chars) are within `maxDist`
     * Levenshtein — the entity-resolution / near-identical-head screen

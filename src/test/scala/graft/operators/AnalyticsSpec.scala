@@ -138,6 +138,27 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("eventTransitions: per-user lag, id tie-break, exact mean dwell") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(ep: Long) = new java.sql.Timestamp(ep * 1000L)
+    val df = Seq(
+      // user 1: a →(10s) b →(20s) a
+      (1L, 1L, "a", ts(100L)), (2L, 1L, "b", ts(110L)), (3L, 1L, "a", ts(130L)),
+      // user 2: a →(30s) b; same-ts pair ordered by event_id
+      (4L, 2L, "a", ts(200L)), (5L, 2L, "b", ts(230L)),
+      (6L, 3L, "x", ts(300L)), (7L, 3L, "y", ts(300L)) // 0-gap transition
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.eventTransitions(df, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 20.0))) // gaps 10s + 30s → mean 20
+    assert(got(("b", "a")) == ((1L, 20.0)))
+    assert(got(("x", "y")) == ((1L, 0.0))) // tie broken by id, gap 0
+    assert(got.size == 3)
+  }
+
   test("timeDecayAgg halves a contribution per half-life") {
     val spark0 = spark
     import spark0.implicits._

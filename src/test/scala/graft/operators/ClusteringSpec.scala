@@ -42,6 +42,15 @@ class ClusteringSpec extends SparkSpec {
     assert(got.size == 64 && got.values.toSet == Set(0L))
   }
 
+  test("clusterSizeHistogram counts clusters and docs per size") {
+    // one 3-clique, two pairs → sizes: 3→1 cluster, 2→2 clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Clustering.clusterSizeHistogram(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
+  }
+
   test("stars output is identical across partitionings") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 3L))
       .toDF("a", "b")

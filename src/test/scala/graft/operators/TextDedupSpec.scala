@@ -392,6 +392,25 @@ class TextDedupSpec extends SparkSpec {
     assert(gb(2L) == ("", 20L))
   }
 
+  test("overlapStitchPairs finds tail=head splits at the widest level") {
+    val spark0 = spark
+    import spark0.implicits._
+    val chunk = "abcdefghijklmnop" // 16 chars
+    val a = chunk * 5              // 80 chars; tail-64 = chunk*4
+    val b = chunk * 4 + "zzzzzzzzzzzzzzzz" * 3 // head-64 = chunk*4
+    val c = chunk + "q" * 64       // head-16 = chunk only
+    val docs = Seq((1L, a), (2L, b), (3L, c),
+      (4L, "completely unrelated text padded to sixty-four characters!!....."))
+      .toDF("doc_id", "text")
+    val got = TextDedup.overlapStitchPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a's tail-64 == b's head-64 → 64; a's tail-16 == c's head-16 only → 16
+    assert(got((1L, 2L)) == 64L)
+    assert(got((1L, 3L)) == 16L)
+    // a's own tail matches its own head-16 but self-pairs are excluded
+    assert(!got.contains((1L, 1L)) && !got.keys.exists(_._2 == 4L))
+  }
+
   test("fuzzyPrefixPairs: blocking, distance gate, and the block cap") {
     val spark0 = spark
     import spark0.implicits._
