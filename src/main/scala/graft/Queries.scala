@@ -4049,6 +4049,77 @@ object Queries {
         |    AS BIGINT) AS exact_dup_ppm
         |FROM documents""".stripMargin)),
 
+    Q("events_hopping_agg",
+      // HOPPING 1h/15min windows (the smoothed alerting view — an
+      // edge-split spike always sits whole in one of the 4 overlapping
+      // hops). Spark's window(size, slide) generates the 4 memberships
+      // relationally; partial aggregation collapses the inflation
+      // map-side. Same transform runs streamed under a watermark
+      // (EventPipelines.hoppingAggStream).
+      (s, d) => graft.streaming.EventPipelines.hoppingAggCore(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS ep, event_type,
+        |    value FROM events)
+        |SELECT ep - ep % 900 - k * 900 AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e, (VALUES (0), (1), (2), (3)) t(k)
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q("user_churn_weekly",
+      // Weekly growth accounting: active / churned (no next-week row) /
+      // new (no prev-week row) per calendar week — DATE weeks, DST-free.
+      // One distinct + two self left-joins of the weeks-sized relation.
+      (s, d) => Analytics.weeklyChurn(Tables.events(s, d), "user_id", "ts"),
+      Some("""WITH p AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+        |SELECT p.week, COUNT(*) AS n_active,
+        |  COUNT(CASE WHEN nx.user_id IS NULL THEN 1 END) AS n_churned,
+        |  COUNT(CASE WHEN pv.user_id IS NULL THEN 1 END) AS n_new
+        |FROM p
+        |LEFT JOIN p nx ON p.user_id = nx.user_id AND nx.week = p.week + 7
+        |LEFT JOIN p pv ON p.user_id = pv.user_id AND pv.week = p.week - 7
+        |GROUP BY 1""".stripMargin)),
+
+    Q("ann_ivf_index_roundtrip",
+      // The 100 TB ANN serving shape: the IVF index (vec, assignment)
+      // MATERIALIZED once as a centroid-bucketed table, then probed by a
+      // query batch without re-deriving assignments — and, because the
+      // layout is bucketBy(centroid_id), without shuffling the index
+      // side. The oracle recomputes from raw embeddings: proves the
+      // write→read round trip is lossless end-to-end through the gate.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        val indexed = emb.select(col("vec_id"), col("embedding"))
+          .join(assign.select("vec_id", "centroid_id"), "vec_id")
+          .select(col("vec_id"), col("embedding").as("v"), col("centroid_id"))
+        val tbl = "ivf_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        graft.sources.ParquetSink.writeBucketedSnapshot(indexed, tbl,
+          Seq("centroid_id"), buckets = 16)
+        Ann.ivfTopKIndexed(s.table(tbl),
+          emb.filter(col("vec_id") % 41 === 0), "vec_id", k = 3)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND q.vec_id % 41 = 0 AND n.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
     Q("fuzzy_blocked_pairs",
       // Blocked fuzzy-match join: doc pairs whose 64-char prefixes are
       // within Levenshtein 16, candidates blocked on the 12-char prefix

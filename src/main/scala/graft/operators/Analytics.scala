@@ -194,6 +194,32 @@ object Analytics {
         sum(col(targetCol)).cast("long").as("n_pos"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
 
+  /** Weekly churn panel: per calendar week, active users plus how many of
+    * them DON'T return next week (churned) and how many weren't there the
+    * week before (new) — the growth-accounting triple every activity
+    * dashboard leads with (active = retained + new; next week's retained
+    * = this week's active − churned). Weeks are DATEs (calendar-exact,
+    * timezone/DST-free); the whole plan is one distinct on (user, week)
+    * plus two self left-joins of that weeks-sized relation and a grouped
+    * count. The final week's churn necessarily counts everyone (no next
+    * week observed yet) — the standard right-censoring caveat.
+    */
+  def weeklyChurn(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val p = events.select(col(userCol).as("user_id"),
+      to_date(date_trunc("week", col(tsCol))).as("week")).distinct()
+    val activeNext = p.select(col("user_id"), date_sub(col("week"), 7).as("week"))
+      .withColumn("has_next", lit(1))
+    val activePrev = p.select(col("user_id"), date_add(col("week"), 7).as("week"))
+      .withColumn("has_prev", lit(1))
+    p.join(activeNext, Seq("user_id", "week"), "left")
+      .join(activePrev, Seq("user_id", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("has_next").isNull, 1)).as("n_churned"),
+        count(when(col("has_prev").isNull, 1)).as("n_new"))
+  }
+
   /** Event transition matrix with dwell times: per (from_type → to_type),
     * how often users make that step and the mean gap between the two
     * events — the first-order Markov view of a product event stream

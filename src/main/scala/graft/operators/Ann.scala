@@ -579,6 +579,18 @@ object Ann {
               idCol: String, vecCol: String, k: Int): DataFrame = {
     val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    ivfTopKIndexed(assigned, queryIds, idCol, k)
+  }
+
+  /** [[ivfTopK]] over a pre-materialized index relation
+    * (vec_id, v, centroid_id) — the 100 TB shape: the index is written
+    * ONCE (bucketed by centroid_id, [[graft.sources.ParquetSink
+    * .writeBucketedSnapshot]]) and every query batch probes it without
+    * re-deriving assignments; with the bucketed layout the bucket join
+    * needs no shuffle on the index side.
+    */
+  def ivfTopKIndexed(assigned: DataFrame, queryIds: DataFrame,
+                     idCol: String, k: Int): DataFrame = {
     val q = assigned.join(broadcast(queryIds.select(col(idCol).as("vec_id"))), "vec_id")
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
     val scored = assigned

@@ -135,19 +135,38 @@ object ParquetSink {
     * (spec-proven). Write once per corpus version, not per batch.
     */
   def writeLshIndex(banded: DataFrame, tableName: String, buckets: Int,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) dropWithLocation(banded, tableName)
     banded.write.mode(mode)
       .bucketBy(buckets, "band", "bh")
       .sortBy("band", "bh")
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   def writeBucketedSnapshot(df: DataFrame, tableName: String,
                             pkCols: Seq[String], buckets: Int,
-                            mode: SaveMode = SaveMode.Overwrite): Unit =
+                            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) dropWithLocation(df, tableName)
     df.write.mode(mode)
       .bucketBy(buckets, pkCols.head, pkCols.tail: _*)
       .sortBy(pkCols.head, pkCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
+
+  /** Overwrite across JVMs: the in-memory catalog forgets managed tables
+    * at shutdown but their warehouse directories persist, and a fresh
+    * session's CTAS then refuses the orphaned location
+    * (LOCATION_ALREADY_EXISTS). Drop the catalog entry AND clear the
+    * leftover directory before rewriting.
+    */
+  private def dropWithLocation(df: DataFrame, tableName: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

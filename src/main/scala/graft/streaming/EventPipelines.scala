@@ -55,6 +55,25 @@ object EventPipelines {
   def windowAggStream(events: DataFrame): DataFrame =
     windowAggCore(events.withWatermark("ts", "2 hours"))
 
+  /** HOPPING (sliding) 1-hour windows every 15 minutes — the smoothed
+    * dashboard/alerting view a tumbling window can't give (a spike at a
+    * window edge splits across two tumbling buckets; the 4 overlapping
+    * hops always contain it whole). Each event lands in exactly
+    * windowSize/slide = 4 windows; Spark's `window(ts, size, slide)`
+    * generates them relationally — no self-join, one grouped aggregate,
+    * 4× map-side row inflation that partial aggregation collapses.
+    * Works unchanged on a batch or streaming DataFrame.
+    */
+  def hoppingAggCore(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  def hoppingAggStream(events: DataFrame): DataFrame =
+    hoppingAggCore(events.withWatermark("ts", "2 hours"))
+
   // ------------------------------------------------- windowed CMS sketch
 
   /** Tumbling 1-hour count-min sketch of the user key + total: the

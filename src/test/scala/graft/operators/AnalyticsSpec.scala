@@ -138,6 +138,28 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("weeklyChurn: active/churned/new accounting per calendar week") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // weeks: W1=2024-01-01(Mon), W2=01-08, W3=01-15
+    val df = Seq(
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-09")), (1L, ts("2024-01-16")), // stays
+      (2L, ts("2024-01-03")),                                                 // churns after W1
+      (3L, ts("2024-01-10")),                                                 // new in W2, churns
+      (1L, ts("2024-01-04"))                                                  // dup week row
+    ).toDF("user_id", "ts")
+    val got = Analytics.weeklyChurn(df, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // W1: active {1,2}, churned {2}, new {1,2}
+    assert(got("2024-01-01") == ((2L, 1L, 2L)))
+    // W2: active {1,3}, churned {3}, new {3}
+    assert(got("2024-01-08") == ((2L, 1L, 1L)))
+    // W3: active {1}; right-censored churn counts user 1; new none
+    assert(got("2024-01-15") == ((1L, 1L, 0L)))
+  }
+
   test("eventTransitions: per-user lag, id tie-break, exact mean dwell") {
     val spark0 = spark
     import spark0.implicits._

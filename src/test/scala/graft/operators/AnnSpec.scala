@@ -110,6 +110,31 @@ class AnnSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("ivfTopKIndexed over a bucketed round-trip equals the direct path") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") % 40 === 0)
+    val assign = Ann.ivfAssign(emb, cents, "vec_id", "embedding",
+      "vec_id", "embedding")
+    val direct = Ann.ivfTopK(emb, assign, emb.filter(col("vec_id") % 17 === 0),
+      "vec_id", "embedding", k = 3)
+    val indexed = emb.select(col("vec_id"), col("embedding"))
+      .join(assign.select("vec_id", "centroid_id"), "vec_id")
+      .select(col("vec_id"), col("embedding").as("v"), col("centroid_id"))
+    graft.sources.ParquetSink.writeBucketedSnapshot(indexed,
+      "ivf_index_spec", Seq("centroid_id"), buckets = 8)
+    val viaIndex = Ann.ivfTopKIndexed(spark.table("ivf_index_spec"),
+      emb.filter(col("vec_id") % 17 === 0), "vec_id", k = 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(canon(viaIndex) == canon(direct) && canon(direct).nonEmpty)
+    // the materialized index side enters the bucket join WITHOUT a shuffle
+    viaIndex.write.format("noop").mode("overwrite").save()
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"index side should not reshuffle:\n$plan")
+  }
+
   test("knnLabelSpread: majority vote, tie to smaller label, mislabels flagged") {
     val spark0 = spark
     import spark0.implicits._

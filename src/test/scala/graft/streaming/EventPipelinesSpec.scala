@@ -43,6 +43,28 @@ class EventPipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("hoppingAggStream equals batch; every event lands in exactly 4 hops") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[Event](spark0)
+    in.addData(sample)
+    val q = hoppingAggStream(in.toDF())
+      .writeStream.format("memory").queryName("hopagg")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hopagg").collect().map(_.toSeq).toSet
+    val batch = hoppingAggCore(sample.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // 1h window / 15min slide: total (window, event) memberships = 4n
+    val total = hoppingAggCore(sample.toDF())
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect().head.getLong(0)
+    assert(total == 4L * sample.size)
+    // an event at second 10 sits in hops starting -2700..0
+    val w = hoppingAggCore(sample.toDF()).filter(col("event_type") === "click")
+      .select("window_start").collect().map(_.getLong(0)).toSet
+    assert(Set(-2700L, -1800L, -900L, 0L).subsetOf(w))
+  }
+
   test("cmsWindowStream sketches equal the batch sketches bit-for-bit") {
     val spark0 = spark
     import spark0.implicits._
