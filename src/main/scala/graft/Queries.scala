@@ -4120,6 +4120,92 @@ object Queries {
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
         |WHERE rank <= 3""".stripMargin)),
 
+    Q("doc_segment_langid",
+      // Code-switching / wrong-label detection: classify fixed 40-token
+      // SEGMENTS against the corpus langId profiles and report per doc
+      // the segment count, distinct predicted langs, majority lang and a
+      // mixed flag — what a doc-level classifier averages away. Segment
+      // ids are integer math on token position; profiles broadcast;
+      // every window partitions by doc(+segment).
+      (s, d) => TextAnalysis.segmentLangProfile(Tables.documents(s, d),
+        "doc_id", "text", "lang", segTokens = 40, profileSize = 5),
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |    FROM documents),
+        |t AS (SELECT doc_id, lang, i - 1 AS pos, ws[i] AS tok
+        |  FROM (SELECT doc_id, lang, ws,
+        |      unnest(generate_series(1, len(ws))) AS i FROM w)),
+        |f AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tok
+        |  FROM (SELECT lang, tok, ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY c DESC, tok) AS rn FROM f) WHERE rn <= 5),
+        |sh AS (SELECT t.doc_id, t.pos // 40 AS seg, p.plang, COUNT(*) AS score
+        |  FROM t JOIN prof p USING (tok) GROUP BY 1, 2, 3),
+        |sp AS (SELECT doc_id, seg, plang
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+        |          ORDER BY score DESC, plang) AS rn FROM sh) WHERE rn = 1),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_segments,
+        |    COUNT(DISTINCT plang) AS n_langs FROM sp GROUP BY 1),
+        |mj AS (SELECT doc_id, plang AS majority_lang
+        |  FROM (SELECT doc_id, plang, COUNT(*) AS nseg,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, plang) AS rn
+        |    FROM sp GROUP BY doc_id, plang) WHERE rn = 1)
+        |SELECT pd.doc_id, pd.n_segments, pd.n_langs, mj.majority_lang,
+        |  pd.n_langs > 1 AS mixed
+        |FROM pd JOIN mj USING (doc_id)""".stripMargin)),
+
+    Q("retrieval_rrf_fusion",
+      // Hybrid-retrieval merge: reciprocal-rank fusion (1/(60+rank)) of
+      // the BM25 and TF-IDF top-25 lists — rank-only, so incomparable
+      // score scales fuse robustly; the committee-of-rankers shape used
+      // for lexical+semantic hybrids. Every step bounded by the
+      // candidate lists, never the corpus.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = Seq("join", "vector", "scan")
+        val bm = Analytics.topKRanked(
+          TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, topK = 25),
+          "bm25", "doc_id", 25).select(col("doc_id"), col("rank"))
+        val tf = Analytics.topKRanked(
+          TextAnalysis.tfidfQueryTopK(docs, "doc_id", "text", terms, topK = 25),
+          "tfidf", "doc_id", 25).select(col("doc_id"), col("rank"))
+        TextAnalysis.rrfFuse(Seq(bm, tf), kConst = 60, topK = 15)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+        |q(tok) AS (VALUES ('join'), ('vector'), ('scan')),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |bterm AS (SELECT tf.doc_id,
+        |    ROUND(ln((tot.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (tot.sum_dl / tot.n_docs))),
+        |      9) AS contrib
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), tot),
+        |bm AS (SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS bm25
+        |  FROM bterm GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25),
+        |bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS rank FROM bm),
+        |tterm AS (SELECT tf.doc_id,
+        |    ROUND(tf.tf * ln(CAST(tot.n_docs AS DOUBLE) / dfreq.df), 9) AS contrib
+        |  FROM tf JOIN dfreq USING (tok), tot),
+        |tfx AS (SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS tfidf
+        |  FROM tterm GROUP BY doc_id ORDER BY tfidf DESC, doc_id LIMIT 25),
+        |tfr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id)
+        |    AS rank FROM tfx),
+        |u AS (SELECT doc_id, rank FROM bmr
+        |  UNION ALL SELECT doc_id, rank FROM tfr)
+        |SELECT doc_id, COUNT(*) AS n_lists,
+        |  ROUND(CAST(SUM(CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(38,12)))
+        |    AS DOUBLE), 6) AS rrf_score
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin)),
+
     Q("fuzzy_blocked_pairs",
       // Blocked fuzzy-match join: doc pairs whose 64-char prefixes are
       // within Levenshtein 16, candidates blocked on the 12-char prefix

@@ -48,6 +48,56 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"))
   }
 
+  /** Segment-level language ID — code-switching / wrong-label detection:
+    * split each document into fixed `segTokens`-token segments, classify
+    * every segment against the same corpus-derived profiles [[langId]]
+    * uses, and report per doc how many segments resolved, how many
+    * DISTINCT languages they landed on, the majority segment language,
+    * and whether the doc is mixed. A doc whose segments disagree is a
+    * code-switched page or a concatenation artifact — exactly what a
+    * doc-level classifier averages away.
+    *
+    * Plan: segment ids are integer math on the token position (one
+    * explode, no second pass over text); profiles broadcast; every
+    * window partitions by doc (or doc+segment) — nothing corpus-sized in
+    * one task.
+    */
+  def segmentLangProfile(docs: DataFrame, idCol: String, textCol: String,
+                         langCol: String, segTokens: Int = 40,
+                         profileSize: Int = 5): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val profile = freq
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+      .filter(col("rn") <= profileSize)
+      .select(col("lang").as("plang"), col("tok"))
+    val segHits = toks
+      .withColumn("seg", expr(s"pos div $segTokens"))
+      .join(broadcast(profile), "tok")
+      .groupBy("doc_id", "seg", "plang").agg(count(lit(1)).as("score"))
+    val segPred = segHits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "seg")
+          .orderBy(col("score").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("seg"), col("plang"))
+    val perDoc = segPred.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        countDistinct(col("plang")).as("n_langs"))
+    val majority = segPred.groupBy("doc_id", "plang")
+      .agg(count(lit(1)).as("nseg"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("nseg").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("majority_lang"))
+    perDoc.join(majority, "doc_id")
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("majority_lang"), (col("n_langs") > 1).as("mixed"))
+  }
+
   /** Heuristic quality score in [0,1]: half from length saturation
     * (n_tokens/200 capped at 1), half from non-stopword density. Exact
     * double arithmetic in a fixed evaluation order so the oracle matches
@@ -620,6 +670,54 @@ object TextAnalysis {
         round(sum(col("contrib").cast("decimal(38,12)")).cast("double"), 6)
           .as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+  }
+
+  /** TF-IDF document scoring against a fixed term set — the second
+    * lexical retriever next to [[bm25TopK]] (no length normalization, no
+    * saturation: raw tf·ln(N/df)), kept so the fusion entry exercises
+    * two genuinely different rankers. Same plan shape as BM25.
+    */
+  def tfidfQueryTopK(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val nDocs = docs.count()
+    val q = queryTerms.toDF("tok")
+    val tf = toks.join(broadcast(q), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .withColumn("contrib", round(col("tf") *
+        log(lit(nDocs.toDouble) / col("df")), 9))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib").cast("decimal(38,12)")).cast("double"), 6)
+        .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id")).limit(topK)
+  }
+
+  /** Reciprocal-rank fusion of retriever rankings (Cormack et al. '09):
+    * fused(d) = Σ_r 1/(K + rank_r(d)) — the standard hybrid-retrieval
+    * merge (lexical + semantic, or any committee of rankers), robust to
+    * incomparable score scales because only RANKS enter. Input relations
+    * carry (doc_id, rank); docs absent from a list simply contribute
+    * nothing. Per-doc contributions rounded once and DECIMAL-summed; the
+    * union is ≤ Σ topK rows, so every step is bounded by the candidate
+    * lists, not the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int, topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings.map(_.select(col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("contrib",
+        round(lit(1.0) / (lit(kConst) + col("rank")), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(col("contrib").cast("decimal(38,12)")).cast("double"), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(topK)
   }
 
   /** Deterministic text normalization — lowercase, strip every char

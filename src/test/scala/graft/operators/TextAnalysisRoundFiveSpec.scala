@@ -140,6 +140,58 @@ class TextAnalysisRoundFiveSpec extends SparkSpec {
     }
   }
 
+  test("segmentLangProfile flags a code-switched document") {
+    // profiles: en={aa,bb}, fr={cc,dd} (each lang's top tokens). doc 3 is
+    // labeled en but its second 4-token segment is pure fr.
+    val docs = Seq(
+      (1L, "en", "aa bb aa bb aa bb aa bb"),
+      (2L, "fr", "cc dd cc dd cc dd cc dd"),
+      (3L, "en", "aa bb aa aa cc dd cc dd")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.segmentLangProfile(docs, "doc_id", "text", "lang",
+        segTokens = 4, profileSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 1L, "en", false)))
+    assert(got(2L) == ((2L, 1L, "fr", false)))
+    // doc 3: segment 0 → en, segment 1 → fr ⇒ mixed, majority tie → en
+    assert(got(3L) == ((2L, 2L, "en", true)))
+  }
+
+  test("rrfFuse merges rankings by reciprocal rank, rank-only") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(a, b), kConst = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.map(t => t._1 -> t).toMap
+    def rr(r: Long) = math.rint(1e9 / (60.0 + r)) / 1e9
+    // 10 and 20 each appear at ranks {1,2} → identical fused scores
+    assert(byDoc(10L)._2 == 2L && byDoc(20L)._2 == 2L)
+    assert(byDoc(10L)._3 == byDoc(20L)._3)
+    assert(byDoc(10L)._3 == math.rint((rr(1) + rr(2)) * 1e6) / 1e6)
+    // single-list docs trail the double-list ones
+    assert(byDoc(30L)._2 == 1L && byDoc(40L)._2 == 1L)
+    assert(got.sortBy(t => (-t._3, t._1)).map(_._1).toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("tfidfQueryTopK: rare term dominates, non-matching docs absent") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common common"),
+      (3L, "filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfQueryTopK(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L))
+    // doc1: 1·ln(3/1) + 2·ln(3/2); doc2: 4·ln(3/2)
+    val d1 = math.rint((math.rint(math.log(3.0) * 1e9) / 1e9 +
+      math.rint(2 * math.log(1.5) * 1e9) / 1e9) * 1e6) / 1e6
+    assert(math.abs(got(1L) - d1) < 1e-9)
+    assert(got(2L) > 0 && got(1L) > got(2L) == (d1 > got(2L)))
+  }
+
   test("normalizeText canonicalizes case, punctuation and spacing") {
     val docs = Seq(
       (1L, "Hello,  World!"),
