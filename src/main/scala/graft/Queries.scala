@@ -3582,6 +3582,38 @@ object Queries {
         |  FROM orders WHERE o_orderkey % 3 = 0)
         |GROUP BY day""".stripMargin)),
 
+    Q("update_column_profile",
+      // Which columns actually changed between two snapshots (null-safe,
+      // per column) — sizes a CELL-level replication payload (the
+      // reference keeps per-column writetimes for exactly this) and
+      // localizes churn hot spots. One pk join + one projection + a
+      // 1-row agg unpivoted by a bounded stack.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.updateColumnProfile(lwwReplicaA(o), lwwReplicaB(o),
+          Seq("o_orderkey"))
+      },
+      Some(s"""WITH a AS ($lwwReplicaASql), b AS ($lwwReplicaBSql),
+        |j AS (SELECT a.price AS ap, b.price AS bp,
+        |    a.wt_price AS awp, b.wt_price AS bwp,
+        |    a.prio AS apr, b.prio AS bpr,
+        |    a.wt_prio AS awr, b.wt_prio AS bwr
+        |  FROM a JOIN b USING (o_orderkey)),
+        |c AS (SELECT COUNT(*) AS n_common,
+        |    SUM(CASE WHEN ap IS DISTINCT FROM bp THEN 1 ELSE 0 END) AS price,
+        |    SUM(CASE WHEN awp IS DISTINCT FROM bwp THEN 1 ELSE 0 END) AS wt_price,
+        |    SUM(CASE WHEN apr IS DISTINCT FROM bpr THEN 1 ELSE 0 END) AS prio,
+        |    SUM(CASE WHEN awr IS DISTINCT FROM bwr THEN 1 ELSE 0 END) AS wt_prio
+        |  FROM j)
+        |SELECT 'price' AS col, CAST(price AS BIGINT) AS n_changed,
+        |  CAST(n_common AS BIGINT) AS n_common FROM c
+        |UNION ALL SELECT 'wt_price', CAST(wt_price AS BIGINT),
+        |  CAST(n_common AS BIGINT) FROM c
+        |UNION ALL SELECT 'prio', CAST(prio AS BIGINT),
+        |  CAST(n_common AS BIGINT) FROM c
+        |UNION ALL SELECT 'wt_prio', CAST(wt_prio AS BIGINT),
+        |  CAST(n_common AS BIGINT) FROM c""".stripMargin)),
+
     Q("zipf_fit",
       // One-row corpus diagnostic: OLS slope/intercept of ln(freq) vs
       // ln(rank) over the top-500 tokens (natural text ≈ −1; spam floods

@@ -186,6 +186,33 @@ object Cdc {
     joined.select(pkCols.map(col) ++ merged: _*)
   }
 
+  /** Per-column update profile: among pk-matched rows of two snapshots,
+    * how many rows changed EACH column (null-safe compare) — the report
+    * that sizes a cell-level replication payload (a table where only a
+    * counter column churns replicates cells, not rows; the reference's
+    * per-column writetimes exist for exactly this reason) and localizes
+    * schema hot spots. One pk join; the per-column compares are one
+    * projection; output is |columns| rows via a bounded stack.
+    */
+  def updateColumnProfile(curr: DataFrame, prev: DataFrame,
+                          pkCols: Seq[String]): DataFrame = {
+    val dataCols = curr.columns.filterNot(pkCols.contains).toSeq
+    require(dataCols.nonEmpty, "no non-pk columns to profile")
+    val c = curr.alias("curr")
+    val p = prev.alias("prev")
+    val joinCond = pkCols.map(k => col(s"curr.$k") === col(s"prev.$k")).reduce(_ && _)
+    val flags = c.join(p, joinCond, "inner")
+      .select(dataCols.map(k =>
+        (!(col(s"curr.$k") <=> col(s"prev.$k"))).cast("long").as(k)): _*)
+    val counted = flags.agg(count(lit(1)).as("n_common"),
+      dataCols.map(k => sum(col(k)).as(k)): _*)
+    counted.select(expr(s"stack(${dataCols.size}, " +
+        dataCols.map(k => s"'$k', `$k`").mkString(", ") + ") as (col, n_changed)"),
+        col("n_common"))
+      .select(col("col"), col("n_changed").cast("long").as("n_changed"),
+        col("n_common").cast("long").as("n_common"))
+  }
+
   /** Tombstone GC accounting: which delete tombstones have aged past
     * `gcGraceSeconds` relative to a fixed `nowEpoch` and can purge, per
     * day bucket — the gc_grace_seconds bookkeeping a Cassandra-compatible

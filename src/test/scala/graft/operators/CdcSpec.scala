@@ -114,6 +114,23 @@ class CdcSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("updateColumnProfile: null-safe per-column change counts") {
+    val curr = Seq(
+      (1L, Some(10.0), Some("a")),
+      (2L, None: Option[Double], Some("b")),
+      (3L, Some(30.0), Some("c")),
+      (9L, Some(90.0), Some("z"))   // no pk match → excluded
+    ).toDF("pk", "v", "s")
+    val prev = Seq(
+      (1L, Some(10.0), Some("A")),  // s changed only
+      (2L, None: Option[Double], Some("b")),  // nothing changed (null <=> null)
+      (3L, Some(31.0), None: Option[String])  // both changed (null vs value)
+    ).toDF("pk", "v", "s")
+    val got = Cdc.updateColumnProfile(curr, prev, Seq("pk"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("v" -> ((1L, 3L)), "s" -> ((2L, 3L))))
+  }
+
   test("tombstoneGcReport: purge boundary is inclusive at now - grace") {
     val ts = Seq(
       (1L, 1000L),   // day 0, exactly at boundary → purgeable
