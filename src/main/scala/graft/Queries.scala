@@ -3517,6 +3517,81 @@ object Queries {
        | OR (COALESCE(a.$w, -9223372036854775808) = COALESCE(b.$w, -9223372036854775808)
        |     AND (b.$v IS NULL OR (a.$v IS NOT NULL AND a.$v >= b.$v))))""".stripMargin
 
+  /** Third synthetic replica for the 3-way read-repair entry: yet another
+    * writetime interleaving plus its own missing-row slice, so every
+    * repair direction (a/b/c stale, whole-row absent) occurs.
+    */
+  private[graft] def lwwReplicaC(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 29 =!= 7)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(2.0)).as("price"),
+        when(col("o_orderkey") % 19 === 0, lit(null).cast("long"))
+          .otherwise((col("o_orderkey") * 5) % 97).as("wt_price"),
+        concat(col("o_orderpriority"), lit("?")).as("prio"),
+        ((col("o_orderkey") * 11) % 89).as("wt_prio"))
+
+  private[graft] val lwwReplicaCSql: String =
+    """SELECT o_orderkey, o_totalprice + 2.0 AS price,
+      |  CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE (o_orderkey * 5) % 97 END AS wt_price,
+      |  o_orderpriority || '?' AS prio, (o_orderkey * 11) % 89 AS wt_prio
+      |FROM orders WHERE o_orderkey % 29 <> 7""".stripMargin
+
+  /** One cell's long-form resolve+stale CTEs for the read-repair oracle:
+    * melt the three replicas, pick the LWW winner per pk by
+    * (writetime, value-nulls-last, value, replica) descending — the exact
+    * order Cdc.cellLwwMerge's pairwise fold realizes — and count replicas
+    * whose (v, w) matches the winner. Real writetimes are ≥ 0, so
+    * COALESCE(w, -1) reproduces "null writetime loses".
+    */
+  private def rrCellSql(v: String, w: String, tag: String): String =
+    s"""l$tag AS (SELECT o_orderkey, 'a' AS src, $v AS v, $w AS w FROM a
+       |  UNION ALL SELECT o_orderkey, 'b', $v, $w FROM b
+       |  UNION ALL SELECT o_orderkey, 'c', $v, $w FROM c),
+       |r$tag AS (SELECT o_orderkey, v, w FROM
+       |  (SELECT l$tag.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+       |     ORDER BY COALESCE(w, -1) DESC, (v IS NULL) ASC, v DESC, src ASC) AS rn
+       |   FROM l$tag) WHERE rn = 1),
+       |s$tag AS (SELECT l.o_orderkey,
+       |    SUM(CASE WHEN l.v IS NOT DISTINCT FROM r.v
+       |             AND l.w IS NOT DISTINCT FROM r.w THEN 1 ELSE 0 END) AS n_match
+       |  FROM l$tag l JOIN r$tag r USING (o_orderkey) GROUP BY 1)""".stripMargin
+
+  /** Base-table snapshots for the materialized-view entry: curr bumps ts
+    * for %5/%6 keys and MOVES the view key for %6 keys (the
+    * delete-then-insert MV case); %10 slice inserts, %7 slice deletes.
+    */
+  private[graft] def mvPrev(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"),
+        col("o_custkey").as("vk"),
+        (col("o_custkey") * 1000 + col("o_orderkey") % 7).as("ts"))
+
+  private[graft] val mvPrevSql: String =
+    """SELECT o_orderkey, o_custkey AS vk,
+      |  o_custkey * 1000 + o_orderkey % 7 AS ts
+      |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin
+
+  private[graft] def mvCurr(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 7 =!= 2)
+      .select(col("o_orderkey"),
+        (col("o_custkey") +
+          when(col("o_orderkey") % 6 === 0, 1).otherwise(0)).as("vk"),
+        (col("o_custkey") * 1000 + col("o_orderkey") % 7 +
+          when(col("o_orderkey") % 6 === 0 || col("o_orderkey") % 5 === 0, 1)
+            .otherwise(0)).as("ts"))
+
+  private[graft] val mvCurrSql: String =
+    """SELECT o_orderkey,
+      |  o_custkey + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS vk,
+      |  o_custkey * 1000 + o_orderkey % 7
+      |    + CASE WHEN o_orderkey % 6 = 0 OR o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS ts
+      |FROM orders WHERE o_orderkey % 7 <> 2""".stripMargin
+
+  /** Portable md5 tile as SQL (Cdc.tileMd5's mixer). */
+  private def tileMd5Sql(pk: String, n: Int): String =
+    s"""(ascii(substr(md5(CAST($pk AS VARCHAR)), 1, 1)) * 256
+       | + ascii(substr(md5(CAST($pk AS VARCHAR)), 2, 1))) % $n""".stripMargin
+
   private val roundFive: Seq[Q] = Seq(
     Q("dedup_clusters_largestar",
       // The SAME duplicate-cluster output as dedup_clusters, computed by
@@ -4258,7 +4333,141 @@ object Queries {
         |WHERE levenshtein(a.pfx, b2.pfx) <= 16""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive
+  private val roundFiveB: Seq[Q] = Seq(
+    Q("mv_maintain",
+      // Materialized-view mutation derivation: base writes re-keyed into
+      // the view's partitioning, with view-key moves expanding to
+      // delete-old + insert-new — the Cassandra MV maintenance contract.
+      // One full-outer pk join + a ≤2-element explode, single pass.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.mvMaintain(mvPrev(o), mvCurr(o), Seq("o_orderkey"), "vk")
+      },
+      Some(s"""WITH p AS ($mvPrevSql), c AS ($mvCurrSql),
+        |j AS (SELECT p.o_orderkey AS pk_p, c.o_orderkey AS pk_c,
+        |    p.vk AS vk_p, c.vk AS vk_c, p.ts AS ts_p, c.ts AS ts_c
+        |  FROM p FULL OUTER JOIN c ON p.o_orderkey = c.o_orderkey)
+        |SELECT 'insert' AS view_op, vk_c AS vk, pk_c AS o_orderkey, ts_c AS ts
+        |FROM j WHERE pk_p IS NULL
+        |UNION ALL SELECT 'delete', vk_p, pk_p, ts_p FROM j WHERE pk_c IS NULL
+        |UNION ALL SELECT 'delete', vk_p, pk_p, ts_p FROM j
+        |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
+        |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS DISTINCT FROM vk_c
+        |UNION ALL SELECT 'insert', vk_c, pk_c, ts_c FROM j
+        |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
+        |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS DISTINCT FROM vk_c
+        |UNION ALL SELECT 'update', vk_c, pk_c, ts_c FROM j
+        |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
+        |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS NOT DISTINCT FROM vk_c""".stripMargin)),
+
+    Q("read_repair_quorum",
+      // Three-replica read repair: per-cell LWW resolve (associative
+      // pairwise folds) + the repair write-back count — how many
+      // (replica, cell) pairs a coordinator must rewrite, whole-row-absent
+      // counting every cell. All pk equi-joins; shuffle-free when replicas
+      // are bucketed by pk.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.readRepairReport(
+          Seq(lwwReplicaA(o), lwwReplicaB(o), lwwReplicaC(o)),
+          Seq("o_orderkey"), Seq("price" -> "wt_price", "prio" -> "wt_prio"))
+      },
+      Some(s"""WITH a AS ($lwwReplicaASql), b AS ($lwwReplicaBSql),
+        |c AS ($lwwReplicaCSql),
+        |${rrCellSql("price", "wt_price", "p")},
+        |${rrCellSql("prio", "wt_prio", "q")}
+        |SELECT rp.o_orderkey, rp.v AS price, rp.w AS wt_price,
+        |  rq.v AS prio, rq.w AS wt_prio,
+        |  CAST((3 - sp.n_match) + (3 - sq.n_match) AS BIGINT) AS n_stale
+        |FROM rp JOIN rq ON rp.o_orderkey = rq.o_orderkey
+        |JOIN sp ON rp.o_orderkey = sp.o_orderkey
+        |JOIN sq ON rp.o_orderkey = sq.o_orderkey""".stripMargin)),
+
+    Q("partition_size_report",
+      // Wide-partition histogram (per-order lineitem partitions bucketed
+      // by power-of-two byte size) — the operational check for partitions
+      // that stall compaction. Two map-side-combined group-bys, integer
+      // log2 via bin-string length (no float at bucket boundaries).
+      (s, d) => Cdc.partitionSizeReport(Tables.lineitem(s, d), "l_orderkey",
+        lit(100) + col("l_partkey") % 900
+          + length(col("l_returnflag")) + length(col("l_linestatus"))),
+      Some("""WITH p AS (SELECT l_orderkey, COUNT(*) AS n_rows,
+        |    SUM(100 + l_partkey % 900
+        |        + length(l_returnflag) + length(l_linestatus)) AS part_bytes
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(length(bin(part_bytes)) AS INT) AS bucket,
+        |  COUNT(*) AS n_partitions, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(SUM(part_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(part_bytes) AS BIGINT) AS max_part_bytes
+        |FROM p GROUP BY 1""".stripMargin)),
+
+    Q("batch_mutation_plan",
+      // Unlogged-batch planning over the snapshot-diff mutation feed:
+      // size-capped batches per md5 tile, row_number partitioned by tile
+      // (bounded per-tile state — never a global sort), one row per batch
+      // with its mutation mix and key span.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val p = prevSnapshot(o)
+        val c = currSnapshot(o)
+        val muts = Cdc.inserts(c, p, pk).select(col("o_orderkey"), lit("I").as("op"))
+          .unionByName(Cdc.deletes(c, p, pk).select(col("o_orderkey"), lit("D").as("op")))
+          .unionByName(Cdc.updates(c, p, pk).select(col("o_orderkey"), lit("U").as("op")))
+        Cdc.batchMutationPlan(muts, "o_orderkey", "op",
+          totalTiles = 8, maxBatch = 25)
+      },
+      Some(s"""WITH p AS ($prevSnapshotSql), c AS ($currSnapshotSql),
+        |m AS (
+        |  SELECT o_orderkey AS pk, 'I' AS op FROM c
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM p)
+        |  UNION ALL SELECT o_orderkey, 'D' FROM p
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+        |  UNION ALL SELECT c.o_orderkey, 'U' FROM c JOIN p USING (o_orderkey)
+        |    WHERE c.ts IS DISTINCT FROM p.ts),
+        |t AS (SELECT pk, op, CAST(${tileMd5Sql("pk", 8)} AS INT) AS tile FROM m),
+        |w AS (SELECT tile, op, pk,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY tile ORDER BY pk, op) - 1) // 25 AS INT)
+        |      AS batch_seq FROM t)
+        |SELECT tile, batch_seq, COUNT(*) AS n_mutations,
+        |  COUNT(CASE WHEN op = 'I' THEN 1 END) AS n_inserts,
+        |  COUNT(CASE WHEN op = 'U' THEN 1 END) AS n_updates,
+        |  COUNT(CASE WHEN op = 'D' THEN 1 END) AS n_deletes,
+        |  MIN(pk) AS min_key, MAX(pk) AS max_key
+        |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    Q("repair_range_digests",
+      // Merkle-style anti-entropy: per-token-range digest compare between
+      // source and target snapshots — finds WHICH ranges need streaming
+      // without shipping rows. Two group-bys + a ≤63-row full-outer join
+      // (63 buckets: coprime with 256 so both md5 mixer bytes land);
+      // the row digest is a portable fixed-multiplier mix (null ts folds
+      // to -1 so never-written rows still digest).
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.repairRangeDigests(currSnapshot(o), prevSnapshot(o),
+          "o_orderkey", "ts", totalBuckets = 63)
+      },
+      Some(s"""WITH s AS ($currSnapshotSql), t AS ($prevSnapshotSql),
+        |sd AS (SELECT CAST(${tileMd5Sql("o_orderkey", 63)} AS INT) AS bucket,
+        |    COUNT(*) AS n_src,
+        |    CAST(SUM((((o_orderkey * 2654435761 + COALESCE(ts, -1) * 40503)
+        |      % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS digest_src
+        |  FROM s GROUP BY 1),
+        |td AS (SELECT CAST(${tileMd5Sql("o_orderkey", 63)} AS INT) AS bucket,
+        |    COUNT(*) AS n_tgt,
+        |    CAST(SUM((((o_orderkey * 2654435761 + COALESCE(ts, -1) * 40503)
+        |      % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS digest_tgt
+        |  FROM t GROUP BY 1)
+        |SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
+        |  COALESCE(n_src, 0) AS n_src, COALESCE(n_tgt, 0) AS n_tgt,
+        |  COALESCE(digest_src, 0) AS digest_src,
+        |  COALESCE(digest_tgt, 0) AS digest_tgt,
+        |  CASE WHEN digest_src IS NOT DISTINCT FROM digest_tgt THEN 'match'
+        |       ELSE 'mismatch' END AS status
+        |FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

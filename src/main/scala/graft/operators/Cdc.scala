@@ -232,4 +232,175 @@ object Cdc {
         count(when(col("purgeable"), 1)).as("n_purgeable"),
         min(col(tsCol)).cast("long").as("oldest_ts"),
         max(col(tsCol)).cast("long").as("newest_ts"))
+
+  /** Materialized-view mutation derivation — the Cassandra MV maintenance
+    * semantic (a view re-keys base rows by a non-pk column; every base
+    * write must translate into view mutations, and a write that CHANGES
+    * the view key must delete the old view row before inserting the new
+    * one, or the view leaks ghosts). Given two base snapshots
+    * (`pk + viewKeyCol + ts`), emits the view mutation stream:
+    *
+    *  - base insert            → one view `insert` (curr key/ts)
+    *  - base delete            → one view `delete` (prev key/ts)
+    *  - base update, key same  → one view `update` (curr ts)
+    *  - base update, key moved → `delete`(prev key) + `insert`(curr key)
+    *
+    * One full-outer pk join; the ≤2-mutation fan-out is an explode over a
+    * filtered 2-element array built in the same projection — a single
+    * pass, no plan branch re-reads the join. With snapshots bucketed by
+    * pk the join is shuffle-free; the output is naturally partitionable
+    * by `view_key` for the view-side writer.
+    */
+  def mvMaintain(prev: DataFrame, curr: DataFrame, pkCols: Seq[String],
+                 viewKeyCol: String, tsCol: String = "ts"): DataFrame = {
+    val p = prev.alias("p")
+    val c = curr.alias("c")
+    val joinCond = pkCols.map(k => col(s"p.$k") === col(s"c.$k")).reduce(_ && _)
+    val pPk = col(s"p.${pkCols.head}")
+    val cPk = col(s"c.${pkCols.head}")
+    val pVk = col(s"p.$viewKeyCol")
+    val cVk = col(s"c.$viewKeyCol")
+    val pTs = col(s"p.$tsCol")
+    val cTs = col(s"c.$tsCol")
+    val tsChanged = !(pTs <=> cTs)
+    val vkChanged = !(pVk <=> cVk)
+    val mut = (op: Column, vk: Column, ts: Column) =>
+      struct(op.as("view_op"), vk.as("vk"), ts.as("mts"))
+    val muts =
+      when(pPk.isNull, array(mut(lit("insert"), cVk, cTs)))
+        .when(cPk.isNull, array(mut(lit("delete"), pVk, pTs)))
+        .when(tsChanged && vkChanged,
+          array(mut(lit("delete"), pVk, pTs), mut(lit("insert"), cVk, cTs)))
+        .when(tsChanged, array(mut(lit("update"), cVk, cTs)))
+        .otherwise(array().cast("array<struct<view_op:string,vk:long,mts:long>>"))
+    val pkOut = pkCols.map(k => coalesce(col(s"c.$k"), col(s"p.$k")).as(k))
+    p.join(c, joinCond, "full_outer")
+      .select(pkOut :+ explode(muts).as("m"): _*)
+      .select(
+        Seq(col("m.view_op").as("view_op"), col("m.vk").as(viewKeyCol)) ++
+          pkCols.map(col) :+ col("m.mts").cast("long").as("ts"): _*)
+  }
+
+  /** Three-replica read-repair: resolves every cell via last-writer-wins
+    * across N replicas (pairwise [[cellLwwMerge]] folds — LWW is
+    * associative, so the fold order cannot change the winner) and counts,
+    * per row, how many (replica, cell) pairs disagree with the resolved
+    * value — the repair write-back volume a coordinator would issue after
+    * a digest mismatch. A replica missing the row entirely counts every
+    * cell stale (the repair must write the whole row there).
+    *
+    * N+… pk-equi-joins (N−1 merge folds + N stale-compare joins), all
+    * shuffle-free when replicas are bucket-partitioned by pk; no window,
+    * no explode.
+    */
+  def readRepairReport(replicas: Seq[DataFrame], pkCols: Seq[String],
+                       cells: Seq[(String, String)]): DataFrame = {
+    require(replicas.size >= 2, "need at least two replicas")
+    val resolved = replicas.reduce(cellLwwMerge(_, _, pkCols, cells))
+    replicas.zipWithIndex.foldLeft(resolved.withColumn("n_stale", lit(0L))) {
+      case (acc, (r, i)) =>
+        val marked = r.select(
+          pkCols.map(col) ++
+            cells.flatMap { case (v, w) =>
+              Seq(col(v).as(s"__r${i}_$v"), col(w).as(s"__r${i}_$w"))
+            } :+ lit(true).as(s"__r${i}_present"): _*)
+        val stale = cells.map { case (v, w) =>
+          when(col(s"__r${i}_present").isNull, lit(1L))
+            .otherwise(((!(col(v) <=> col(s"__r${i}_$v"))) ||
+              (!(col(w) <=> col(s"__r${i}_$w")))).cast("long"))
+        }.reduce(_ + _)
+        acc.join(marked, pkCols, "left")
+          .withColumn("n_stale", col("n_stale") + stale)
+          .drop(cells.flatMap { case (v, w) =>
+            Seq(s"__r${i}_$v", s"__r${i}_$w")
+          } :+ s"__r${i}_present": _*)
+    }
+  }
+
+  /** Wide-partition report — the Cassandra operational check for
+    * partitions that outgrow a node's comfort (compaction stalls, read
+    * amplification). Rows group by their partition key with an
+    * estimated-bytes column; partitions then histogram by power-of-two
+    * size bucket. Both aggregations are plain map-side-combined
+    * group-bys; the per-partition relation never sorts globally. The
+    * bucket is `length(bin(bytes))` = floor(log2)+1 computed on INTEGERS
+    * (no floating log at bucket boundaries — engine-portable).
+    */
+  def partitionSizeReport(rows: DataFrame, pkCol: String,
+                          estBytes: Column): DataFrame =
+    rows
+      .groupBy(col(pkCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(estBytes.cast("long")).as("part_bytes"))
+      .withColumn("bucket", length(bin(col("part_bytes"))).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_partitions"),
+        sum(col("n_rows")).cast("long").as("total_rows"),
+        sum(col("part_bytes")).cast("long").as("total_bytes"),
+        max(col("part_bytes")).cast("long").as("max_part_bytes"))
+
+  /** Unlogged-batch planning: groups a mutation feed (`pk + op`) into
+    * per-tile batches of at most `maxBatch` mutations — the
+    * "batch by partition, cap the size" discipline a Cassandra writer
+    * follows (oversized batches trip the coordinator's warn/fail
+    * thresholds; cross-partition batches lose atomicity anyway). The
+    * tile is the portable md5 work-unit hash ([[tileMd5]], the
+    * reference's tiling with an engine-portable mixer); the batch
+    * sequence is a row_number PARTITIONED BY TILE — bounded per-tile
+    * state, never a global sort. Output: one row per batch with its
+    * mutation mix and key span.
+    */
+  def batchMutationPlan(mutations: DataFrame, pkCol: String, opCol: String,
+                        totalTiles: Int, maxBatch: Int): DataFrame = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tiled = mutations.withColumn("tile", tileMd5(col(pkCol), totalTiles))
+    val w = Window.partitionBy(col("tile")).orderBy(col(pkCol), col(opCol))
+    tiled
+      .withColumn("batch_seq",
+        ((row_number().over(w) - 1) / maxBatch).cast("int"))
+      .groupBy("tile", "batch_seq")
+      .agg(
+        count(lit(1)).as("n_mutations"),
+        count(when(col(opCol) === "I", 1)).as("n_inserts"),
+        count(when(col(opCol) === "U", 1)).as("n_updates"),
+        count(when(col(opCol) === "D", 1)).as("n_deletes"),
+        min(col(pkCol)).as("min_key"),
+        max(col(pkCol)).as("max_key"))
+  }
+
+  /** Merkle-style repair planning: hashes each side's rows into
+    * token-range buckets, sums a portable per-row digest per bucket, and
+    * compares bucket digests — the anti-entropy primitive (nodetool
+    * repair) that finds WHICH ranges need streaming without shipping a
+    * single row. Two group-bys + one tiny full-outer join on the
+    * bucket id (`totalBuckets` rows); per-row digests stay < 2³⁰ so a
+    * bucket sum never overflows a long below ~2⁶³⁻³⁰ rows per bucket.
+    * The row digest mixes pk and ts with fixed odd multipliers mod a
+    * prime — deterministic and reproducible in any engine (no xxhash
+    * dependency), null ts folded to −1 so never-written cells still
+    * digest.
+    */
+  def repairRangeDigests(source: DataFrame, target: DataFrame,
+                         pkCol: String, tsCol: String,
+                         totalBuckets: Int): DataFrame = {
+    def digest(df: DataFrame, n: String, d: String): DataFrame =
+      df.withColumn("bucket", tileMd5(col(pkCol), totalBuckets))
+        .withColumn("__h",
+          pmod(col(pkCol) * lit(2654435761L) +
+            coalesce(col(tsCol), lit(-1L)) * lit(40503L), lit(1000000007L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(n), sum(col("__h")).cast("long").as(d))
+    digest(source, "n_src", "digest_src")
+      .join(digest(target, "n_tgt", "digest_tgt"), Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"),
+        coalesce(col("digest_src"), lit(0L)).as("digest_src"),
+        coalesce(col("digest_tgt"), lit(0L)).as("digest_tgt"),
+        when(col("digest_src") <=> col("digest_tgt"), lit("match"))
+          .otherwise(lit("mismatch")).as("status"))
+  }
 }

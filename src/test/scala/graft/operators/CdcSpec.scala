@@ -145,4 +145,87 @@ class CdcSpec extends SparkSpec {
     assert(got(0L) == ((3L, 2L, 999L, 1001L)))
     assert(got(86400L) == ((1L, 0L, 87000L, 87000L)))
   }
+
+  test("mvMaintain: inserts, deletes, updates, and view-key moves") {
+    val prev = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 40L, 400L)).toDF("id", "vk", "ts")
+    val curr = Seq((1L, 10L, 100L),   // unchanged → no mutation
+      (2L, 20L, 201L),                // ts bump, key same → update
+      (3L, 31L, 301L),                // key moved → delete + insert
+      (5L, 50L, 500L)                 // new → insert
+    ).toDF("id", "vk", "ts")          // id 4 gone → delete
+    val got = Cdc.mvMaintain(prev, curr, Seq("id"), "vk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      ("update", 20L, 2L, 201L),
+      ("delete", 30L, 3L, 300L), ("insert", 31L, 3L, 301L),
+      ("insert", 50L, 5L, 500L),
+      ("delete", 40L, 4L, 400L)))
+  }
+
+  test("readRepairReport: LWW resolve + stale count, missing row all-stale") {
+    def rep(rows: (Long, java.lang.Long, java.lang.Long)*) =
+      rows.toDF("id", "v", "w")
+    // id 1: c has the newest write; a and b stale (1 cell each) → 2
+    // id 2: all three agree → 0 stale
+    // id 3: absent from c (1 cell stale), b older (1) → 2
+    // null writetime loses: id 4 — a has null w, b written → a stale
+    val a = rep((1L, 10L, 1L), (2L, 7L, 5L), (3L, 30L, 9L), (4L, null, null))
+    val b = rep((1L, 11L, 2L), (2L, 7L, 5L), (3L, 29L, 8L), (4L, 44L, 4L))
+    val c = rep((1L, 12L, 3L), (2L, 7L, 5L))
+    val got = Cdc.readRepairReport(Seq(a, b, c), Seq("id"), Seq("v" -> "w"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    assert(got(1L) === ((Some(12L), 2L)))
+    assert(got(2L) === ((Some(7L), 0L)))
+    assert(got(3L) === ((Some(30L), 2L)))   // c absent → 1 stale + b stale
+    assert(got(4L) === ((Some(44L), 2L)))   // a's null-w cell + c absent
+  }
+
+  test("partitionSizeReport: integer log2 bucket = bin-string length") {
+    val rows = Seq(
+      (1L, 3L), (1L, 4L),     // partition 1: 7 bytes → bin '111' → bucket 3
+      (2L, 1024L),            // partition 2: bin length 11
+      (3L, 1023L)             // partition 3: bin length 10
+    ).toDF("pk", "bytes")
+    val got = Cdc.partitionSizeReport(rows, "pk", col("bytes"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      3 -> ((1L, 2L, 7L, 7L)),
+      11 -> ((1L, 1L, 1024L, 1024L)),
+      10 -> ((1L, 1L, 1023L, 1023L))))
+  }
+
+  test("batchMutationPlan: per-tile batches capped at maxBatch") {
+    val muts = (1L to 100L).map(k => (k, if (k % 3 == 0) "U" else "I"))
+      .toDF("pk", "op")
+    val plan = Cdc.batchMutationPlan(muts, "pk", "op",
+      totalTiles = 4, maxBatch = 10).collect()
+    assert(plan.forall(_.getLong(2) <= 10L))
+    // every mutation lands in exactly one batch
+    assert(plan.map(_.getLong(2)).sum === 100L)
+    // batch_seq is dense per tile from 0
+    plan.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val seqs = rows.map(_.getInt(1)).sorted
+      assert(seqs === (0 until seqs.length).toArray)
+      // only the LAST batch of a tile may be partial
+      val partial = rows.filter(_.getLong(2) < 10L)
+      assert(partial.length <= 1)
+      if (partial.nonEmpty) assert(partial.head.getInt(1) === seqs.max)
+    }
+  }
+
+  test("repairRangeDigests: equal snapshots match; a changed row flips only its bucket") {
+    val src = (1L to 500L).map(k => (k, k * 7L)).toDF("id", "ts")
+    val same = Cdc.repairRangeDigests(src, src, "id", "ts", 16).collect()
+    assert(same.nonEmpty && same.forall(_.getString(5) == "match"))
+    val tgt = (1L to 500L).map(k => (k, if (k == 250L) 0L else k * 7L))
+      .toDF("id", "ts")
+    val diff = Cdc.repairRangeDigests(src, tgt, "id", "ts", 16).collect()
+    assert(diff.count(_.getString(5) == "mismatch") === 1)
+    // counts still agree — only the digest flags the drift
+    assert(diff.forall(r => r.getLong(1) === r.getLong(2)))
+  }
 }
