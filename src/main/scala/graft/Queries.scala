@@ -4464,7 +4464,115 @@ object Queries {
         |  COALESCE(digest_tgt, 0) AS digest_tgt,
         |  CASE WHEN digest_src IS NOT DISTINCT FROM digest_tgt THEN 'match'
         |       ELSE 'mismatch' END AS status
-        |FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket""".stripMargin))
+        |FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket""".stripMargin)),
+
+    Q("token_budget_select",
+      // Best-B-tokens-per-source selection (greedy by score desc, id asc)
+      // WITHOUT sorting the corpus: the cumulative window runs over the
+      // (source, score) histogram; only the single boundary score group
+      // per source pays a per-doc window. Oracle computes the naive
+      // sorted-prefix definition directly — same rows.
+      (s, d) => {
+        val tok = split(col("text"), " ")
+        Sampling.tokenBudgetSelect(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            size(tok).cast("long").as("toks"),
+            size(array_distinct(tok)).cast("long").as("score")),
+          "doc_id", "source", "toks", "score", budget = 20000L)
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, doc_id, n_tokens, score FROM w WHERE cum <= 20000""".stripMargin)),
+
+    Q("kl_divergence_sources",
+      // Per-source unigram KL vs the corpus distribution — the
+      // distribution-shift panel next to token_entropy. Row-wise double
+      // terms, DECIMAL sum, corpus total broadcast.
+      (s, d) => TextAnalysis.klDivergenceSources(Tables.documents(s, d),
+        "source", "text"),
+      Some("""WITH st AS (SELECT source, tok, COUNT(*) AS c FROM
+        |    (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |t AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM st)
+        |SELECT st.source, MAX(s.ns) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST((CAST(st.c AS DOUBLE) / s.ns) *
+        |    ln((CAST(st.c AS DOUBLE) / s.ns) / (CAST(t.ct AS DOUBLE) / n.nn))
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0 AS kl_nats
+        |FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
+        |GROUP BY st.source""".stripMargin)),
+
+    Q("template_topk",
+      // Boilerplate-template mining: top-50 leading-8-token templates by
+      // document count with source spread + example id — ranked by the
+      // distributed TakeOrdered idiom, never a corpus-wide window.
+      (s, d) => TextAnalysis.templateTopK(Tables.documents(s, d),
+        "doc_id", "source", "text", prefixTokens = 8, k = 50),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |      AS template
+        |  FROM documents),
+        |g AS (SELECT template, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    MIN(doc_id) AS example_doc_id FROM t GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, template)
+        |    AS rank FROM g ORDER BY n_docs DESC, template LIMIT 50)
+        |SELECT CAST(rank AS BIGINT) AS rank, template, n_docs, n_sources,
+        |  example_doc_id FROM r""".stripMargin)),
+
+    Q("funnel_conversion_time",
+      // view→purchase conversion LATENCY: exact p50/p90 over
+      // microsecond-precise first-view→first-subsequent-purchase diffs +
+      // conversion ppm. Two user-keyed aggs + one equi-join.
+      (s, d) => Analytics.funnelConversionTime(Tables.events(s, d),
+        "user_id", "event_type", "ts", fromType = "view", toType = "purchase"),
+      Some("""WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us
+        |    FROM events WHERE event_type = 'view' GROUP BY 1),
+        |cv AS (SELECT e.user_id, MIN(epoch_us(e.ts) - fv.first_us) AS lat_us
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.first_us
+        |  GROUP BY 1),
+        |j AS (SELECT fv.user_id, cv.lat_us FROM fv
+        |  LEFT JOIN cv ON fv.user_id = cv.user_id)
+        |SELECT COUNT(*) AS n_first, COUNT(lat_us) AS n_converted,
+        |  COUNT(lat_us) * 1000000 // COUNT(*) AS conv_ppm,
+        |  ROUND(quantile_cont(lat_us, 0.5) / 1e6, 6) AS p50_secs,
+        |  ROUND(quantile_cont(lat_us, 0.9) / 1e6, 6) AS p90_secs
+        |FROM j""".stripMargin)),
+
+    Q("centroid_drift",
+      // Embedding-drift monitor: per-label centroid cosine between two
+      // corpus slices (even/odd ids here) — the retraining tripwire.
+      // DECIMAL per-dim means; everything past the first agg is
+      // corpus-size-independent.
+      (s, d) => Ann.centroidDrift(
+        Tables.embeddings(s, d)
+          .withColumn("slice", (col("vec_id") % 2).cast("int")),
+        "embedding", "label", "slice"),
+      Some("""WITH d AS (SELECT label, CAST(vec_id % 2 AS INT) AS half,
+        |    unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings),
+        |v AS (SELECT label, half, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS xd FROM d),
+        |m AS (SELECT label, half, dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM v GROUP BY 1, 2, 3),
+        |j AS (SELECT m0.label, m0.dim, m0.n AS n0, m1.n AS n1,
+        |    m0.m AS m0, m1.m AS m1
+        |  FROM m m0 JOIN m m1 ON m0.label = m1.label AND m0.dim = m1.dim
+        |    AND m0.half = 0 AND m1.half = 1),
+        |a AS (SELECT label, MAX(n0) AS n_a, MAX(n1) AS n_b,
+        |    CAST(SUM(CAST(m0 * m1 AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(m0 * m0 AS DECIMAL(38,12))) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST(m1 * m1 AS DECIMAL(38,12))) AS DOUBLE) AS s1
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_a, n_b, ROUND(dot / sqrt(s0 * s1), 6) AS centroid_cos
+        |FROM a""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB

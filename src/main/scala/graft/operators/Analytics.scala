@@ -297,4 +297,36 @@ object Analytics {
         round(sum(term.cast("decimal(38,12)")).cast("double"), 6)
           .as("decayed_value"))
   }
+
+  /** Funnel conversion LATENCY: among users whose first `fromType` event
+    * converts to a later `toType` event, the time-to-convert distribution
+    * (exact p50/p90 over microsecond-precise diffs) plus the conversion
+    * rate in exact ppm — the panel behind "how long does view→purchase
+    * take", where [[Queries]]' events_funnel only counts who converts.
+    * Two user-keyed aggregates + one equi-join (the ts ≥ first-touch
+    * bound is a post-join filter, not an inequality join); the final
+    * percentile aggregates the users-sized relation.
+    */
+  def funnelConversionTime(events: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String,
+                           fromType: String, toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(unix_micros(col(tsCol))).as("first_us"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("user"), unix_micros(col(tsCol)).as("to_us"))
+      .join(first, "user")
+      .filter(col("to_us") >= col("first_us"))
+      .groupBy("user")
+      .agg(min(col("to_us") - col("first_us")).as("lat_us"))
+    first.join(conv, Seq("user"), "left")
+      .agg(
+        count(lit(1)).as("n_first"),
+        count(col("lat_us")).as("n_converted"),
+        round(percentile(col("lat_us"), lit(0.5)) / 1e6, 6).as("p50_secs"),
+        round(percentile(col("lat_us"), lit(0.9)) / 1e6, 6).as("p90_secs"))
+      .select(col("n_first"), col("n_converted"),
+        expr("n_converted * 1000000 div n_first").as("conv_ppm"),
+        col("p50_secs"), col("p90_secs"))
+  }
 }

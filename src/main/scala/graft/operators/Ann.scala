@@ -800,4 +800,41 @@ object Ann {
       .select(col("nprobe"), col("n_hits"),
         expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
   }
+
+  /** Embedding-drift monitor: per label, the cosine between the centroid
+    * of one corpus slice and the centroid of another (here: a caller-
+    * supplied boolean split column) — the retraining tripwire that
+    * catches a drifting encoder or a poisoned refresh before it reaches
+    * the index. Per-dimension means accumulate in DECIMAL (partitioning-
+    * independent, the [[dimStats]] discipline); the cosine folds over the
+    * |dims|-sized mean relation — everything after the first aggregate is
+    * corpus-size-independent.
+    */
+  def centroidDrift(emb: DataFrame, vecCol: String, labelCol: String,
+                    sliceCol: String): DataFrame = {
+    val means = emb.select(col(labelCol).as("label"),
+        col(sliceCol).cast("int").as("half"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("half"), col("dim"),
+        col("x").cast("double").as("xd"))
+      .groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd").cast("decimal(38,12)")).as("sx"))
+      .select(col("label"), col("half"), col("dim"), col("n"),
+        (col("sx").cast("double") / col("n")).as("m"))
+    val h0 = means.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("n").as("n0"), col("m").as("m0"))
+    val h1 = means.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("n").as("n1"), col("m").as("m1"))
+    h0.join(h1, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        sum((col("m0") * col("m1")).cast("decimal(38,12)")).as("dot"),
+        sum((col("m0") * col("m0")).cast("decimal(38,12)")).as("s0"),
+        sum((col("m1") * col("m1")).cast("decimal(38,12)")).as("s1"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("s0").cast("double") * col("s1").cast("double")), 6)
+          .as("centroid_cos"))
+  }
 }

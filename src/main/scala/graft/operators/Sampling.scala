@@ -127,4 +127,49 @@ object Sampling {
         Seq(col(scoreCol).desc, col(keyCol)), cap)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** Token-budget-constrained corpus selection: per source, take documents
+    * greedily by (score desc, id asc) while the running token total stays
+    * within `budget` — the "best B tokens per source" knapsack heuristic a
+    * pretraining mix is actually built with.
+    *
+    * The greedy prefix is computed WITHOUT sorting the corpus: documents
+    * first collapse to a (source, score) histogram (n_docs, group tokens);
+    * the cumulative window runs over THAT relation — bounded by distinct
+    * scores per source, thousands of rows where the corpus has billions —
+    * picking each source's cutoff score and the token room left there.
+    * Score groups strictly inside the budget join back semi-style (no
+    * per-doc window at all); only the single boundary group per source
+    * pays a per-doc cumulative window, and that group alone is orders of
+    * magnitude smaller than the corpus. Output = the selected documents
+    * (equal to the naive sorted-prefix definition, which the oracle
+    * computes directly).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, sourceCol: String,
+                        tokensCol: String, scoreCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val d = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"),
+      col(scoreCol).cast("long").as("score"))
+    val grp = d.groupBy("source", "score")
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    val wg = Window.partitionBy("source").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g2 = grp.withColumn("cum", sum(col("g_tokens")).over(wg))
+    val full = g2.filter(col("cum") <= budget).select("source", "score")
+    val boundary = g2
+      .filter(col("cum") > budget && col("cum") - col("g_tokens") <= budget)
+      .select(col("source"), col("score"),
+        (lit(budget) - (col("cum") - col("g_tokens"))).as("room"))
+    val wd = Window.partitionBy("source", "score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryDocs = d.join(boundary, Seq("source", "score"))
+      .withColumn("cumd", sum(col("n_tokens")).over(wd))
+      .filter(col("cumd") <= col("room"))
+      .select("source", "doc_id", "n_tokens", "score")
+    d.join(full, Seq("source", "score"), "left_semi")
+      .select("source", "doc_id", "n_tokens", "score")
+      .unionByName(boundaryDocs)
+  }
 }

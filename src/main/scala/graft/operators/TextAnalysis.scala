@@ -732,4 +732,57 @@ object TextAnalysis {
         trim(regexp_replace(regexp_replace(lower(col(textCol)),
           "[^a-z0-9 ]", ""), " +", " ")))
       .withColumn("changed", col("norm_text") =!= col(textCol))
+
+  /** Per-source unigram KL divergence vs the corpus distribution —
+    * D(p_s ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * distribution-shift panel next to [[tokenEntropy]]: a source whose
+    * token mix diverges from the pool (spam floods, wrong language,
+    * template farms) reads high. Every source term exists in the corpus
+    * (p_c > 0), so the sum is always finite. Three map-side-combined
+    * group-bys; the per-term doubles are row-wise and the terms sum in
+    * DECIMAL (order-independent); the corpus-total scalar broadcasts.
+    */
+  def klDivergenceSources(docs: DataFrame, sourceCol: String,
+                          textCol: String): DataFrame = {
+    val st = docs.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val perSource = st.groupBy("source").agg(sum(col("c")).cast("long").as("ns"))
+    val perTok = st.groupBy("tok").agg(sum(col("c")).cast("long").as("ct"))
+    val total = st.agg(sum(col("c")).cast("long").as("nn"))
+    val ps = col("c").cast("double") / col("ns")
+    val pc = col("ct").cast("double") / col("nn")
+    st.join(perSource, "source")
+      .join(perTok, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("ns"),
+        (ps * log(ps / pc)).cast("decimal(38,12)").as("term"))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"),
+        // + 0.0 folds a rounded -0.0 to 0.0 (engine-portable rendering)
+        (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("kl_nats"))
+  }
+
+  /** Boilerplate-template mining: documents collapse to their leading
+    * `prefixTokens`-token template; the top-`k` templates by document
+    * count (with source spread and a deterministic example id) surface
+    * the mirror/chrome candidates a boilerplate filter should review.
+    * One group-by + the distributed TakeOrdered ranking
+    * ([[Analytics.topKRanked]] — never a corpus-wide window).
+    */
+  def templateTopK(docs: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String, prefixTokens: Int, k: Int): DataFrame = {
+    require(prefixTokens > 0, "prefixTokens must be positive")
+    val g = docs.select(
+        array_join(slice(split(col(textCol), " "), 1, prefixTokens), " ")
+          .as("template"),
+        col(sourceCol).as("source"), col(idCol).as("doc_id"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc_id"))
+    Analytics.topKRanked(g, "n_docs", "template", k)
+      .select(col("rank"), col("template"), col("n_docs"),
+        col("n_sources"), col("example_doc_id"))
+  }
 }

@@ -199,4 +199,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1L) == ((3L, 14.0)))
     assert(got(2L) == ((1L, 2.0)))
   }
+
+  test("funnelConversionTime: first-view to first-later-purchase latency") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ev(u: Long, t: String, sec: Long) =
+      (u, t, new java.sql.Timestamp(sec * 1000L))
+    val events = Seq(
+      ev(1L, "view", 100L), ev(1L, "purchase", 160L),  // 60 s
+      ev(1L, "purchase", 300L),                         // later, ignored
+      ev(2L, "view", 200L), ev(2L, "purchase", 150L),   // purchase BEFORE
+      ev(2L, "purchase", 220L),                         // → 20 s counts
+      ev(3L, "view", 50L),                              // never converts
+      ev(4L, "purchase", 10L)                           // never viewed
+    ).toDF("user_id", "event_type", "ts")
+    val r = Analytics.funnelConversionTime(events, "user_id", "event_type",
+      "ts", "view", "purchase").collect().head
+    assert(r.getLong(0) === 3L)          // viewers 1,2,3
+    assert(r.getLong(1) === 2L)          // converted 1,2
+    assert(r.getLong(2) === 666666L)     // 2e6 div 3
+    assert(r.getDouble(3) === 40.0)      // median of 60,20
+    assert(r.getDouble(4) === 56.0)      // p90 interpolates toward 60
+  }
 }

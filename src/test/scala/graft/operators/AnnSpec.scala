@@ -718,4 +718,24 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(dups.toSeq === Seq(((1L << 62) - 1, 2L, 1L)))
   }
+
+  test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Seq(
+      // label 1: both slices centered on (1,0) → cos 1
+      (0L, Array(1.0f, 0.0f), 1, 0),
+      (1L, Array(1.0f, 0.0f), 1, 1),
+      (2L, Array(3.0f, 0.0f), 1, 0),
+      (3L, Array(3.0f, 0.0f), 1, 1),
+      // label 2: slice 0 on x, slice 1 on y → cos 0
+      (4L, Array(2.0f, 0.0f), 2, 0),
+      (5L, Array(0.0f, 5.0f), 2, 1)
+    ).toDF("vec_id", "embedding", "label", "slice")
+    val got = Ann.centroidDrift(emb, "embedding", "label", "slice")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) === ((2L, 2L, 1.0)))
+    assert(got(2) === ((1L, 1L, 0.0)))
+  }
 }

@@ -88,4 +88,43 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(got2 == got)
   }
+
+  test("tokenBudgetSelect equals the naive sorted-prefix definition") {
+    val docs = Seq(
+      // source a: scores 9,9,7,7,7,3 with tokens 40,40,30,30,30,10
+      ("a", 1L, 40L, 9L), ("a", 2L, 40L, 9L),
+      ("a", 3L, 30L, 7L), ("a", 4L, 30L, 7L), ("a", 5L, 30L, 7L),
+      ("a", 6L, 10L, 3L),
+      // source b fits entirely
+      ("b", 7L, 50L, 5L), ("b", 8L, 20L, 1L)
+    ).toDF("source", "doc_id", "toks", "score")
+    // budget 110 for a: 40+40 full (score 9, cum 80); score-7 group cum
+    // 170 > 110 → boundary, room 30 → doc 3 only; score 3 out.
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "source", "toks",
+        "score", budget = 110L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 7L), ("b", 8L)))
+    // naive definition computed with a per-source sorted window must agree
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= 110L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got === naive)
+  }
+
+  test("tokenBudgetSelect: boundary group with zero room selects nothing there") {
+    val docs = Seq(
+      ("a", 1L, 100L, 9L),   // fills the budget exactly
+      ("a", 2L, 10L, 5L),    // boundary group, room 0
+      ("a", 3L, 10L, 5L)
+    ).toDF("source", "doc_id", "toks", "score")
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "source", "toks",
+        "score", budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
 }

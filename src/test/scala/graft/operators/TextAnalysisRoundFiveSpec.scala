@@ -208,4 +208,43 @@ class TextAnalysisRoundFiveSpec extends SparkSpec {
     // variants 1 and 2 now collide for exact dedup
     assert(m(1L)._1 == m(2L)._1)
   }
+
+  test("klDivergenceSources: zero when a source matches the pool, positive when skewed") {
+    val docs = Seq(
+      (1L, "x", "a b"), (2L, "x", "a b"),
+      (3L, "y", "a b"), (4L, "y", "a b")
+    ).toDF("doc_id", "source", "text")
+    val same = TextAnalysis.klDivergenceSources(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // both sources have the exact corpus distribution → KL = 0 (and the
+    // +0.0 fold keeps the rounded zero positive)
+    assert(same("x") === 0.0 && !(1.0 / same("x") < 0))
+    assert(same("y") === 0.0)
+    val skewed = Seq(
+      (1L, "x", "a a a a"), (2L, "y", "a b b b")
+    ).toDF("doc_id", "source", "text")
+    val kl = TextAnalysis.klDivergenceSources(skewed, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // x: p(a)=1 vs corpus p(a)=5/8 → KL = ln(8/5)
+    assert(math.abs(kl("x") - math.log(8.0 / 5.0)) < 1e-6)
+    assert(kl("y") > 0.0)
+  }
+
+  test("templateTopK ranks leading-token templates with dense ties") {
+    val docs = Seq(
+      (10L, "s1", "the quick brown fox one"),
+      (11L, "s2", "the quick brown fox two"),
+      (12L, "s1", "the quick brown fox three"),
+      (13L, "s1", "lone wolf document here"),
+      (14L, "s2", "another single doc text")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.templateTopK(docs, "doc_id", "source", "text",
+        prefixTokens = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length === 2)
+    assert(got.head === ((1L, "the quick brown fox", 3L, 2L, 10L)))
+    // rank-2 is the lexicographically first of the count-1 templates
+    assert(got(1)._1 === 2L && got(1)._3 === 1L)
+  }
 }
