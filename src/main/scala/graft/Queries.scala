@@ -4572,7 +4572,113 @@ object Queries {
         |    CAST(SUM(CAST(m1 * m1 AS DECIMAL(38,12))) AS DOUBLE) AS s1
         |  FROM j GROUP BY 1)
         |SELECT label, n_a, n_b, ROUND(dot / sqrt(s0 * s1), 6) AS centroid_cos
-        |FROM a""".stripMargin))
+        |FROM a""".stripMargin)),
+
+    Q("ngram_novelty",
+      // Per-doc share of bigrams that exist in NO other document (df=1) —
+      // originality vs phrase-recombination, the per-doc complement of the
+      // dedup reports. Integer-exact ppm; distinct (doc, gram) before the
+      // df aggregate bounds the relation by content volume.
+      (s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d),
+        "doc_id", "text", n = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+        |df AS (SELECT gram, COUNT(*) AS gdf FROM g GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN df.gdf = 1 THEN 1 END) AS n_unique,
+        |  COUNT(CASE WHEN df.gdf = 1 THEN 1 END) * 1000000 // COUNT(*)
+        |    AS novelty_ppm
+        |FROM g JOIN df USING (gram) GROUP BY 1""".stripMargin)),
+
+    Q("tokenizer_fertility",
+      // Tokens-per-word and chars-per-subtoken per source under the BPE
+      // proxy — the corpus-budgeting heuristic. One map-side aggregate,
+      // integer-exact ppm.
+      (s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d),
+        "source", "text", "n_chars"),
+      Some("""WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    (n_chars + 3) // 4 AS bpe, n_chars FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(ws) AS BIGINT) AS n_words,
+        |    CAST(SUM(bpe) AS BIGINT) AS n_subtokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS nch
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_subtokens,
+        |  n_subtokens * 1000000 // n_words AS fertility_ppm,
+        |  nch * 1000000 // n_subtokens AS chars_per_subtoken_ppm
+        |FROM a""".stripMargin)),
+
+    Q("preference_pairs",
+      // Reward-model pair construction: per prompt template, (best, worst)
+      // by score with deterministic id tie-breaks, strict-gap groups only.
+      // One group-by with struct-ordered min/max — no window, no self-join.
+      (s, d) => {
+        val tok = split(col("text"), " ")
+        TextAnalysis.preferencePairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text"),
+            size(array_distinct(tok)).cast("long").as("score")),
+          "doc_id", "text", "score", prefixTokens = 8)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |      AS template,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY template
+        |      ORDER BY score DESC, doc_id ASC) AS rb,
+        |    ROW_NUMBER() OVER (PARTITION BY template
+        |      ORDER BY score ASC, doc_id DESC) AS rw,
+        |    COUNT(*) OVER (PARTITION BY template) AS n_docs
+        |  FROM d),
+        |b AS (SELECT template, n_docs, doc_id AS chosen_id,
+        |    score AS chosen_score FROM r WHERE rb = 1),
+        |w2 AS (SELECT template, doc_id AS rejected_id,
+        |    score AS rejected_score FROM r WHERE rw = 1)
+        |SELECT b.template, CAST(b.n_docs AS BIGINT) AS n_docs, b.chosen_id,
+        |  b.chosen_score, w2.rejected_id, w2.rejected_score
+        |FROM b JOIN w2 USING (template)
+        |WHERE b.n_docs >= 2 AND b.chosen_score > w2.rejected_score""".stripMargin)),
+
+    Q("mixture_epochs",
+      // Data-mixture epoch planning: √tokens (τ=0.5) weights → per-source
+      // repeat factor for a 1M-token budget — the data-card calculation.
+      // One corpus aggregate; the rest is sources-sized + a 1-row total.
+      (s, d) => Sampling.mixtureEpochs(
+        Tables.documents(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "source", "toks", targetTotal = 1000000L),
+      Some("""WITH p AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM p),
+        |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw FROM q)
+        |SELECT source, n_tokens, ROUND(w / sw, 6) AS weight,
+        |  ROUND(1000000.0 * (w / sw) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM q CROSS JOIN t""".stripMargin)),
+
+    Q("events_daily_anomaly",
+      // Volume-spike tripwire: per (type, day) counts vs that type's own
+      // day-count mean+3σ (stats over the DAYS relation, never the log).
+      (s, d) => Analytics.dailyCountAnomalies(Tables.events(s, d),
+        "event_type", "ts", k = 3.0),
+      Some("""WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n * n AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM daily GROUP BY 1),
+        |m AS (SELECT event_type, s1 / n_days AS mean_n,
+        |    sqrt(s2 / n_days - (s1 / n_days) * (s1 / n_days)) AS sd_n FROM st)
+        |SELECT d.event_type, d.day, d.n, ROUND(m.mean_n, 6) AS mean_n,
+        |  ROUND(m.sd_n, 6) AS sd_n,
+        |  CAST(d.n AS DOUBLE) > m.mean_n + 3.0 * m.sd_n AS is_spike
+        |FROM daily d JOIN m USING (event_type)""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB

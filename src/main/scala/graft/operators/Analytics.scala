@@ -329,4 +329,33 @@ object Analytics {
         expr("n_converted * 1000000 div n_first").as("conv_ppm"),
         col("p50_secs"), col("p90_secs"))
   }
+
+  /** Daily-count anomaly screen: per (event type, day) counts flagged
+    * against that type's own day-count distribution (population mean/σ
+    * over the days relation — a few hundred rows, never the event log) —
+    * the volume-spike tripwire a pipeline owner watches, where
+    * zscore_outliers screens individual event VALUES. Count aggregation
+    * is map-side combined; the per-type stats join back by type.
+    */
+  def dailyCountAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                          k: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n").cast("decimal(38,6)")).as("s1"),
+        sum((col("n") * col("n")).cast("decimal(38,6)")).as("s2"))
+      .select(col("event_type"), col("n_days"),
+        (col("s1").cast("double") / col("n_days")).as("mean_n"),
+        sqrt(col("s2").cast("double") / col("n_days") -
+          (col("s1").cast("double") / col("n_days")) *
+          (col("s1").cast("double") / col("n_days"))).as("sd_n"))
+    daily.join(stats, "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("mean_n"), 6).as("mean_n"),
+        round(col("sd_n"), 6).as("sd_n"),
+        (col("n").cast("double") > col("mean_n") + lit(k) * col("sd_n"))
+          .as("is_spike"))
+  }
 }

@@ -172,4 +172,26 @@ object Sampling {
       .select("source", "doc_id", "n_tokens", "score")
       .unionByName(boundaryDocs)
   }
+
+  /** Data-mixture epoch planning: given per-source token totals and a
+    * target training budget, how many EPOCHS (repeat factor) of each
+    * source a temperature-τ=0.5 mix implies — weight ∝ √tokens, so small
+    * sources up-sample and mega-sources down-sample (the published
+    * data-card calculation for multilingual/multi-source pretraining
+    * mixes). One corpus aggregate; everything after is a sources-sized
+    * relation with a broadcast 1-row total.
+    */
+  def mixtureEpochs(docs: DataFrame, sourceCol: String, tokensCol: String,
+                    targetTotal: Long): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val total = perSource.agg(
+      sum(col("w").cast("decimal(38,12)")).cast("double").as("sw"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        round(col("w") / col("sw"), 6).as("weight"),
+        round(lit(targetTotal.toDouble) * (col("w") / col("sw")) /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 }

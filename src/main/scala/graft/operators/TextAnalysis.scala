@@ -785,4 +785,75 @@ object TextAnalysis {
       .select(col("rank"), col("template"), col("n_docs"),
         col("n_sources"), col("example_doc_id"))
   }
+
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct n-grams
+    * that appear in no other document (df = 1) — high scores mark genuinely
+    * original text, low scores mark recombinations of corpus phrases, the
+    * per-doc complement of the corpus-level dedup reports. Integer-exact
+    * ppm (no float). Shapes: the doc→gram explode collapses to DISTINCT
+    * (doc, gram) before the df aggregate, so the gram relation is bounded
+    * by content volume; both group-bys are map-side combined.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = TextDedup.gramRows(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("s").as("gram")).distinct()
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("gdf") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("n_unique * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
+  /** Tokenizer-fertility panel per source: whitespace words vs BPE-proxy
+    * subtokens (the corpus-budgeting heuristic — how many model tokens a
+    * "word" costs in each source; code/URL-heavy sources read high).
+    * Integer-exact ppm ratios from one map-side-combined aggregate.
+    */
+  def tokenizerFertility(docs: DataFrame, sourceCol: String, textCol: String,
+                         nCharsCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("ws"),
+        ((col(nCharsCol) + 3) / lit(4)).cast("long").as("bpe"),
+        col(nCharsCol).cast("long").as("chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast("long").as("n_words"),
+        sum(col("bpe")).cast("long").as("n_subtokens"),
+        sum(col("chars")).cast("long").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_subtokens"),
+        expr("n_subtokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_subtokens").as("chars_per_subtoken_ppm"))
+
+  /** Preference-pair construction for reward-model data: documents sharing
+    * a prompt TEMPLATE (leading `prefixTokens` tokens) pair up as
+    * (chosen, rejected) = (best, worst) by score with deterministic
+    * id tie-breaks, keeping only groups with a strict score gap — the
+    * join-free analogue of "pick max/min response per prompt". One
+    * group-by with struct-ordered min/max (no window, no self-join).
+    */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String, prefixTokens: Int): DataFrame = {
+    require(prefixTokens > 0, "prefixTokens must be positive")
+    val keyed = docs.select(
+      array_join(slice(split(col(textCol), " "), 1, prefixTokens), " ")
+        .as("template"),
+      col(idCol).as("doc_id"), col(scoreCol).cast("long").as("score"))
+    // (score asc, -doc_id asc): max ⇒ best score, smaller id on ties;
+    // min ⇒ worst score, larger id on ties — both ends deterministic.
+    val ord = struct(col("score"), (-col("doc_id")).as("nid"))
+    keyed.groupBy("template")
+      .agg(count(lit(1)).as("n_docs"),
+        max(ord).as("best"), min(ord).as("worst"))
+      .filter(col("n_docs") >= 2 &&
+        col("best.score") > col("worst.score"))
+      .select(col("template"), col("n_docs"),
+        (-col("best.nid")).as("chosen_id"),
+        col("best.score").as("chosen_score"),
+        (-col("worst.nid")).as("rejected_id"),
+        col("worst.score").as("rejected_score"))
+  }
 }

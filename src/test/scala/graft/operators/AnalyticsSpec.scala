@@ -221,4 +221,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(3) === 40.0)      // median of 60,20
     assert(r.getDouble(4) === 56.0)      // p90 interpolates toward 60
   }
+
+  test("dailyCountAnomalies flags a spike day against that type's own days") {
+    val spark0 = spark
+    import spark0.implicits._
+    // type A: 17 quiet days of 10 events + one day of 200 → spike (a
+    // single outlier among n days caps at z = √(n−1), so n must exceed
+    // 10 for a 3σ flag to be reachable at all);
+    // type B: constant days → sd 0, nothing flagged
+    val rows =
+      (0 until 17).flatMap(d => Seq.fill(10)(("A", d))) ++
+        Seq.fill(200)(("A", 17)) ++
+        (0 until 5).flatMap(d => Seq.fill(7)(("B", d)))
+    val events = rows.map { case (t, d) =>
+      (t, new java.sql.Timestamp(1704067200000L + d * 86400000L))
+    }.toDF("event_type", "ts")
+    val got = Analytics.dailyCountAnomalies(events, "event_type", "ts", 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(5)))
+    val spikes = got.filter(_._3)
+    assert(spikes.toSeq === Seq(("A", 200L, true)))
+    assert(got.count(_._1 == "B") === 5 && got.filter(_._1 == "B").forall(!_._3))
+  }
 }

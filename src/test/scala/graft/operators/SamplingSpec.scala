@@ -127,4 +127,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got === Set(1L))
   }
+
+  test("mixtureEpochs: sqrt-weights up-sample small sources") {
+    val docs = Seq(
+      ("big", 90000L), ("big", 70000L),     // 160000 tokens
+      ("small", 6000L), ("small", 4000L)    // 10000 tokens
+    ).toDF("source", "toks")
+    val got = Sampling.mixtureEpochs(docs, "source", "toks",
+        targetTotal = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val wBig = math.sqrt(160000.0)
+    val wSmall = math.sqrt(10000.0)
+    val sw = wBig + wSmall
+    assert(got("big")._1 === 160000L)
+    assert(math.abs(got("big")._2 - wBig / sw) < 1e-6)
+    assert(math.abs(got("small")._3 - 100000.0 * (wSmall / sw) / 10000.0) < 1e-6)
+    // the small source runs MORE epochs than the big one
+    assert(got("small")._3 > got("big")._3)
+    // √-temperature keeps every weight strictly inside (0, 1)
+    got.values.foreach { case (_, w, _) => assert(w > 0.0 && w < 1.0) }
+  }
 }

@@ -247,4 +247,50 @@ class TextAnalysisRoundFiveSpec extends SparkSpec {
     // rank-2 is the lexicographically first of the count-1 templates
     assert(got(1)._1 === 2L && got(1)._3 === 1L)
   }
+
+  test("ngramNovelty: df=1 bigrams over distinct per-doc grams") {
+    val docs = Seq(
+      (1L, "a b c"),       // bigrams: "a b" (shared), "b c" (unique)
+      (2L, "a b a b"),     // distinct bigrams: "a b" (shared), "b a" (unique)
+      (3L, "x y")          // "x y" unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 500000L)))
+    assert(got(2L) === ((2L, 1L, 500000L)))   // repeats collapse first
+    assert(got(3L) === ((1L, 1L, 1000000L)))
+  }
+
+  test("tokenizerFertility: integer-exact per-source ratios") {
+    val docs = Seq(
+      ("a", "one two three four", 20L),   // 4 words, (20+3)//4 = 5 subtoks
+      ("a", "five six", 9L),              // 2 words, 3 subtoks
+      ("b", "x", 4L)                      // 1 word, 1 subtok
+    ).toDF("source", "text", "n_chars")
+    val got = TextAnalysis.tokenizerFertility(docs, "source", "text", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // a: 8 subtokens / 6 words → 1.333333e6 ppm; 29 chars / 8 subtoks
+    assert(got("a") === ((2L, 6L, 8L, 1333333L, 3625000L)))
+    assert(got("b") === ((1L, 1L, 1L, 1000000L, 4000000L)))
+  }
+
+  test("preferencePairs: strict-gap groups with deterministic tie-breaks") {
+    val docs = Seq(
+      // template "p q": scores 5, 3, 5 → chosen id 1 (tie → smaller id),
+      // rejected id 3 (worst score)
+      (1L, "p q", 5L), (2L, "p q", 3L), (3L, "p q", 5L),
+      // template "r s": equal scores → no strict gap → dropped
+      (4L, "r s", 2L), (5L, "r s", 2L),
+      // singleton group dropped
+      (6L, "t u", 9L)
+    ).toDF("doc_id", "text", "score")
+    val got = TextAnalysis.preferencePairs(docs, "doc_id", "text", "score",
+        prefixTokens = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(("p q", 3L, 1L, 5L, 2L, 3L)))
+  }
 }
