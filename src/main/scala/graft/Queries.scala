@@ -3587,6 +3587,32 @@ object Queries {
       |    + CASE WHEN o_orderkey % 6 = 0 OR o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS ts
       |FROM orders WHERE o_orderkey % 7 <> 2""".stripMargin
 
+  /** Aggregate-view snapshots: curr moves some rows to a NEW GROUP
+    * (%6 keys) and bumps some values (%5 keys) on top of the usual
+    * insert/delete slices — every delta class the maintenance path
+    * handles.
+    */
+  private[graft] def avPrev(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 50).as("g"),
+        col("o_totalprice").as("v"))
+
+  private[graft] def avCurr(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 7 =!= 2)
+      .select(col("o_orderkey"),
+        ((col("o_custkey") +
+          when(col("o_orderkey") % 6 === 0, 1).otherwise(0)) % 50).as("g"),
+        (col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, lit(10.0)).otherwise(lit(0.0)))
+          .as("v"))
+
+  private[graft] val avCurrSql: String =
+    """SELECT o_orderkey,
+      |  (o_custkey + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) % 50 AS g,
+      |  o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS v
+      |FROM orders WHERE o_orderkey % 7 <> 2""".stripMargin
+
   /** Portable md5 tile as SQL (Cdc.tileMd5's mixer). */
   private def tileMd5Sql(pk: String, n: Int): String =
     s"""(ascii(substr(md5(CAST($pk AS VARCHAR)), 1, 1)) * 256
@@ -4678,7 +4704,45 @@ object Queries {
         |SELECT d.event_type, d.day, d.n, ROUND(m.mean_n, 6) AS mean_n,
         |  ROUND(m.sd_n, 6) AS sd_n,
         |  CAST(d.n AS DOUBLE) > m.mean_n + 3.0 * m.sd_n AS is_spike
-        |FROM daily d JOIN m USING (event_type)""".stripMargin))
+        |FROM daily d JOIN m USING (event_type)""".stripMargin)),
+
+    Q("agg_view_maintain",
+      // Incremental aggregate-view maintenance: prevView + per-group
+      // change-feed deltas (group moves = remove+add), DECIMAL-exact —
+      // the oracle recomputes the view from curr FROM SCRATCH, proving
+      // maintained state equals a full recompute without rescanning prev.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Cdc.aggViewMaintain(avPrev(o), avCurr(o), Seq("o_orderkey"), "g", "v")
+      },
+      Some(s"""WITH c AS ($avCurrSql)
+        |SELECT g, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_v
+        |FROM c GROUP BY g""".stripMargin)),
+
+    Q("join_bloom_prefilter",
+      // Bloom-prefiltered fact-dimension join: big-side rows the filter
+      // rejects never enter the shuffle; false positives die in the exact
+      // join, so the result — and the oracle — is the PLAIN inner join.
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"))
+        Skew.bloomPrefilteredJoin(Tables.lineitem(s, d), sel,
+            "l_orderkey", "o_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(38, 6))).cast("double"), 6).as("revenue"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem JOIN (SELECT o_orderkey FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0) o
+        |  ON l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB

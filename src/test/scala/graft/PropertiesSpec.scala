@@ -69,6 +69,45 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrefilteredJoin equals the plain inner join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = samples(Gen.choose(0L, 500L), 600).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("bk", "payload")
+    // sparse small side → most big rows should be rejected pre-shuffle
+    val small = Seq(3L, 77L, 250L, 499L, 1000L).toDF("sk")
+    val bloomed = Skew.bloomPrefilteredJoin(big, small, "bk", "sk", fpp = 0.01)
+      .collect().map(_.toSeq).toSet
+    val plain = big.join(small, col("bk") === col("sk"))
+      .collect().map(_.toSeq).toSet
+    assert(bloomed === plain)
+    // no false negatives by construction: every plain-join row survived
+    assert(plain.subsetOf(bloomed))
+  }
+
+  test("aggViewMaintain equals a from-scratch recompute on random change feeds") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rowGen = Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 5L),
+      Gen.choose(1, 100))
+    for (seed <- 0 until 3) {
+      val prevRows = samples(rowGen, 40 + seed).distinctBy(_._1)
+        .map { case (k, g, v) => (k, g, v.toDouble / 4) }
+      val currRows = samples(rowGen, 45).distinctBy(_._1)
+        .map { case (k, g, v) => (k, g, v.toDouble / 4) }
+      val prev = prevRows.toDF("id", "g", "v")
+      val curr = currRows.toDF("id", "g", "v")
+      val maintained = Cdc.aggViewMaintain(prev, curr, Seq("id"), "g", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = curr.groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("v").cast("decimal(38,6)")).cast("double"), 6)
+            .as("sum_v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(maintained === direct)
+    }
+  }
+
   test("applying the CDC diff to prev reproduces curr, for random snapshots") {
     val spark0 = spark
     import spark0.implicits._
