@@ -4742,7 +4742,156 @@ object Queries {
         |FROM lineitem JOIN (SELECT o_orderkey FROM orders
         |    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0) o
         |  ON l_orderkey = o.o_orderkey
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    Q("split_leakage_report",
+      // Train/val/test NEAR-DUP leakage: the exact-verified LSH pairs
+      // classified by the splits their endpoints land in — a benchmark
+      // integrity check exact dedup misses (a near-copy of a train doc
+      // in test inflates eval). Pair sides normalized (least/greatest)
+      // so each unordered split pair reports once.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+        val splits = Sampling.hashSplit(docs, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("doc_a"),
+            col("split").as("sa")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"),
+            col("split").as("sb")), "doc_b")
+          .groupBy(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("crosses_split", col("split_a") =!= col("split_b"))
+      },
+      Some(s"""WITH pr AS (${jaccardPairsSql(0.8)}),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 52429 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 58982 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |cl AS (SELECT LEAST(a.split, b.split) AS split_a,
+        |    GREATEST(a.split, b.split) AS split_b
+        |  FROM pr JOIN sp a ON pr.doc_a = a.doc_id
+        |    JOIN sp b ON pr.doc_b = b.doc_id)
+        |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+        |  split_a <> split_b AS crosses_split
+        |FROM cl GROUP BY 1, 2""".stripMargin)),
+
+    Q("survivor_selection_report",
+      // Dedup-policy audit: does keep-first (survivor = min-id cluster
+      // label) actually keep each cluster's BEST document? Per cluster:
+      // survivor score vs argmax score — the report that justifies (or
+      // indicts) the keep rule before a 100 TB dedup run commits to it.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Clustering.dedupClusters(
+          TextDedup.minhashLshPairs(docs, "doc_id", "text",
+            n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+          "doc_a", "doc_b").select("doc_id", "cluster_id")
+        val scores = docs.select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+        val b = struct(col("score"), (-col("doc_id")).as("nid"))
+        clusters.join(scores, "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(b).as("best"),
+            max(when(col("doc_id") === col("cluster_id"), col("score")))
+              .as("survivor_score"))
+          .filter(col("n_docs") >= 2)
+          .select(col("cluster_id"), col("n_docs"), col("survivor_score"),
+            (-col("best.nid")).as("best_id"),
+            col("best.score").as("best_score"),
+            (col("survivor_score") === col("best.score"))
+              .as("survivor_is_best"))
+      },
+      Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |j AS (SELECT a.cluster_id, a.doc_id, sc.score
+        |  FROM agg a JOIN sc USING (doc_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY score DESC, doc_id) AS rb FROM j),
+        |best AS (SELECT cluster_id, doc_id AS best_id, score AS best_score
+        |  FROM r WHERE rb = 1),
+        |surv AS (SELECT cluster_id, score AS survivor_score FROM j
+        |  WHERE doc_id = cluster_id),
+        |nn AS (SELECT cluster_id, COUNT(*) AS n_docs FROM j GROUP BY 1)
+        |SELECT nn.cluster_id, nn.n_docs, surv.survivor_score, best.best_id,
+        |  best.best_score, surv.survivor_score = best.best_score AS survivor_is_best
+        |FROM nn JOIN best USING (cluster_id) JOIN surv USING (cluster_id)
+        |WHERE nn.n_docs >= 2""".stripMargin)),
+
+    Q("ann_ivf_topk_filtered",
+      // Metadata-filtered vector search (tenant/language/safety-tier
+      // scoping): the index stays FULL-corpus, the label predicate sits
+      // inside the bucket join — non-matching candidates never reach the
+      // bounded heap. The oracle mirrors ann_ivf_topk plus the predicate.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        Ann.filteredTopK(emb, assign, emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "label", neighborLabel = 3, k = 3)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |        FROM embeddings WHERE $sqrtCentsWhereSql),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding, e.label
+        |  FROM assign a JOIN embeddings e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND q.vec_id % 37 = 0 AND n.vec_id <> q.vec_id
+        |    AND n.label = 3)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("ttl_expiry_forecast",
+      // Capacity forecasting: per future day, rows whose write ts + TTL
+      // expires then, with the running total — when does the table
+      // actually shrink. The cumulative window runs over the DAYS
+      // relation (bounded by the TTL horizon, never the table).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rows = Tables.orders(s, d).select(col("o_orderkey"),
+          (lit(1704067200L) + (col("o_orderkey") * 977) % 2592000L +
+            lit(86400L) * (lit(1L) + col("o_orderkey") % 14)).as("expiry"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows
+          .withColumn("day", (col("expiry") - col("expiry") % 86400L).cast("long"))
+          .groupBy("day").agg(count(lit(1)).as("n_expiring"))
+          .withColumn("cum_expired", sum(col("n_expiring")).over(w).cast("long"))
+      },
+      Some("""WITH e AS (SELECT 1704067200 + (o_orderkey * 977) % 2592000
+        |      + 86400 * (1 + o_orderkey % 14) AS expiry FROM orders),
+        |d AS (SELECT expiry - expiry % 86400 AS day FROM e),
+        |g AS (SELECT day, COUNT(*) AS n_expiring FROM d GROUP BY 1)
+        |SELECT day, n_expiring,
+        |  CAST(SUM(n_expiring) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_expired
+        |FROM g""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB

@@ -703,6 +703,41 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Metadata-FILTERED vector search — top-k restricted to neighbors
+    * matching a predicate on their metadata label (the "filtered ANN"
+    * feature class of production vector stores: search within a tenant,
+    * a language, a safety tier). The index stays built on the FULL
+    * corpus (filtering at probe time, not index time — the filter
+    * changes per query family, the index does not); the predicate sits
+    * INSIDE the bucket join, so non-matching candidates never reach the
+    * bounded top-k heap. Same scale shape as [[ivfTopK]]/[[
+    * hardNegatives]]: broadcast queries, centroid-bucketed candidate
+    * join, ≤k rows per query per partition cross the shuffle.
+    */
+  def filteredTopK(emb: DataFrame, assignments: DataFrame,
+                   queryIds: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, neighborLabel: Int, k: Int): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        col(labelCol).as("lbl"))
+      .join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    val q = assigned
+      .join(broadcast(queryIds.select(col(idCol).as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("centroid_id"))
+    val scored = assigned
+      .filter(col("lbl") === neighborLabel)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("centroid_id"))
+      .join(q, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    org.apache.spark.sql.graft.TopKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"))
+  }
+
   /** Multi-probe IVF top-k: each query searches the buckets of its
     * `nprobe` nearest centroids (nprobe=1 degenerates to [[ivfTopK]]'s
     * own-bucket search — probe ranking uses the same cosine-desc /

@@ -719,6 +719,28 @@ class AnnSpec extends SparkSpec {
     assert(dups.toSeq === Seq(((1L << 62) - 1, 2L, 1L)))
   }
 
+  test("filteredTopK only returns neighbors with the target label") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.14f), 2),    // closest to 0 but wrong label
+      (2L, Array(0.9f, 0.44f), 3),     // label-3, second closest
+      (3L, Array(0.0f, 1.0f), 3),      // label-3, orthogonal
+      (4L, Array(0.7f, 0.7f), 3)       // label-3, diagonal
+    ).toDF("vec_id", "embedding", "label")
+    // one centroid → one bucket: the filter, not the bucketing, decides
+    val cents = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val assign = Ann.ivfAssign(emb, cents, "vec_id", "embedding",
+      "vec_id", "embedding")
+    val got = Ann.filteredTopK(emb, assign,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", "label",
+        neighborLabel = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ranks: label-3 by cosine to (1,0): 2 (0.898) > 4 (0.707) > 3 (0)
+    assert(got.toSeq === Seq((0L, 2L, 1L), (0L, 4L, 2L)))
+  }
+
   test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
     val spark0 = spark
     import spark0.implicits._
