@@ -4891,7 +4891,67 @@ object Queries {
         |SELECT day, n_expiring,
         |  CAST(SUM(n_expiring) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_expired
-        |FROM g""".stripMargin))
+        |FROM g""".stripMargin)),
+
+    Q("knn_hubness_report",
+      // Hubness diagnostic over the kNN graph: the in-degree histogram
+      // (high-dim hubs dominate retrieval lists and poison graph-based
+      // curation; anti-hubs — in-degree 0 — are unreachable). One
+      // grouped count over the k·n edge relation + an anti-join for the
+      // zero-degree row; the histogram itself is degree-bounded.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        val edges = Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
+        val indeg = edges.groupBy(col("neighbor_id"))
+          .agg(count(lit(1)).as("in_degree"))
+        val hist = indeg.groupBy("in_degree")
+          .agg(count(lit(1)).as("n_nodes"))
+        val zero = emb.select(col("vec_id"))
+          .join(indeg.select(col("neighbor_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(0L).as("in_degree"), col("n_nodes"))
+        hist.unionByName(zero)
+      },
+      Some(s"""WITH ${knnEdgesCteSql(3)},
+        |ind AS (SELECT neighbor_id, COUNT(*) AS in_degree FROM knn GROUP BY 1),
+        |hist AS (SELECT in_degree, COUNT(*) AS n_nodes FROM ind GROUP BY 1)
+        |SELECT in_degree, CAST(n_nodes AS BIGINT) AS n_nodes FROM hist
+        |UNION ALL SELECT CAST(0 AS BIGINT),
+        |  (SELECT COUNT(*) FROM embeddings)
+        |    - (SELECT COUNT(DISTINCT neighbor_id) FROM knn)""".stripMargin)),
+
+    Q("cdc_lag_report",
+      // Replication freshness: per tile, the max source writetime vs the
+      // max target writetime and their lag — the per-work-unit staleness
+      // panel an operator watches between reconcile runs. Two tiled
+      // aggregates + a tiles-sized full-outer join.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def tiled(df: DataFrame, n: String, m: String) =
+          df.withColumn("tile", Cdc.tileMd5(col("o_orderkey"), 8))
+            .groupBy("tile")
+            .agg(count(lit(1)).as(n), max(col("ts")).as(m))
+        tiled(currSnapshot(o), "n_src", "max_ts_src")
+          .join(tiled(prevSnapshot(o), "n_tgt", "max_ts_tgt"),
+            Seq("tile"), "full_outer")
+          .select(col("tile"),
+            coalesce(col("n_src"), lit(0L)).as("n_src"),
+            coalesce(col("n_tgt"), lit(0L)).as("n_tgt"),
+            col("max_ts_src"), col("max_ts_tgt"),
+            (col("max_ts_src") - col("max_ts_tgt")).as("lag"))
+      },
+      Some(s"""WITH s AS ($currSnapshotSql), t AS ($prevSnapshotSql),
+        |sd AS (SELECT CAST(${tileMd5Sql("o_orderkey", 8)} AS INT) AS tile,
+        |    COUNT(*) AS n_src, MAX(ts) AS max_ts_src FROM s GROUP BY 1),
+        |td AS (SELECT CAST(${tileMd5Sql("o_orderkey", 8)} AS INT) AS tile,
+        |    COUNT(*) AS n_tgt, MAX(ts) AS max_ts_tgt FROM t GROUP BY 1)
+        |SELECT COALESCE(sd.tile, td.tile) AS tile,
+        |  COALESCE(n_src, 0) AS n_src, COALESCE(n_tgt, 0) AS n_tgt,
+        |  max_ts_src, max_ts_tgt, max_ts_src - max_ts_tgt AS lag
+        |FROM sd FULL OUTER JOIN td ON sd.tile = td.tile""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
