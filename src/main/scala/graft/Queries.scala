@@ -4951,7 +4951,61 @@ object Queries {
         |SELECT COALESCE(sd.tile, td.tile) AS tile,
         |  COALESCE(n_src, 0) AS n_src, COALESCE(n_tgt, 0) AS n_tgt,
         |  max_ts_src, max_ts_tgt, max_ts_src - max_ts_tgt AS lag
-        |FROM sd FULL OUTER JOIN td ON sd.tile = td.tile""".stripMargin))
+        |FROM sd FULL OUTER JOIN td ON sd.tile = td.tile""".stripMargin)),
+
+    Q("modality_link_report",
+      // Cross-modality integrity: the documents↔embeddings id link run
+      // through the SAME reconcile report as the replication pk gate —
+      // docs never embedded (missing_in_target), orphan embeddings
+      // (extra_in_target), and the linked population, each with a
+      // bounded deterministic sample. Operator reuse is the point: one
+      // reconcile primitive serves tables AND modality links.
+      (s, d) => Cdc.reconcileReport(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        Seq("id"), sampleSize = 5),
+      Some("""WITH s AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents),
+        |t AS (SELECT DISTINCT CAST(vec_id AS VARCHAR) AS k FROM embeddings),
+        |f AS (SELECT CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'common'
+        |         WHEN s.k IS NOT NULL THEN 'missing_in_target'
+        |         ELSE 'extra_in_target' END AS direction,
+        |       COALESCE(s.k, t.k) AS k
+        |      FROM s FULL JOIN t ON s.k = t.k),
+        |c AS (SELECT direction, COUNT(*) AS n_keys FROM f GROUP BY 1),
+        |smp AS (SELECT direction, string_agg(k, ',' ORDER BY k) AS sample_keys
+        |  FROM (SELECT direction, k, ROW_NUMBER() OVER (PARTITION BY direction
+        |          ORDER BY k) AS rn FROM f)
+        |  WHERE rn <= 5 GROUP BY 1),
+        |d AS (SELECT unnest(['missing_in_target', 'extra_in_target', 'common'])
+        |        AS direction)
+        |SELECT d.direction, COALESCE(c.n_keys, 0) AS n_keys,
+        |  COALESCE(smp.sample_keys, '') AS sample_keys
+        |FROM d LEFT JOIN c USING (direction) LEFT JOIN smp USING (direction)""".stripMargin)),
+
+    Q("quality_length_grid",
+      // The "what am I training on" 2-D panel: equi-depth quality
+      // quintile × power-of-two length bucket, cell counts + char mass.
+      // Quintiles via rankBuckets (GlobalIds histogram scheme — no
+      // unpartitioned ntile); length bucket via integer log2.
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars"), TextAnalysis.qualityScore(col("text")).as("q"))
+        Analytics.rankBuckets(scored,
+            round(col("q") * 10000).cast("long") * (1L << 33) + col("doc_id"),
+            k = 5, bucketName = "q_bucket")
+          .withColumn("len_bucket", length(bin(col("n_chars"))).cast("int"))
+          .groupBy("q_bucket", "len_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, n_chars, ${qualityScoreSql("text")} AS q
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn,
+        |        COUNT(*) OVER () AS n FROM scored)
+        |SELECT (rn - 1) * 5 // n + 1 AS q_bucket,
+        |  CAST(length(bin(n_chars)) AS INT) AS len_bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1, 2""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
