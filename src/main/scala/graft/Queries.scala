@@ -5005,7 +5005,52 @@ object Queries {
         |SELECT (rn - 1) * 5 // n + 1 AS q_bucket,
         |  CAST(length(bin(n_chars)) AS INT) AS len_bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM r GROUP BY 1, 2""".stripMargin))
+        |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    Q("os_bulk_render",
+      // The OpenSearch-target action stream (the search-index face of
+      // cql_insert_render): snapshot-diff upserts render as `index`
+      // action + JSON source pairs, deletes as `delete` actions — what
+      // the reference's opensearch connector ships per tile
+      // (opensearch/CQLReplicator.scala:702-745, delete propagation
+      // included). Diff joins + a projection; JSON via the portable
+      // to_json(struct) form.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val p = prevSnapshot(o)
+        val c = currSnapshot(o)
+        val up = Cdc.inserts(c, p, pk).unionByName(Cdc.updates(c, p, pk))
+          .select("o_orderkey").join(o, "o_orderkey")
+          .select(col("o_orderkey"),
+            concat(lit("{\"index\":{\"_id\":\""), col("o_orderkey"),
+              lit("\"}}")).as("action_json"),
+            Transforms.rowToJson(col("o_orderkey"), col("o_orderstatus"),
+              col("o_orderpriority")).as("source_json"))
+        val dl = Cdc.deletes(c, p, pk)
+          .select(col("o_orderkey"),
+            concat(lit("{\"delete\":{\"_id\":\""), col("o_orderkey"),
+              lit("\"}}")).as("action_json"),
+            lit(null).cast("string").as("source_json"))
+        up.unionByName(dl)
+      },
+      Some(s"""WITH p AS ($prevSnapshotSql), c AS ($currSnapshotSql),
+        |up AS (
+        |  SELECT o_orderkey FROM c
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM p)
+        |  UNION ALL
+        |  SELECT c.o_orderkey FROM c JOIN p USING (o_orderkey)
+        |    WHERE c.ts IS DISTINCT FROM p.ts)
+        |SELECT o.o_orderkey,
+        |  '{"index":{"_id":"' || o.o_orderkey || '"}}' AS action_json,
+        |  CAST(to_json(struct_pack(o_orderkey := o.o_orderkey,
+        |    o_orderstatus := o.o_orderstatus,
+        |    o_orderpriority := o.o_orderpriority)) AS VARCHAR) AS source_json
+        |FROM up JOIN orders o USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  '{"delete":{"_id":"' || o_orderkey || '"}}',
+        |  NULL
+        |FROM p WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
