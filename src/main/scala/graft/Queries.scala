@@ -5050,7 +5050,81 @@ object Queries {
         |SELECT o_orderkey,
         |  '{"delete":{"_id":"' || o_orderkey || '"}}',
         |  NULL
-        |FROM p WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)""".stripMargin))
+        |FROM p WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)""".stripMargin)),
+
+    Q("retrieval_maxsim",
+      // Late-interaction (ColBERT-style) retrieval: a multi-vector query
+      // group scores a candidate label-group as Σ_q max_v cos(q, v) —
+      // max-pool per query vector, sum-pool across the group — then
+      // top-3 labels per query group. The query set is bounded (the
+      // brute-force discipline of ann_cosine_topk: truth-side O(|q|·n));
+      // the max collapses map-side per (query, label), the sum runs over
+      // rounded terms in DECIMAL.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") % 41 === 0)
+          .select((col("vec_id") % 7).as("qgroup"), col("vec_id").as("qid"),
+            col("embedding").as("qv"))
+        val scored = emb.crossJoin(broadcast(q))
+          .withColumn("cos", Ann.cosine(col("qv"), col("embedding")))
+          .groupBy("qgroup", "qid", "label")
+          .agg(max(col("cos")).as("max_cos"))
+          .groupBy("qgroup", "label")
+          .agg(count(lit(1)).as("n_query_vecs"),
+            round(sum(round(col("max_cos"), 6).cast("decimal(38,12)"))
+              .cast("double"), 6).as("maxsim"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("qgroup")
+          .orderBy(col("maxsim").desc, col("label"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id % 7 AS qgroup, vec_id AS qid,
+        |    embedding AS qv FROM embeddings WHERE vec_id % 41 = 0),
+        |mx AS (SELECT q.qgroup, q.qid, e.label,
+        |    MAX(${cosSql("q.qv", "e.embedding")}) AS max_cos
+        |  FROM embeddings e CROSS JOIN q GROUP BY 1, 2, 3),
+        |sm AS (SELECT qgroup, label, COUNT(*) AS n_query_vecs,
+        |    ROUND(CAST(SUM(CAST(ROUND(max_cos, 6) AS DECIMAL(38,12)))
+        |      AS DOUBLE), 6) AS maxsim
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT qgroup, label, n_query_vecs, maxsim, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qgroup
+        |        ORDER BY maxsim DESC, label) AS rank FROM sm)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("knn_components",
+      // Graph-connectivity grouping over the kNN graph (the SemDeDup-
+      // variant step after knn_graph): edges above a cosine threshold,
+      // symmetric closure, connected components with canonical
+      // representative — the same CC machinery as text dedup applied to
+      // the embedding graph. The threshold reads the ROUNDED cosine so
+      // both engines cut identically.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding")
+        val edges = Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
+          .filter(col("cosine") >= 0.35)
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+        Clustering.dedupClusters(edges, "a", "b")
+          .select(col("doc_id").as("vec_id"),
+            col("cluster_id").as("component_id"),
+            col("keep").as("is_rep"))
+      },
+      Some(s"""WITH RECURSIVE ${knnEdgesCteSql(3)},
+        |th AS (SELECT query_id AS a, neighbor_id AS b FROM knn
+        |  WHERE ROUND(cos, 4) >= 0.35),
+        |edges AS (SELECT a AS src, b AS dst FROM th
+        |          UNION ALL SELECT b, a FROM th),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c2.node, e.dst FROM closure c2 JOIN edges e ON c2.reach = e.src),
+        |agg AS (SELECT node AS vec_id, MIN(reach) AS component_id
+        |        FROM closure GROUP BY node)
+        |SELECT vec_id, component_id, vec_id = component_id AS is_rep
+        |FROM agg""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
