@@ -5124,7 +5124,38 @@ object Queries {
         |agg AS (SELECT node AS vec_id, MIN(reach) AS component_id
         |        FROM closure GROUP BY node)
         |SELECT vec_id, component_id, vec_id = component_id AS is_rep
-        |FROM agg""".stripMargin))
+        |FROM agg""".stripMargin)),
+
+    Q("pca_top_component",
+      // Top principal direction by 2 fixed power iterations from a fixed
+      // start — deterministic distributed matvecs (every sum DECIMAL),
+      // the PCA diagnostic next to dim_covariance without materializing
+      // the d² matrix. λ = ‖Xᵀ X w‖ after the final normalize.
+      (s, d) => Ann.pcaTopComponent(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, iters = 2),
+      Some("""WITH d AS (SELECT vec_id AS rid,
+        |    unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |v AS (SELECT rid, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x FROM d),
+        |w0 AS (SELECT CAST(g AS BIGINT) AS dim, 1.0 / sqrt(64.0) AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS g)),
+        |s1 AS (SELECT rid, CAST(SUM(CAST(x * w AS DECIMAL(38,12))) AS DOUBLE) AS s
+        |  FROM v JOIN w0 USING (dim) GROUP BY rid),
+        |z1 AS (SELECT dim, CAST(SUM(CAST(x * s AS DECIMAL(38,12))) AS DOUBLE) AS z
+        |  FROM v JOIN s1 USING (rid) GROUP BY dim),
+        |n1 AS (SELECT sqrt(CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)) AS nn
+        |  FROM z1),
+        |w1 AS (SELECT dim, z / nn AS w FROM z1 CROSS JOIN n1),
+        |s2 AS (SELECT rid, CAST(SUM(CAST(x * w AS DECIMAL(38,12))) AS DOUBLE) AS s
+        |  FROM v JOIN w1 USING (dim) GROUP BY rid),
+        |z2 AS (SELECT dim, CAST(SUM(CAST(x * s AS DECIMAL(38,12))) AS DOUBLE) AS z
+        |  FROM v JOIN s2 USING (rid) GROUP BY dim),
+        |n2 AS (SELECT sqrt(CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)) AS nn
+        |  FROM z2)
+        |SELECT z2.dim, ROUND(z2.z / n2.nn, 6) AS loading,
+        |  ROUND(n2.nn, 6) AS lambda
+        |FROM z2 CROSS JOIN n2""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB

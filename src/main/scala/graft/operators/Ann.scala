@@ -738,6 +738,47 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Top principal component by POWER ITERATION — the distributed
+    * matvec loop behind PCA/spectral embedding diagnostics, run for a
+    * FIXED iteration count from a FIXED start vector so the result is a
+    * pure function of the data (no randomness, resumable on any
+    * engine). Each iteration is two exploded matvecs — s = Xw per row,
+    * z = Xᵀs per dim — with every sum in DECIMAL (order-independent);
+    * only the |dims|-sized normalize touches doubles, in a fixed order.
+    * Per iteration: two shuffles keyed by row id / dim — corpus-linear
+    * scan cost, state is one dims-sized broadcast vector.
+    */
+  def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, iters: Int = 2): DataFrame = {
+    require(dims >= 2 && iters >= 1, "need dims >= 2, iters >= 1")
+    val spark = emb.sparkSession
+    val v = emb.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).as("rid"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("rid"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,12)")
+    var w = spark.range(dims).select(col("id").as("dim"),
+      lit(1.0 / math.sqrt(dims.toDouble)).as("w"))
+    var norm: DataFrame = null
+    for (_ <- 0 until iters) {
+      val s = v.join(broadcast(w), "dim")
+        .groupBy("rid")
+        .agg(sum(dec(col("x") * col("w"))).cast("double").as("s"))
+      val z = v.join(s, "rid")
+        .groupBy("dim")
+        .agg(sum(dec(col("x") * col("s"))).cast("double").as("z"))
+      val n = z.agg(
+        sqrt(sum(dec(col("z") * col("z"))).cast("double")).as("nn"))
+      norm = n
+      w = z.crossJoin(broadcast(n))
+        .select(col("dim"), (col("z") / col("nn")).as("w"))
+    }
+    w.crossJoin(broadcast(norm))
+      .select(col("dim"), round(col("w"), 6).as("loading"),
+        round(col("nn"), 6).as("lambda"))
+  }
+
   /** Multi-probe IVF top-k: each query searches the buckets of its
     * `nprobe` nearest centroids (nprobe=1 degenerates to [[ivfTopK]]'s
     * own-bucket search — probe ranking uses the same cosine-desc /

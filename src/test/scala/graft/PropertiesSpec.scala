@@ -85,6 +85,33 @@ class PropertiesSpec extends SparkSpec {
     assert(plain.subsetOf(bloomed))
   }
 
+  test("mvMaintain mutations replay the prev view into exactly the curr view") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rowGen = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 5L),
+      Gen.choose(1L, 50L))
+    for (seed <- 0 until 3) {
+      val prevRows = samples(rowGen, 30 + seed).distinctBy(_._1)
+      // curr shares ids with prev but moves keys / bumps ts / adds / drops
+      val currRows = samples(rowGen, 35).distinctBy(_._1)
+      val prev = prevRows.toDF("id", "vk", "ts")
+      val curr = currRows.toDF("id", "vk", "ts")
+      val muts = graft.operators.Cdc.mvMaintain(prev, curr, Seq("id"), "vk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // replay against the prev view keyed by (vk, id)
+      var view = prevRows.map { case (id, vk, ts) => (vk, id) -> ts }.toMap
+      muts.foreach {
+        case ("delete", vk, id, _)  => view -= ((vk, id))
+        case ("insert", vk, id, ts) => view += ((vk, id) -> ts)
+        case ("update", vk, id, ts) => view += ((vk, id) -> ts)
+        case other                  => fail(s"unexpected mutation $other")
+      }
+      val want = currRows.map { case (id, vk, ts) => (vk, id) -> ts }.toMap
+      assert(view === want, s"seed $seed")
+    }
+  }
+
   test("aggViewMaintain equals a from-scratch recompute on random change feeds") {
     val spark0 = spark
     import spark0.implicits._

@@ -741,6 +741,23 @@ class AnnSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 1L), (0L, 4L, 2L)))
   }
 
+  test("pcaTopComponent converges toward the dominant axis") {
+    val spark0 = spark
+    import spark0.implicits._
+    // X = 4 rows of (2,0) + 1 row of (0,1): XᵀX = diag(16, 1), top
+    // eigenvector = e0. After 2 iterations from (1,1)/√2 the loading is
+    // (256, 1)/√65537 and λ = √(65537/257).
+    val emb = (0L until 4L).map(i => (i, Array(2.0f, 0.0f))) :+
+      ((4L, Array(0.0f, 1.0f)))
+    val got = Ann.pcaTopComponent(emb.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got(0L)._1 - 256.0 / math.sqrt(65537.0)) < 1e-6)
+    assert(math.abs(got(1L)._1 - 1.0 / math.sqrt(65537.0)) < 1e-6)
+    assert(math.abs(got(0L)._2 - math.sqrt(65537.0 / 257.0)) < 1e-4)
+  }
+
   test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
     val spark0 = spark
     import spark0.implicits._
