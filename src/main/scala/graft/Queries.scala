@@ -5155,7 +5155,34 @@ object Queries {
         |  FROM z2)
         |SELECT z2.dim, ROUND(z2.z / n2.nn, 6) AS loading,
         |  ROUND(n2.nn, 6) AS lambda
-        |FROM z2 CROSS JOIN n2""".stripMargin))
+        |FROM z2 CROSS JOIN n2""".stripMargin)),
+
+    Q("dedup_fuzzy_clusters",
+      // The fuzzy family's clustering step: connected components over the
+      // blocked Levenshtein pairs (ordered near-identity edges) — the
+      // same CC machinery as the Jaccard and kNN graphs, third edge
+      // type. Oracle recomputes the closure over the same pair CTE.
+      (s, d) => Clustering.dedupClusters(
+        TextDedup.fuzzyPrefixPairs(Tables.documents(s, d),
+          "doc_id", "text", blockLen = 12, prefixLen = 64, maxDist = 16,
+          maxBlock = 500),
+        "doc_a", "doc_b"),
+      Some("""WITH RECURSIVE k AS (SELECT doc_id, substring(text, 1, 12) AS blk,
+        |    substring(text, 1, 64) AS pfx FROM documents),
+        |ok AS (SELECT blk FROM k GROUP BY 1 HAVING COUNT(*) <= 500),
+        |b AS (SELECT k.* FROM k JOIN ok USING (blk)),
+        |pr AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |  WHERE levenshtein(a.pfx, b2.pfx) <= 16),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src),
+        |agg AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |        FROM closure GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM agg""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB
