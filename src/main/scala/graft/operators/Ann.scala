@@ -752,11 +752,16 @@ object Ann {
                       dims: Int, iters: Int = 2): DataFrame = {
     require(dims >= 2 && iters >= 1, "need dims >= 2, iters >= 1")
     val spark = emb.sparkSession
+    // The exploded matvec relation feeds BOTH sides of every iteration
+    // (2 joins x iters); persist it once instead of re-deriving it from
+    // the scan each time — at 100 TB this is the difference between
+    // 2·iters corpus scans and one.
     val v = emb.filter(size(col(vecCol)) === dims)
       .select(col(idCol).as("rid"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("rid"), col("dim").cast("long").as("dim"),
         col("x").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,12)")
     var w = spark.range(dims).select(col("id").as("dim"),
       lit(1.0 / math.sqrt(dims.toDouble)).as("w"))
