@@ -4378,10 +4378,10 @@ object Queries {
         |UNION ALL SELECT 'delete', vk_p, pk_p, ts_p FROM j WHERE pk_c IS NULL
         |UNION ALL SELECT 'delete', vk_p, pk_p, ts_p FROM j
         |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
-        |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS DISTINCT FROM vk_c
+        |    AND vk_p IS DISTINCT FROM vk_c
         |UNION ALL SELECT 'insert', vk_c, pk_c, ts_c FROM j
         |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
-        |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS DISTINCT FROM vk_c
+        |    AND vk_p IS DISTINCT FROM vk_c
         |UNION ALL SELECT 'update', vk_c, pk_c, ts_c FROM j
         |  WHERE pk_p IS NOT NULL AND pk_c IS NOT NULL
         |    AND ts_p IS DISTINCT FROM ts_c AND vk_p IS NOT DISTINCT FROM vk_c""".stripMargin)),
@@ -4476,13 +4476,15 @@ object Queries {
       Some(s"""WITH s AS ($currSnapshotSql), t AS ($prevSnapshotSql),
         |sd AS (SELECT CAST(${tileMd5Sql("o_orderkey", 63)} AS INT) AS bucket,
         |    COUNT(*) AS n_src,
-        |    CAST(SUM((((o_orderkey * 2654435761 + COALESCE(ts, -1) * 40503)
-        |      % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS digest_src
+        |    CAST(SUM(((o_orderkey % 1000000007) * 2654435761
+        |      + (((COALESCE(ts, -1) % 1000000007) + 1000000007) % 1000000007)
+        |        * 40503) % 1000000007) AS BIGINT) AS digest_src
         |  FROM s GROUP BY 1),
         |td AS (SELECT CAST(${tileMd5Sql("o_orderkey", 63)} AS INT) AS bucket,
         |    COUNT(*) AS n_tgt,
-        |    CAST(SUM((((o_orderkey * 2654435761 + COALESCE(ts, -1) * 40503)
-        |      % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS digest_tgt
+        |    CAST(SUM(((o_orderkey % 1000000007) * 2654435761
+        |      + (((COALESCE(ts, -1) % 1000000007) + 1000000007) % 1000000007)
+        |        * 40503) % 1000000007) AS BIGINT) AS digest_tgt
         |  FROM t GROUP BY 1)
         |SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
         |  COALESCE(n_src, 0) AS n_src, COALESCE(n_tgt, 0) AS n_tgt,

@@ -779,9 +779,17 @@ object Ann {
       w = z.crossJoin(broadcast(n))
         .select(col("dim"), (col("z") / col("nn")).as("w"))
     }
-    w.crossJoin(broadcast(norm))
+    val out = w.crossJoin(broadcast(norm))
       .select(col("dim"), round(col("w"), 6).as("loading"),
         round(col("nn"), 6).as("lambda"))
+    // The result is dims-sized (bounded); finalize it eagerly so the
+    // corpus-sized persisted matvec relation is released before returning
+    // — otherwise every invocation leaks a cached relation for the
+    // session lifetime (bench harnesses call this repeatedly).
+    val rows = out.collect()
+    v.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Multi-probe IVF top-k: each query searches the buckets of its

@@ -242,8 +242,10 @@ object Cdc {
     *
     *  - base insert            → one view `insert` (curr key/ts)
     *  - base delete            → one view `delete` (prev key/ts)
-    *  - base update, key same  → one view `update` (curr ts)
-    *  - base update, key moved → `delete`(prev key) + `insert`(curr key)
+    *  - base update, key same  → one view `update` (curr ts), iff ts moved
+    *  - base update, key moved → `delete`(prev key) + `insert`(curr key),
+    *    regardless of whether ts moved — a key change with an unchanged
+    *    writetime would otherwise leave a ghost row under the old key
     *
     * One full-outer pk join; the ≤2-mutation fan-out is an explode over a
     * filtered 2-element array built in the same projection — a single
@@ -264,15 +266,19 @@ object Cdc {
     val cTs = col(s"c.$tsCol")
     val tsChanged = !(pTs <=> cTs)
     val vkChanged = !(pVk <=> cVk)
-    val mut = (op: Column, vk: Column, ts: Column) =>
-      struct(op.as("view_op"), vk.as("vk"), ts.as("mts"))
-    val muts =
-      when(pPk.isNull, array(mut(lit("insert"), cVk, cTs)))
-        .when(cPk.isNull, array(mut(lit("delete"), pVk, pTs)))
-        .when(tsChanged && vkChanged,
-          array(mut(lit("delete"), pVk, pTs), mut(lit("insert"), cVk, cTs)))
-        .when(tsChanged, array(mut(lit("update"), cVk, cTs)))
-        .otherwise(array().cast("array<struct<view_op:string,vk:long,mts:long>>"))
+    val both = pPk.isNotNull && cPk.isNotNull
+    // Candidate mutations carry an `emit` flag and are filtered in place,
+    // so the element type derives from the actual vk/ts columns — no
+    // hardcoded struct cast, any orderable view-key type analyzes.
+    val mut = (op: String, vk: Column, ts: Column, emit: Column) =>
+      struct(lit(op).as("view_op"), vk.as("vk"), ts.as("mts"),
+        emit.as("emit"))
+    val muts = filter(
+      array(
+        mut("delete", pVk, pTs, cPk.isNull || (both && vkChanged)),
+        mut("insert", cVk, cTs, pPk.isNull || (both && vkChanged)),
+        mut("update", cVk, cTs, both && !vkChanged && tsChanged)),
+      m => m.getField("emit"))
     val pkOut = pkCols.map(k => coalesce(col(s"c.$k"), col(s"p.$k")).as(k))
     p.join(c, joinCond, "full_outer")
       .select(pkOut :+ explode(muts).as("m"): _*)
@@ -431,11 +437,16 @@ object Cdc {
   def repairRangeDigests(source: DataFrame, target: DataFrame,
                          pkCol: String, tsCol: String,
                          totalBuckets: Int): DataFrame = {
+    // pk and ts reduce mod p BEFORE the multiplies: (pk mod p) < 1e9 times
+    // 2654435761 stays < 2^62, so the intermediate never overflows a long
+    // for ANY pk — safe under spark.sql.ansi.enabled and identical to the
+    // unreduced formula in exact arithmetic (mod distributes over ·/+).
     def digest(df: DataFrame, n: String, d: String): DataFrame =
       df.withColumn("bucket", tileMd5(col(pkCol), totalBuckets))
         .withColumn("__h",
-          pmod(col(pkCol) * lit(2654435761L) +
-            coalesce(col(tsCol), lit(-1L)) * lit(40503L), lit(1000000007L)))
+          pmod(pmod(col(pkCol), lit(1000000007L)) * lit(2654435761L) +
+            pmod(coalesce(col(tsCol), lit(-1L)), lit(1000000007L)) *
+              lit(40503L), lit(1000000007L)))
         .groupBy("bucket")
         .agg(count(lit(1)).as(n), sum(col("__h")).cast("long").as(d))
     digest(source, "n_src", "digest_src")

@@ -51,6 +51,11 @@ object Skew {
     * At 100 TB with a selective dimension this is the difference between
     * shuffling the fact table and shuffling a sliver of it. The probe is
     * the codegen'd BloomFilterMightContain — no UDF boundary on the scan.
+    *
+    * EAGER at construction: building the filter runs two Spark jobs over
+    * the SMALL side (a distinct-count to size the filter, then the
+    * bloomFilter aggregation) before any action on the returned frame —
+    * cheap by the small-side contract, but not lazy like a plain join.
     */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
                            bigKey: String, smallKey: String,
@@ -63,9 +68,14 @@ object Skew {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    // Alias both sides so the equi-join condition resolves even when the
+    // two key columns share a name (unaliased col(k) === col(k) throws an
+    // ambiguous-reference AnalysisException).
+    val b = big.alias("__bloom_big")
+    val s = small.alias("__bloom_small")
     val mightContain = org.apache.spark.sql.graft.GraftExpressions
-      .bloomMightContain(bfBytes, col(bigKey))
-    big.filter(mightContain)
-      .join(small, col(bigKey) === col(smallKey))
+      .bloomMightContain(bfBytes, col(s"__bloom_big.$bigKey"))
+    b.filter(mightContain)
+      .join(s, col(s"__bloom_big.$bigKey") === col(s"__bloom_small.$smallKey"))
   }
 }

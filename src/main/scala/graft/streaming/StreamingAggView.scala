@@ -35,7 +35,11 @@ object StreamingAggView {
         GroupStateTimeout.NoTimeout) { (g, it, state) =>
         var (n, s) = state.getOption.getOrElse((0L, 0L))
         it.foreach { d => n += d.dn; s += d.dvMicros }
-        state.update((n, s))
+        // A drained group (count back to zero) emits its tombstone and
+        // DROPS its state entry — long-lived streams would otherwise
+        // accumulate (0, 0) state for every group that ever existed.
+        // Re-insertion recreates the state from the zero default.
+        if (n == 0L) state.remove() else state.update((n, s))
         GroupView(g, n, s)
       }
   }

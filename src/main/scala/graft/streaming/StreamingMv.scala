@@ -36,10 +36,13 @@ object StreamingMv {
     val mut = (op: String, vk: org.apache.spark.sql.Column,
                ts: org.apache.spark.sql.Column) =>
       struct(lit(op).as("view_op"), vk.as("vk"), ts.as("mts"))
+    // A key move emits delete+insert regardless of whether ts moved —
+    // mirroring Cdc.mvMaintain: a move with an unchanged writetime would
+    // otherwise leave a ghost row under the old view key.
     val muts =
       when(pTs.isNull && cTs.isNotNull, array(mut("insert", cVk, cTs)))
         .when(cTs.isNull && pTs.isNotNull, array(mut("delete", pVk, pTs)))
-        .when(pTs.isNotNull && cTs.isNotNull && tsChanged && vkChanged,
+        .when(pTs.isNotNull && cTs.isNotNull && vkChanged,
           array(mut("delete", pVk, pTs), mut("insert", cVk, cTs)))
         .when(pTs.isNotNull && cTs.isNotNull && tsChanged,
           array(mut("update", cVk, cTs)))
