@@ -3081,17 +3081,24 @@ object Queries {
         |FROM events""".stripMargin)),
 
     Q("percentile_profile",
-      // Exact interpolated percentiles per group (Spark `percentile` and
-      // DuckDB `quantile_cont` share linear-interpolation semantics —
-      // probed bit-exact). The sampler's distribution profile at full
-      // precision; at 100 TB the approximate sketch variant is
-      // sketch_group_profile.
-      (s, d) => Tables.orders(s, d).groupBy("o_orderstatus").agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
-        count(lit(1)).as("n")),
+      // Exact interpolated percentiles per group via the bucket-histogram
+      // Percentiles operator — bit-identical to Spark `percentile` ≡
+      // DuckDB `quantile_cont` (linear interpolation, probed bit-exact)
+      // but never buffering a corpus-sized group's values in one task.
+      // The sampler's distribution profile at full precision; at 100 TB
+      // the approximate sketch variant is sketch_group_profile.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val pct = graft.operators.Percentiles.exactPercentiles(
+          o, col("o_totalprice"), Seq("o_orderstatus"),
+          Seq(0.25 -> "p25r", 0.5 -> "p50r", 0.75 -> "p75r", 0.95 -> "p95r"))
+        o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .join(pct, "o_orderstatus")
+          .select(col("o_orderstatus"),
+            round(col("p25r"), 4).as("p25"), round(col("p50r"), 4).as("p50"),
+            round(col("p75r"), 4).as("p75"), round(col("p95r"), 4).as("p95"),
+            col("n"))
+      },
       Some("""SELECT o_orderstatus,
         |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -305,7 +305,12 @@ object Analytics {
     * take", where [[Queries]]' events_funnel only counts who converts.
     * Two user-keyed aggregates + one equi-join (the ts ≥ first-touch
     * bound is a post-join filter, not an inequality join); the final
-    * percentile aggregates the users-sized relation.
+    * reductions run over the users-sized relation, with the latency
+    * percentiles through [[Percentiles.exactPercentiles]] — exact but
+    * bucket-histogram-based, so no task ever buffers the users-sized
+    * latency list. That relation persists across its passes and is
+    * released before returning (the report is ONE row, finalized
+    * eagerly).
     */
   def funnelConversionTime(events: DataFrame, userCol: String,
                            typeCol: String, tsCol: String,
@@ -319,15 +324,22 @@ object Analytics {
       .filter(col("to_us") >= col("first_us"))
       .groupBy("user")
       .agg(min(col("to_us") - col("first_us")).as("lat_us"))
-    first.join(conv, Seq("user"), "left")
-      .agg(
-        count(lit(1)).as("n_first"),
-        count(col("lat_us")).as("n_converted"),
-        round(percentile(col("lat_us"), lit(0.5)) / 1e6, 6).as("p50_secs"),
-        round(percentile(col("lat_us"), lit(0.9)) / 1e6, 6).as("p90_secs"))
+    val joined = first.join(conv, Seq("user"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = joined.agg(
+      count(lit(1)).as("n_first"),
+      count(col("lat_us")).as("n_converted"))
+    val pct = Percentiles.exactPercentiles(joined, col("lat_us"), Nil,
+      Seq(0.5 -> "p50_us", 0.9 -> "p90_us"))
+    val out = counts.crossJoin(pct)
       .select(col("n_first"), col("n_converted"),
         expr("n_converted * 1000000 div n_first").as("conv_ppm"),
-        col("p50_secs"), col("p90_secs"))
+        round(col("p50_us") / 1e6, 6).as("p50_secs"),
+        round(col("p90_us") / 1e6, 6).as("p90_secs"))
+    val rows = out.collect()
+    joined.unpersist(blocking = false)
+    events.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Daily-count anomaly screen: per (event type, day) counts flagged

@@ -138,21 +138,22 @@ object Stats {
     * mean/sigma gate into uselessness, while the median and the median
     * absolute deviation ignore them (the standard robust screen for
     * metric columns before training-data filtering). Outlier = |v−med| >
-    * k·1.4826·MAD (1.4826 scales MAD to σ under normality). Two grouped
-    * exact-percentile aggregates (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`, probed bit-exact) with the groups-sized median
-    * relation broadcast back — no window over the data side.
+    * k·1.4826·MAD (1.4826 scales MAD to σ under normality). Both medians
+    * run through [[Percentiles.exactPercentiles]] — bit-identical to
+    * Spark `percentile` ≡ DuckDB `quantile_cont` but computed from
+    * bucket histograms, never buffering a corpus-sized group's values in
+    * one aggregation buffer — with the groups-sized median relation
+    * broadcast back; no window over the data side.
     */
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
                   k: Double): DataFrame = {
     val v = col(valueCol).cast("double")
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val mad = df.join(broadcast(med), Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)")
-        .as("mad"), first(col("med")).as("med2"))
-      .select(col(groupCol), col("med2").as("med"), col("mad"))
+    val med = Percentiles.exactPercentiles(df, col(valueCol),
+      Seq(groupCol), Seq(0.5 -> "med"))
+    val mad = Percentiles.exactPercentiles(
+        df.join(broadcast(med), Seq(groupCol)),
+        abs(v - col("med")), Seq(groupCol), Seq(0.5 -> "mad"))
+      .join(med, Seq(groupCol))
     df.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
@@ -166,14 +167,15 @@ object Stats {
     * exact-percentile band — the trim step that stops a handful of broken
     * rows from dominating any downstream mean/sum (loss statistics,
     * quality scores, reward signals). The bounds relation is groups-sized
-    * → broadcast into one clamped projection of the data side.
+    * → broadcast into one clamped projection of the data side. Bounds via
+    * [[Percentiles.exactPercentiles]] (bucket-histogram exact — no
+    * group-sized aggregation buffer).
     */
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
-        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    val bounds = Percentiles.exactPercentiles(df, col(valueCol),
+      Seq(groupCol), Seq(pLo -> "lo", pHi -> "hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("value_wins",
         round(greatest(col("lo"),
@@ -188,24 +190,33 @@ object Stats {
     * join"; see [[Skew.saltedJoin]]). Sizes are a grouped count; the
     * percentile/top-share reductions run over the KEYS-sized relation
     * (never the data side), with the top slice a distributed
-    * TakeOrdered (`orderBy.limit`), not a window.
+    * TakeOrdered (`orderBy.limit`), not a window. The percentiles run
+    * through [[Percentiles.exactPercentiles]] (bucket-histogram exact —
+    * even a billion-key relation never buffers in one task); the sizes
+    * relation is persisted across its four reductions and released
+    * before returning (the report is ONE row, finalized eagerly).
     */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     val sizes = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nKeys = sizes.count()
     val topN = math.max(1L, math.ceil(nKeys / 100.0).toLong).toInt
     val topShare = sizes.orderBy(col("sz").desc, col("k")).limit(topN)
       .agg(sum(col("sz")).as("top_sz"))
+    val pct = Percentiles.exactPercentiles(sizes, col("sz"), Nil,
+      Seq(0.5 -> "p50", 0.99 -> "p99"))
     val total = sizes.agg(sum(col("sz")).as("total"),
-      max(col("sz")).as("max_sz"),
-      expr("percentile(sz, 0.5)").as("p50"),
-      expr("percentile(sz, 0.99)").as("p99"))
-    total.crossJoin(topShare)
+      max(col("sz")).as("max_sz"))
+    val out = total.crossJoin(topShare).crossJoin(pct)
       .select(lit(nKeys).as("n_keys"), col("total").cast("long").as("n_rows"),
         col("max_sz").cast("long").as("max_size"),
         round(col("p50"), 4).as("p50_size"),
         round(col("p99"), 4).as("p99_size"),
         expr("top_sz * 1000000 div total").as("top1pct_share_ppm"))
+    val rows = out.collect()
+    sizes.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

@@ -90,6 +90,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no profiling entry runs a value-buffering Percentile aggregate") {
+    // Spark's `percentile` buffers every group's values in one
+    // aggregation buffer — corpus-sized groups OOM a task at 100 TB.
+    // These five entries must plan through Percentiles.exactPercentiles
+    // (bucket histograms + bounded bucket-partitioned windows) instead;
+    // funnel/key-skew finalize eagerly, so their returned plan is a
+    // LocalTableScan, which trivially satisfies the gate.
+    for (name <- Seq("mad_outliers", "winsorize_events",
+                     "percentile_profile", "funnel_conversion_time",
+                     "key_skew_report")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("percentile("),
+        s"$name still aggregates with percentile():\n${plan.take(2000)}")
+    }
+  }
+
   test("no plan in the inventory contains a cartesian product") {
     // Exhaustive-baseline pair generators legitimately cross-join small
     // inputs (their scale paths are banded/bucketed); everything else must
