@@ -24,7 +24,12 @@ object Bench {
     "shingle_containment",
     // round-4 demoted grows-with-n configs (quadratic by construction;
     // the promoted √n-stride / capped-ksub entries are the benched paths)
-    "embedding_clusters_sampled", "semdedup_apply_sampled", "pq_topk_sampled")
+    "embedding_clusters_sampled", "semdedup_apply_sampled", "pq_topk_sampled",
+    // the declared small-n/loose-threshold SRP recall tool: 16x4-bit
+    // bands give near-linear candidate growth (measured sf0.1→sf1
+    // exponent 0.94); the benched scale path is dedup_embedding_srp_wide
+    // (8x32-bit bands, exponent 0.33). Spec/oracle coverage unchanged.
+    "dedup_embedding_srp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
