@@ -106,35 +106,38 @@ object Ann {
 
   /** Per-dimension-PAIR covariance of the embedding corpus — the full
     * (upper-triangle) covariance matrix PCA / ZCA whitening consumes,
-    * where [[dimStats]] only gives the diagonal. The per-row outer-product
-    * contribution comes from one codegen'd [[org.apache.spark.sql.graft
-    * .FloatVecPairProducts]] array (a HOF composition would be two
-    * interpreted lambda layers per element), posexploded into a
-    * d·(d-1)/2-group aggregate: partial aggregation collapses the explode
-    * map-side, so the shuffle carries one partial row per pair per task —
-    * constant in the corpus size, like dimStats. Products sum in
-    * DECIMAL(38,12) (order-independent, engine-exact); the (pidx → i,j)
-    * mapping and per-dim mean sums are tiny broadcast relations on the
-    * AGGREGATED side, never touching the corpus scan.
+    * where [[dimStats]] only gives the diagonal. All d·(d-1)/2 product
+    * sums fold in ONE pass through [[org.apache.spark.sql.graft
+    * .PairProductSumAgg]] — a vector-valued TypedImperativeAggregate
+    * whose buffer holds the pair cells as exact 128-bit split decimals,
+    * so no d·(d-1)/2-row-per-input explode ever materializes (the prior
+    * posexplode plan inflated the corpus 2016× at d=64 before the
+    * map-side combine). Bit-compatible with summing the products in
+    * DECIMAL(38,12) (order-independent, engine-exact — spec-proven
+    * against the declarative plan); the (pidx → i,j) mapping and
+    * per-dim mean sums are tiny broadcast relations on the AGGREGATED
+    * side, never touching the corpus scan.
     */
   def dimCovariance(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
     require(dims >= 2, "dims must be >= 2")
     val spark = emb.sparkSession
-    // FloatVecPairProducts lays pidx out from each vector's OWN length —
-    // a stray short/long vector would silently contribute to the wrong
-    // (i,j) cells. Enforce the declared width up front.
+    // PairProductSumAgg lays pidx out for width-`dims` vectors and skips
+    // any other width — a stray short/long vector would otherwise
+    // contribute to the wrong (i,j) cells. The upfront filter keeps the
+    // row COUNT consistent with the skip.
     val vecs = emb.filter(size(col(vecCol)) === dims)
     val pairs = spark.range(dims).selectExpr("cast(id as int) as i")
       .crossJoin(spark.range(dims).selectExpr("cast(id as int) as j"))
       .filter(col("j") > col("i"))
       .withColumn("pidx",
         expr(s"i * (${2 * dims} - i - 1) div 2 + j - i - 1").cast("int"))
-    val pairSums = vecs.select(
-        org.apache.spark.sql.graft.GraftExpressions
-          .floatVecPairProducts(col(vecCol)).as("pp"))
-      .select(posexplode(col("pp")).as(Seq("pidx", "p")))
-      .groupBy("pidx")
-      .agg(count(lit(1)).as("n"), sum(col("p").cast("decimal(38,12)")).as("sp"))
+    val pairSums = vecs.agg(
+        count(lit(1)).as("n"),
+        org.apache.spark.sql.graft.PairProductSumFunctions
+          .pairProductSums(col(vecCol), dims).as("sp_arr"))
+      .select(col("n"), posexplode(col("sp_arr")).as(Seq("pidx", "sp")))
+      // empty corpus: emit no rows (as the grouped form did), not 0/0
+      .filter(col("n") > 0)
     val dimSums = vecs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy("dim")
       .agg(sum(col("x").cast("double").cast("decimal(38,12)")).as("sx"))
