@@ -106,6 +106,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup reports read the materialized index, never the LSH pipeline") {
+    // The roundtrip entry owns the build; run it first so the index
+    // exists, then every report must plan as a scan of the bucketed
+    // index tables — no minhash banding (and, since cluster membership
+    // is read back, no connected-components recompute at construction).
+    finalPlan("dedup_cluster_index_roundtrip")
+    for (name <- Seq("cluster_size_histogram", "survivor_selection_report",
+                     "cross_source_overlap", "split_leakage_report")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("minhash_band_keys"),
+        s"$name recomputes LSH bands:\n${plan.take(2000)}")
+      assert(plan.contains("dedup_pairs_") || plan.contains("dedup_clusters_"),
+        s"$name does not scan the materialized index:\n${plan.take(2000)}")
+    }
+  }
+
   test("no plan in the inventory contains a cartesian product") {
     // Exhaustive-baseline pair generators legitimately cross-join small
     // inputs (their scale paths are banded/bucketed); everything else must
