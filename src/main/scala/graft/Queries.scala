@@ -2528,28 +2528,40 @@ object Queries {
         |FROM f""".stripMargin)),
 
     Q("multimodal_resize",
-      // STUB resize (stride-4 byte downsample standing in for a real
-      // resampler) through the typed mapPartitions dataflow; the corpus is
-      // ASCII so the oracle's character stride is byte-accurate, and the
-      // md5 pins the exact resized bytes.
+      // REAL pixel-domain resize (round 6 — the last proxy retired):
+      // deterministic gray PNGs decode through javax.imageio, then an
+      // EXACT area-average downscale (integer block sums, floor
+      // division, partial edge blocks) — so the codec-free oracle
+      // reproduces every output pixel from the generator's luma formula,
+      // pinned by a position-weighted checksum that breaks on any single
+      // wrong pixel. PNG is lossless; the oracle verifies THIS resample,
+      // not a byte-stride stand-in.
       (s, d) => {
         val spark0 = s
         import spark0.implicits._
-        Multimodal.resizeStub(
-            Multimodal.payloadsFromDocuments(s, Tables.documents(s, d)), 4)
+        Multimodal.areaDownscale(Multimodal.syntheticPngs(
+            Tables.documents(s, d).select(col("doc_id").cast("long"))
+              .as[java.lang.Long]), factor = 2)
           .toDF()
-          .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
-            md5(col("resized")).as("resized_md5"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("out_w"), col("out_h"), col("sum_resized"),
+            col("pixel_checksum"))
       },
-      Some("""WITH r AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
-        |    array_to_string(list_transform(
-        |      generate_series(1, len(text), 4), i -> text[i]), '') AS rz
-        |  FROM documents)
-        |SELECT doc_id, orig_bytes,
-        |  CAST(octet_length(encode(rz)) AS BIGINT) AS resized_bytes,
-        |  md5(rz) AS resized_md5
-        |FROM r""".stripMargin)),
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w,
+        |    8 + doc_id % 7 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y,
+        |    (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS luma FROM d,
+        |    (SELECT unnest(generate_series(0, 12)) AS x) x,
+        |    (SELECT unnest(generate_series(0, 14)) AS y) y
+        |  WHERE x.x < w AND y.y < h),
+        |blk AS (SELECT doc_id, w, h, x // 2 AS ox, y // 2 AS oy,
+        |    SUM(luma) // COUNT(*) AS v
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((w + 1) // 2 AS INT) AS out_w, CAST((h + 1) // 2 AS INT) AS out_h,
+        |  CAST(SUM(v) AS BIGINT) AS sum_resized,
+        |  CAST(SUM(v * (1 + ox + 17 * oy)) AS BIGINT) AS pixel_checksum
+        |FROM blk GROUP BY 1, 2, 3, 4, 5""".stripMargin)),
 
     Q("multimodal_decode_png",
       // REAL codec round trip (javax.imageio, pure JDK): deterministic

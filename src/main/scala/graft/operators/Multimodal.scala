@@ -91,26 +91,67 @@ object Multimodal {
         expr(s"substring(p, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)")
           .as("frame"))
 
-  final case class ResizedRow(doc_id: Long, orig_bytes: Long,
-                              resized_bytes: Long, resized: Array[Byte])
+  final case class DownscaledImage(doc_id: Long, width: Int, height: Int,
+                                   out_w: Int, out_h: Int, sum_resized: Long,
+                                   pixel_checksum: Long)
 
-  /** STUB resize: deterministic stride downsample of the payload bytes
-    * (every `factor`-th byte), standing in for a real image/audio resample.
-    * Same production dataflow as [[decodeStub]]: typed mapPartitions, no
-    * shuffle, no driver involvement — swap the body for a real scaler and
-    * the plan is unchanged.
+  /** REAL pixel-domain downscale with EXACT arithmetic: decode through
+    * `javax.imageio`, then area-average (box-filter) each `factor`×
+    * `factor` input block into one output luma — partial edge blocks
+    * average their actual pixels — using integer sums and floor
+    * division, so the result is a pure integer function of the decoded
+    * pixels that a codec-free oracle reproduces arithmetically (the
+    * Graphics2D bilinear path in [[resizeImages]] is real too, but its
+    * resampling is implementation-defined — fine for serving, not for an
+    * oracle gate). Emits the resized grid pinned two ways: the plain
+    * luma sum and a position-weighted checksum Σ v·(1 + x + 17·y) that
+    * breaks if ANY single output pixel is wrong. Same typed
+    * mapPartitions dataflow as every decode stage; undecodable payloads
+    * drop.
     */
-  def resizeStub(ds: Dataset[MediaRow], factor: Int): Dataset[ResizedRow] = {
+  def areaDownscale(ds: Dataset[MediaRow], factor: Int): Dataset[DownscaledImage] = {
     require(factor >= 1, "factor must be >= 1")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.map { r =>
-      // STUB: stands in for pixel/sample-domain resampling
-      val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
-      var i = 0
-      while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
-      ResizedRow(r.doc_id, r.payload.length.toLong, out.length.toLong, out)
-    })
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val ow = (w + factor - 1) / factor
+          val oh = (h + factor - 1) / factor
+          var sum = 0L
+          var checksum = 0L
+          var oy = 0
+          while (oy < oh) {
+            var ox = 0
+            while (ox < ow) {
+              var blockSum = 0L
+              var cnt = 0L
+              var iy = oy * factor
+              while (iy < math.min((oy + 1) * factor, h)) {
+                var ix = ox * factor
+                while (ix < math.min((ox + 1) * factor, w)) {
+                  blockSum += img.getRGB(ix, iy) & 0xff // blue = luma on gray
+                  cnt += 1
+                  ix += 1
+                }
+                iy += 1
+              }
+              val v = blockSum / cnt
+              sum += v
+              checksum += v * (1L + ox + 17L * oy)
+              ox += 1
+            }
+            oy += 1
+          }
+          Some(DownscaledImage(r.doc_id, w, h, ow, oh, sum, checksum))
+        }
+      }
+    }
   }
 
   /** Unsigned byte value at 1-based `pos` of a BINARY payload, as the SQL

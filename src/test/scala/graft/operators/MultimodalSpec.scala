@@ -61,6 +61,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("areaDownscale: exact box averages, partial edge blocks, drops") {
+    val spark0 = spark
+    import spark0.implicits._
+    // id 2: w = 8+2%5 = 10, h = 8+2%7 = 10 → factor-3 output 4x4 with
+    // partial right/bottom blocks (10 = 3+3+3+1)
+    val pngs = Multimodal.syntheticPngs(Seq(java.lang.Long.valueOf(2L)).toDS())
+    val got = Multimodal.areaDownscale(pngs, factor = 3).collect().head
+    def luma(x: Int, y: Int) = ((2L * 31 + x * 7 + y * 13) % 256).toInt
+    var sum = 0L
+    var checksum = 0L
+    for (oy <- 0 until 4; ox <- 0 until 4) {
+      val xs = (ox * 3) until math.min(ox * 3 + 3, 10)
+      val ys = (oy * 3) until math.min(oy * 3 + 3, 10)
+      val v = xs.flatMap(x => ys.map(y => luma(x, y).toLong)).sum /
+        (xs.size * ys.size)
+      sum += v
+      checksum += v * (1L + ox + 17L * oy)
+    }
+    assert(got.width == 10 && got.height == 10)
+    assert(got.out_w == 4 && got.out_h == 4)
+    assert(got.sum_resized == sum)
+    assert(got.pixel_checksum == checksum)
+    // undecodable payloads drop, like every decode stage
+    val junk = Seq(Multimodal.MediaRow(5L, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.areaDownscale(junk, 2).collect().isEmpty)
+  }
+
   test("lengthBucketReport: bucket geometry and exact pad-waste ppm") {
     // token counts: 3, 3, 70 → buckets 0 (two docs) and 1 (one doc)
     val docs = Seq(
