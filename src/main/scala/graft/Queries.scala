@@ -5264,7 +5264,53 @@ object Queries {
         |  UNION
         |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
         |SELECT node AS doc_id, MIN(reach) AS cluster_id
-        |FROM closure GROUP BY node""".stripMargin))
+        |FROM closure GROUP BY node""".stripMargin)),
+
+    Q("ann_ivf_index_upsert",
+      // Incremental ANN-index maintenance (CDC×ANN): a snapshot diff of
+      // the embedding corpus (inserts: id%23=3 absent before; updates:
+      // id%17=2 reversed before; deletes: id%19=7 absent after) applies
+      // to the MATERIALIZED IVF index at FROZEN centroids — new/changed
+      // vectors re-assign, removed ids anti-join out, the corpus-sized
+      // base streams untouched. Oracle = full rebuild of the new corpus
+      // at the same frozen centroid set, proving the upsert
+      // row-identical to rebuild (probe-answer equality is spec-gated).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val prev = emb.filter(col("vec_id") % 23 =!= 3)
+          .withColumn("embedding",
+            when(col("vec_id") % 17 === 2, reverse(col("embedding")))
+              .otherwise(col("embedding")))
+        val curr = emb.filter(col("vec_id") % 19 =!= 7)
+        val cents = sqrtCentroids(prev)
+        val baseIdx = prev.select(col("vec_id"), col("embedding").as("v"))
+          .join(Ann.ivfAssign(prev, cents, "vec_id", "embedding",
+            "vec_id", "embedding").select("vec_id", "centroid_id"), "vec_id")
+        val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        graft.sources.ParquetSink.writeBucketedSnapshot(baseIdx, tbl,
+          Seq("centroid_id"), buckets = 16)
+        val upserted = Ann.ivfIndexUpsert(s.table(tbl), prev, curr, cents,
+          "vec_id", "embedding", "vec_id", "embedding")
+        val tbl2 = tbl + "_v2"
+        graft.sources.ParquetSink.writeBucketedSnapshot(upserted, tbl2,
+          Seq("centroid_id"), buckets = 16)
+        s.table(tbl2).select(col("vec_id"), col("centroid_id"))
+      },
+      Some(s"""WITH prev AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 17 = 2 THEN list_reverse(embedding)
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 23 <> 3),
+        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 7),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
+        |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM curr e CROSS JOIN c)
+        |SELECT vec_id, centroid_id
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, centroid_id) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix

@@ -741,6 +741,51 @@ object Ann {
         round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Incremental maintenance of a materialized IVF index — the CDC×ANN
+    * composition: apply a snapshot diff of the embedding corpus
+    * (inserts / updates / deletes) to an existing index relation
+    * `(vec_id, v, centroid_id)` WITHOUT rebuilding it. New and updated
+    * vectors assign against the FROZEN centroid set (the index's
+    * partitioning is part of its contract — re-deriving centroids would
+    * invalidate every bucket); deleted and updated ids anti-join out of
+    * the base. Because unchanged rows already hold the assignment the
+    * same frozen centroids would produce, the result is row-identical
+    * to a full rebuild of the new corpus at that centroid set — which
+    * is exactly what the oracle recomputes, and probe answers over the
+    * upserted index equal the rebuilt index's (spec-proven).
+    *
+    * Scale shape: the diff is one pk full-outer join (shuffle-free when
+    * both snapshots are bucketed by id), the touched set is
+    * delta-sized — assignment joins it against broadcast centroids, and
+    * the anti-join's removed-id set broadcasts; the corpus-sized base
+    * streams through untouched. Drift of the data under the frozen
+    * centroids is the retrain tripwire: feed [[centroidDrift]] with
+    * slice 0 = base assignment, slice 1 = upserted assignment and
+    * retrain when bucket-mean cosines sag (spec demonstrates the
+    * composition).
+    */
+  def ivfIndexUpsert(base: DataFrame, prevEmb: DataFrame, currEmb: DataFrame,
+                     centroids: DataFrame, idCol: String, vecCol: String,
+                     centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
+    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val diff = p.join(c, Seq("vec_id"), "full_outer")
+    // inserts + changed vectors enter with a fresh frozen-centroid
+    // assignment; deletes + changed ids leave the base
+    val incoming = diff
+      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
+      .select(col("vec_id"), col("nv").as("v"))
+    val removed = diff
+      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
+      .select("vec_id")
+    val assign = ivfAssign(incoming, centroids, "vec_id", "v",
+      centroidIdCol, centroidVecCol)
+    base.join(removed, Seq("vec_id"), "left_anti")
+      .unionByName(incoming
+        .join(assign.select("vec_id", "centroid_id"), "vec_id")
+        .select(col("vec_id"), col("v"), col("centroid_id")))
+  }
+
   /** Top principal component by POWER ITERATION — the distributed
     * matvec loop behind PCA/spectral embedding diagnostics, run for a
     * FIXED iteration count from a FIXED start vector so the result is a

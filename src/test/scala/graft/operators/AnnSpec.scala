@@ -741,6 +741,59 @@ class AnnSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 1L), (0L, 4L, 2L)))
   }
 
+  test("ivfIndexUpsert equals a frozen-centroid rebuild; probes agree; drift composes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rng = new scala.util.Random(31)
+    def vec() = Array.fill(4)((rng.nextGaussian() * 3).toFloat)
+    val prevRows = (0L until 60L).map(id => (id, vec()))
+    val prev = prevRows.toDF("vec_id", "v")
+    // curr: delete %13==1, update %7==2 (fresh vector), insert 100..104
+    val currRows = prevRows.filter(_._1 % 13 != 1)
+      .map { case (id, v) => (id, if (id % 7 == 2) vec() else v) } ++
+      (100L until 105L).map(id => (id, vec()))
+    val curr = currRows.toDF("vec_id", "v")
+    val cents = prev.filter(col("vec_id") % 12 === 0) // frozen
+    def assignOf(emb: org.apache.spark.sql.DataFrame) =
+      emb.select(col("vec_id"), col("v"))
+        .join(Ann.ivfAssign(emb, cents, "vec_id", "v", "vec_id", "v")
+          .select("vec_id", "centroid_id"), "vec_id")
+    val base = assignOf(prev)
+    val upserted = Ann.ivfIndexUpsert(base, prev, curr, cents,
+      "vec_id", "v", "vec_id", "v")
+    val rebuilt = assignOf(curr)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toList, r.getLong(2))).toSet
+    assert(canon(upserted) === canon(rebuilt))
+    // probe answers over the upserted index equal the rebuilt index's
+    val queries = curr.filter(col("vec_id") % 5 === 0).select("vec_id")
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopKIndexed(idx, queries, "vec_id", k = 2)
+        .collect().map(_.toSeq).toSet
+    assert(probe(upserted) === probe(rebuilt) && probe(upserted).nonEmpty)
+    // retrain tripwire: centroidDrift over base (slice 0) vs upserted
+    // (slice 1) bucket populations — buckets untouched by the diff hold
+    // cosine 1, every shared bucket reports a value
+    val sliced = base.withColumn("slice", lit(0))
+      .unionByName(upserted.withColumn("slice", lit(1)))
+    val drift = Ann.centroidDrift(sliced, "v", "centroid_id", "slice")
+    val byBucket = drift.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byBucket.nonEmpty && byBucket.values.forall(c => c <= 1.0 + 1e-9))
+    val touched = (prevRows.filter(_._1 % 13 == 1).map(_._1) ++
+      prevRows.filter(_._1 % 7 == 2).map(_._1)).toSet
+    val touchedBuckets = base
+      .filter(col("vec_id").isin(touched.toSeq: _*))
+      .select("centroid_id").as[Long].collect().toSet ++
+      upserted.join(rebuilt.select("vec_id"), Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") >= 100L || col("vec_id") % 7 === 2)
+        .select("centroid_id").as[Long].collect().toSet
+    byBucket.foreach { case (b, c) =>
+      if (!touchedBuckets.contains(b)) assert(c === 1.0, s"bucket $b")
+    }
+  }
+
   test("pcaTopComponent converges toward the dominant axis") {
     val spark0 = spark
     import spark0.implicits._
