@@ -1994,8 +1994,8 @@ object Queries {
         |    CAST(SUM(CAST(xd AS DECIMAL(38,12))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) AS DOUBLE) AS sx2
         |  FROM v GROUP BY dim)
-        |SELECT dim, n, ROUND(sx / n, 6) AS mean,
-        |  ROUND(sx2 / n - (sx / n) * (sx / n), 6) AS variance FROM s""".stripMargin)),
+        |SELECT dim, n, ROUND(sx / n, 6) + 0 AS mean,
+        |  ROUND(sx2 / n - (sx / n) * (sx / n), 6) + 0 AS variance FROM s""".stripMargin)),
 
     Q("dim_covariance",
       // Full upper-triangle covariance matrix for PCA/ZCA whitening —

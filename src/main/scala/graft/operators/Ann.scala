@@ -100,8 +100,11 @@ object Ann {
         sum(col("xd").cast("decimal(38,12)")).as("sx"),
         sum((col("xd") * col("xd")).cast("decimal(38,12)")).as("sx2"))
       .select(col("dim"), col("n"),
-        round(sxd, 6).as("mean"),
-        round(sx2d - sxd * sxd, 6).as("variance"))
+        // + 0.0 canonicalizes IEEE -0.0 → 0.0 (engines differ at round();
+        // first bites at sf10, where a sign-flipped replica dim's mean
+        // rounds to a negative zero in DuckDB)
+        (round(sxd, 6) + lit(0.0)).as("mean"),
+        (round(sx2d - sxd * sxd, 6) + lit(0.0)).as("variance"))
   }
 
   /** Per-dimension-PAIR covariance of the embedding corpus — the full
