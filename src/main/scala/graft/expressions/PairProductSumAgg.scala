@@ -93,10 +93,23 @@ object Dec12 {
   * decimals exactly as Spark's double→decimal cast does
   * (`BigDecimal.valueOf(d).setScale(12, HALF_UP)`), and the scaled
   * integers accumulate in a 128-bit split accumulator (low < 10¹⁸ plus
-  * a 10¹⁸-unit carry) — order-independent, no double-sum drift, no
-  * overflow below the DECIMAL(38,12) bound itself. NaN/∞ products and
-  * null or wrong-width vectors are skipped, matching the cast-to-null /
-  * upstream-filter behavior of the declarative plan.
+  * a 10¹⁸-unit carry) — order-independent, no double-sum drift. NaN/∞
+  * products and null or wrong-width vectors are skipped, matching the
+  * cast-to-null / upstream-filter behavior of the declarative plan.
+  *
+  * Magnitude contract: the split accumulator represents totals up to
+  * ~9.2·10³⁶ (carry word · 10¹⁸), slightly inside decimal(38,12)'s own
+  * ~10³⁸ overflow-to-null cliff. A single product with |p| ≥ 9·10²⁴ is
+  * SKIPPED (its carry alone would not fit a long) — the declarative
+  * twin (`sum(try_cast(p as decimal(38,12)))`; the plain cast THROWS
+  * under ANSI mode) nulls such products only from 10²⁶, so the band
+  * [9·10²⁴, 10²⁶) diverges: declarative keeps them (until its running
+  * sum overflows), this aggregate drops them. Any product that large implies
+  * float inputs ≥ ~3·10¹² in magnitude, far outside embedding range;
+  * the trade is documented rather than paid for with a 3-word cell.
+  * Carry-word accumulation is CHECKED (Math.addExact): a run that does
+  * exceed the representable total fails loudly instead of silently
+  * wrapping where the declarative plan would have returned null.
   */
 case class PairProductSumAgg(
     child: Expression,
@@ -121,7 +134,7 @@ case class PairProductSumAgg(
     // div/mod renormalizes to |low| < 1e18 in one step.
     val s = buf(2 * p) + r
     buf(2 * p) = s % Unit18
-    buf(2 * p + 1) += s / Unit18
+    buf(2 * p + 1) = Math.addExact(buf(2 * p + 1), s / Unit18)
   }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -140,14 +153,16 @@ case class PairProductSumAgg(
                 !java.lang.Double.isInfinite(prod)) {
               if (prod > -4.0e6 && prod < 4.0e6) {
                 addScaled(buf, p, Dec12.scaledLong(prod))
-              } else {
+              } else if (prod > -9.0e24 && prod < 9.0e24) {
                 // oversized product: split the scaled value across words
+                // (carry fits a long below the 9e24 magnitude contract)
                 val ub = java.math.BigDecimal.valueOf(prod)
                   .setScale(12, RoundingMode.HALF_UP).unscaledValue()
                 val qr = ub.divideAndRemainder(BigInteger.valueOf(Unit18))
-                buf(2 * p + 1) += qr(0).longValueExact()
+                buf(2 * p + 1) = Math.addExact(buf(2 * p + 1), qr(0).longValueExact())
                 addScaled(buf, p, qr(1).longValue())
               }
+              // |prod| ≥ 9e24: skipped (see magnitude contract above)
             }
             p += 1
             j += 1
@@ -162,7 +177,7 @@ case class PairProductSumAgg(
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var p = 0
     while (p < nPairs) {
-      b1(2 * p + 1) += b2(2 * p + 1)
+      b1(2 * p + 1) = Math.addExact(b1(2 * p + 1), b2(2 * p + 1))
       addScaled(b1, p, b2(2 * p))
       p += 1
     }

@@ -40,8 +40,13 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * EAGER: the three passes run at call time and the groups-sized result
   * returns as a local relation (it broadcast-joins downstream exactly
   * like the aggregate it replaces). Contracts: null values are ignored
-  * (as `percentile` does); group keys must be non-null; a group with no
-  * non-null values is absent from the output (Spark emits a null row).
+  * (as `percentile` does); rows with a null group key are dropped up
+  * front (the equi-join of the bucketing pass cannot see them — this
+  * matches the operator's long-standing effective output); a group with
+  * no non-null values is absent from the output (Spark emits a null
+  * row). The broadcast-small contract on the GROUP COUNT is enforced:
+  * pass 1 fails fast past `maxGroups` rather than letting a
+  * per-user-sized key silently OOM the driver.
   *
   * Cost: three column-pruned scans instead of one, each a single
   * map-side-combined shuffle. At 100 TB that trade — two extra pruned
@@ -56,10 +61,14 @@ object Percentiles {
     * @param groupCols empty ⇒ one global row (null-filled on empty input)
     * @param buckets histogram resolution per group; capped so the
     *                driver-held histogram stays ≤ ~4M count rows
+    * @param maxGroups hard ceiling on distinct groups (pass 1 fails fast
+    *                beyond it); keeps the driver-collect contract a
+    *                checked invariant instead of prose
     */
   def exactPercentiles(df: DataFrame, value: Column, groupCols: Seq[String],
                        ps: Seq[(Double, String)],
-                       buckets: Int = 1024): DataFrame = {
+                       buckets: Int = 1024,
+                       maxGroups: Int = 1000000): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     require(ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
       "percentiles must lie in [0, 1]")
@@ -71,9 +80,14 @@ object Percentiles {
     val gNames = if (dummy) Seq("__g") else groupCols
     val gcols = gNames.map(col)
     val base = if (dummy) df.withColumn("__g", lit(0)) else df
+    // Null group keys never survived the pass-2 equi-join; drop them
+    // before pass 1 so `targets` and `hist` agree on the group set.
+    val nonNullKeys =
+      if (dummy) lit(true)
+      else gNames.map(col(_).isNotNull).reduce(_ && _)
     val data = base
       .select(gcols :+ value.cast("double").as("__v"): _*)
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && nonNullKeys)
     val gFields = gNames.map(n => data.schema(n))
 
     def outDf(rows: Seq[Row]): DataFrame = {
@@ -85,9 +99,17 @@ object Percentiles {
     }
 
     // Pass 1: per-group count and value range (groups-sized collect).
+    // The limit caps the collect itself, so an over-cardinality key
+    // fails fast instead of OOM-ing the driver first.
     val gstatsRows = data.groupBy(gcols: _*)
       .agg(count(lit(1)).as("__n"), min("__v").as("__mn"), max("__v").as("__mx"))
+      .limit(maxGroups + 1)
       .collect()
+    require(gstatsRows.length <= maxGroups,
+      s"exactPercentiles: more than $maxGroups distinct groups for key " +
+        s"${gNames.mkString("(", ",", ")")} — the driver-held histogram " +
+        "contract does not hold; aggregate per-group percentiles " +
+        "distributedly (e.g. percentile_approx) or raise maxGroups")
     if (gstatsRows.isEmpty) {
       // A global aggregate still emits one null-filled row on empty
       // input, as agg(percentile(...)) would; grouped output is empty.

@@ -39,7 +39,11 @@ object StreamingAggView {
         // DROPS its state entry — long-lived streams would otherwise
         // accumulate (0, 0) state for every group that ever existed.
         // Re-insertion recreates the state from the zero default.
-        if (n == 0L) state.remove() else state.update((n, s))
+        // Well-formed feeds hold n == 0 ⇒ s == 0 (every contribution
+        // pairs ±v with ±1); the s check makes that an invariant the
+        // cleanup cannot violate — an inconsistent feed keeps its
+        // residual sum in state instead of silently discarding it.
+        if (n == 0L && s == 0L) state.remove() else state.update((n, s))
         GroupView(g, n, s)
       }
   }

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   */
 class GraftPairProductSumSpec extends SparkSpec {
 
+  // try_cast = the ANSI-safe overflow-to-null cast the aggregate mirrors
+  // (identical to cast for every in-range product)
   private def declarative(df: org.apache.spark.sql.DataFrame, dims: Int) =
     df.filter(size(col("v")) === dims)
       .select(org.apache.spark.sql.graft.GraftExpressions
         .floatVecPairProducts(col("v")).as("pp"))
       .select(posexplode(col("pp")).as(Seq("pidx", "p")))
       .groupBy("pidx")
-      .agg(sum(col("p").cast("decimal(38,12)")).as("sp"))
+      .agg(sum(expr("try_cast(p as decimal(38,12))")).as("sp"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
 
   private def agg(df: org.apache.spark.sql.DataFrame, dims: Int) =
@@ -80,6 +82,21 @@ class GraftPairProductSumSpec extends SparkSpec {
     for (p <- Seq(0.0, -0.0, 5e-13, -5e-13, 4.9999999e-13, 1.5e-12,
                   Double.MinPositiveValue, 2048.000000000125, -3999999.9))
       assert(org.apache.spark.sql.graft.Dec12.scaledLong(p) === ref(p), s"p=$p")
+  }
+
+  test("huge-magnitude products skip instead of crashing, matching cast-to-null") {
+    val spark0 = spark
+    import spark0.implicits._
+    // pair (0,1): 3e18·2e18 = 6e36 — beyond decimal(38,12)'s null cliff
+    // AND the split accumulator's bound; both engines drop it. Pairs
+    // (0,2)/(1,2) stay in the representable slow-path range. Pre-fix the
+    // 6e36 product threw ArithmeticException in longValueExact.
+    val rows = Seq(
+      Tuple1(Array(3.0e18f, 2.0e18f, 1.0f)),
+      Tuple1(Array(1.5f, 2.5f, 3.5f)),
+      Tuple1(Array(Float.MaxValue, Float.MaxValue, 0.25f)))
+    val df = rows.toDF("v")
+    assert(agg(df, 3) === declarative(df, 3))
   }
 
   test("null and wrong-width vectors are skipped like the upstream filter") {

@@ -73,6 +73,35 @@ class PercentilesSpec extends SparkSpec {
     assert(empty.length === 1 && empty.head.isNullAt(0))
   }
 
+  test("null group keys are dropped, not crashed on") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Pre-fix this threw NoSuchElementException: pass 1 counted the
+    // null-key group but the bucketing equi-join dropped its rows.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      (null.asInstanceOf[String], 9.0), (null.asInstanceOf[String], 11.0),
+      ("b", 5.0)).toDF("g", "v")
+    val got = Percentiles.exactPercentiles(df, col("v"), Seq("g"),
+      Seq(0.5 -> "p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 2.0, "b" -> 5.0))
+  }
+
+  test("fails fast past the maxGroups driver-collect bound") {
+    val df = spark.range(5000L).select(
+      col("id").as("g"), col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactPercentiles(df, col("v"), Seq("g"),
+        Seq(0.5 -> "p50"), maxGroups = 1000)
+    }
+    assert(e.getMessage.contains("distinct groups"))
+    // at the bound it still runs
+    val ok = Percentiles.exactPercentiles(
+      df.filter(col("g") < 1000), col("v"), Seq("g"),
+      Seq(0.5 -> "p50"), maxGroups = 1000)
+    assert(ok.count() === 1000L)
+  }
+
   test("stays exact on a million-row group (the buffering-killer case)") {
     val spark0 = spark
     import spark0.implicits._

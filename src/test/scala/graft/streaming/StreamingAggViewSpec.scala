@@ -60,4 +60,32 @@ class StreamingAggViewSpec extends SparkSpec {
       assert(expected(5L)._1 === 0L && fin(5L)._2 === 0L)
     } finally q.stop()
   }
+
+  test("inconsistent drain (n=0, s!=0) keeps its residual state instead of dropping it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val in = MemoryStream[GroupDelta](spark)
+    val q = StreamingAggView.viewStream(in.toDS())
+      .writeStream.format("memory").queryName("aggview_residual")
+      .outputMode("update").start()
+    try {
+      // malformed feed: count returns to zero but 100 micros linger
+      in.addData(GroupDelta(1L, 1000000L, 1L), GroupDelta(1L, -999900L, -1L))
+      q.processAllAvailable()
+      // re-insertion must resume FROM the residual, not from (0, 0)
+      in.addData(GroupDelta(1L, 500L, 1L))
+      q.processAllAvailable()
+      val last = spark.table("aggview_residual")
+        .as[(Long, Long, Long)].collect().last
+      assert(last === ((1L, 1L, 600L)))
+      // a consistent drain still removes state: re-insertion starts fresh
+      in.addData(GroupDelta(2L, 7L, 1L), GroupDelta(2L, -7L, -1L))
+      q.processAllAvailable()
+      in.addData(GroupDelta(2L, 9L, 1L))
+      q.processAllAvailable()
+      val g2 = spark.table("aggview_residual")
+        .as[(Long, Long, Long)].collect().filter(_._1 == 2L).last
+      assert(g2 === ((2L, 1L, 9L)))
+    } finally q.stop()
+  }
 }
