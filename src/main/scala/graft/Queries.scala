@@ -1017,8 +1017,32 @@ object Queries {
     "dedup_pairs_" + d.replaceAll("[^A-Za-z0-9]", "_")
   private def dedupClustersTable(d: String): String =
     "dedup_clusters_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  private def dedupFprintTable(d: String): String =
+    "dedup_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Metadata-only fingerprint of the documents corpus: a hash of every
+    * underlying file's (name, length, mtime). O(files) catalog listing,
+    * zero data read — the freshness check stays free at 100 TB where a
+    * content hash would cost a full corpus scan. An in-place regeneration
+    * rewrites files, so mtime (at minimum) moves and the index rebuilds.
+    */
+  private def corpusFingerprint(s: SparkSession, d: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).sortBy(_.getPath.getName).foreach(c => walk(c.getPath))
+      else parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    walk(root)
+    parts.foldLeft(17L)((h, s) => h * 1000003L + s.hashCode.toLong)
+  }
 
   private def buildDedupIndex(s: SparkSession, d: String): Unit = {
+    // Fingerprint BEFORE reading, so a corpus rewritten mid-build is
+    // stamped stale (the next ensure rebuilds) rather than fresh.
+    val fp = corpusFingerprint(s, d)
     val pairs = TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
       "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
     graft.sources.ParquetSink.writeBucketedSnapshot(pairs,
@@ -1028,12 +1052,23 @@ object Queries {
       .select("doc_id", "cluster_id")
     graft.sources.ParquetSink.writeBucketedSnapshot(clusters,
       dedupClustersTable(d), Seq("doc_id"), buckets = 16)
+    graft.sources.ParquetSink.writeBucketedSnapshot(
+      s.range(1).select(lit(fp).as("fp")),
+      dedupFprintTable(d), Seq("fp"), buckets = 1)
   }
 
-  private def ensureDedupIndex(s: SparkSession, d: String): Unit =
-    if (!s.catalog.tableExists(dedupPairsTable(d)) ||
-        !s.catalog.tableExists(dedupClustersTable(d)))
-      buildDedupIndex(s, d)
+  /** Builds the index when it is absent OR its stamped corpus
+    * fingerprint no longer matches the files on disk — a report run
+    * after an in-place corpus regeneration rebuilds instead of silently
+    * reading the stale pairs/membership tables.
+    */
+  private def ensureDedupIndex(s: SparkSession, d: String): Unit = {
+    val fresh = s.catalog.tableExists(dedupPairsTable(d)) &&
+      s.catalog.tableExists(dedupClustersTable(d)) &&
+      s.catalog.tableExists(dedupFprintTable(d)) &&
+      (s.table(dedupFprintTable(d)).head().getLong(0) == corpusFingerprint(s, d))
+    if (!fresh) buildDedupIndex(s, d)
+  }
 
   /** Scale-safe IVF centroid rule: stride-sample k ≈ √n vectors. k = √n
     * balances the assign stage (n·k cosines) against within-bucket pair
