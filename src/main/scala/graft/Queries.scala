@@ -2520,10 +2520,12 @@ object Queries {
         |FROM documents""".stripMargin)),
 
     Q("multimodal_meta",
-      // Binary payload plumbing; the decode stage is the spec-tested
-      // mapPartitions stub (Multimodal.decodeStub) — SQL checks the
-      // metadata projection. Text is ASCII, so the oracle's
-      // text-substring header equals the byte slice.
+      // Binary payload plumbing, fully relational including the
+      // byte-exact polynomial checksum (Multimodal.payloadChecksum —
+      // the retired decode stub's feature, now codegen'd byte reads
+      // folded by `aggregate` and oracle-covered). Text is ASCII, so
+      // the oracle's text-substring header equals the byte slice; the
+      // checksum oracle reads true payload bytes via hex-pair slicing.
       (s, d) => Multimodal.payloadMeta(
         Tables.documents(s, d).select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload")),
@@ -2531,7 +2533,11 @@ object Queries {
       Some("""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
-        |  (octet_length(encode(text)) + 255) // 256 AS n_frames
+        |  (octet_length(encode(text)) + 255) // 256 AS n_frames,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, octet_length(encode(text))),
+        |      i -> ('0x' || substring(hex(encode(text)), (i-1)*2 + 1, 2))::BIGINT)),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin))
   )
 

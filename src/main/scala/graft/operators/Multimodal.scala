@@ -20,40 +20,33 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  final case class MediaFeature(doc_id: Long, n_bytes: Int,
-                                checksum: Long, n_frames: Int)
+  /** Order-sensitive polynomial checksum of a BINARY payload, fully
+    * relational: fold (acc·31 + byteᵢ) mod 1 000 000 007 over the bytes
+    * with `aggregate` + the [[byteAtSql]] read — native Catalyst
+    * higher-order functions, no UDF, no mapPartitions (this retired the
+    * last stubbed decode body). The modulus keeps every intermediate
+    * < 2³⁵, ANSI-safe; an empty payload checksums to 0.
+    */
+  def payloadChecksum(payloadCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""CASE WHEN octet_length($payloadCol) = 0 THEN 0L
+         |ELSE aggregate(sequence(1, octet_length($payloadCol)), 0L,
+         |  (acc, i) -> pmod(acc * 31 + ${byteAtSql(payloadCol, "i")}, 1000000007))
+         |END""".stripMargin)
 
-  /** Pure-SQL metadata over a binary payload column: byte length, header
-    * magic (first 4 bytes, lower hex), frame count at a fixed 256-byte
-    * frame size — ceil division, consistent with [[frameSlices]] (an exact
-    * multiple of 256 is that many frames, empty is zero).
+  /** Pure-SQL metadata + fingerprint over a binary payload column: byte
+    * length, header magic (first 4 bytes, lower hex), frame count at a
+    * fixed 256-byte frame size — ceil division, consistent with
+    * [[frameSlices]] (an exact multiple of 256 is that many frames,
+    * empty is zero) — and the byte-exact [[payloadChecksum]].
     */
   def payloadMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
       octet_length(col(payloadCol)).cast("long").as("n_bytes"),
       lower(hex(substring(col(payloadCol), 1, 4))).as("header_hex"),
-      expr(s"(octet_length($payloadCol) + 255) div 256").cast("long").as("n_frames"))
-
-  /** STUB decode: deterministic fake features standing in for a real codec.
-    * `???`-equivalent marker: replace the body of `decodeOne` with e.g. a
-    * JPEG decode + feature extraction; the partition-batched dataflow
-    * around it is production-shaped (no driver collect, no shuffle).
-    */
-  def decodeStub(ds: Dataset[MediaRow]): Dataset[MediaFeature] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    ds.mapPartitions(_.map(decodeOne))
-  }
-
-  private def decodeOne(r: MediaRow): MediaFeature = {
-    // STUB: stands in for codec work; polynomial checksum keeps it
-    // deterministic and cheap.
-    var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
-    MediaFeature(r.doc_id, r.payload.length, sum, (r.payload.length + 255) / 256)
-  }
+      expr(s"(octet_length($payloadCol) + 255) div 256").cast("long").as("n_frames"),
+      payloadChecksum(payloadCol).as("checksum"))
 
   /** documents.text rendered as an opaque binary payload — the testdata has
     * no real media column, so the text bytes play that role.

@@ -652,17 +652,26 @@ class AnnSpec extends SparkSpec {
     assert(feats.length == 4 && feats.map(_.feature).distinct.length == 3)
   }
 
-  test("multimodal decodeStub is deterministic over payload bytes") {
+  test("multimodal payloadMeta checksum is the exact polynomial over raw bytes") {
     val spark0 = spark
     import spark0.implicits._
-    val ds = Seq(
-      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8")),
-      Multimodal.MediaRow(2L, Array.fill[Byte](600)(7))).toDS()
-    val out = Multimodal.decodeStub(ds).collect().map(f => f.doc_id -> f).toMap
-    assert(out(1L).n_bytes == 5 && out(1L).n_frames == 1)
-    assert(out(2L).n_bytes == 600 && out(2L).n_frames == 3)
-    val again = Multimodal.decodeStub(ds).collect().map(f => f.doc_id -> f.checksum).toMap
-    assert(out.view.mapValues(_.checksum).toMap == again)
+    // full 0-255 byte range (beyond ASCII), an empty payload, and a
+    // multi-frame one — checked against an independent JVM fold
+    def ref(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val payloads = Map(
+      1L -> "hello".getBytes("UTF-8"),
+      2L -> Array.fill[Byte](600)(7),
+      3L -> Array.tabulate[Byte](256)(_.toByte),
+      4L -> Array.empty[Byte])
+    val ds = payloads.toSeq.map { case (id, p) => Multimodal.MediaRow(id, p) }.toDS()
+    val out = Multimodal.payloadMeta(ds.toDF(), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5 && out(1L).getLong(3) == 1)
+    assert(out(2L).getLong(1) == 600 && out(2L).getLong(3) == 3)
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(3) == 0)
+    for ((id, p) <- payloads)
+      assert(out(id).getLong(4) == ref(p), s"doc $id checksum")
   }
 
   test("real JDK codec: PNG round trip is lossless, non-images drop, resize scales") {
