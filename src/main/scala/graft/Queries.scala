@@ -5354,7 +5354,94 @@ object Queries {
         |WHERE rn = 1""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix
+  private val roundSeven: Seq[Q] = Seq(
+    Q("dedup_cluster_index_upsert",
+      // Incremental dedup-index maintenance — the text twin of
+      // ann_ivf_index_upsert: a document snapshot diff (inserts:
+      // doc_id%23=3 absent before; updates: doc_id%17=2 word-reversed
+      // before; deletes: doc_id%19=7 absent after) applies to the
+      // MATERIALIZED banded-key + pair + membership tables. Changed docs
+      // band against the maintained index (the dedup_incremental join
+      // shape), stale pairs anti-join out, and only touched components
+      // re-close (Clustering.upsertClusters). Oracle = full rebuild of
+      // the new corpus's transitive closure, proving upsert ≡ rebuild
+      // row-for-row; the upserted tables round-trip through bucketed
+      // parquet like every index entry.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 23 =!= 3)
+          .withColumn("text", when(col("doc_id") % 17 === 2,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")))
+        val curr = docs.filter(col("doc_id") % 19 =!= 7)
+        val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+        val pairsTbl = s"dedup_upsert_pairs_$sfx"
+        val lshTbl = s"dedup_upsert_lsh_$sfx"
+        val clusTbl = s"dedup_upsert_clusters_$sfx"
+        // standing index: verified pairs, banded keys, membership
+        graft.sources.ParquetSink.writeBucketedSnapshot(
+          TextDedup.minhashLshPairs(prev, "doc_id", "text",
+            n = 3, numPerm = 128, bands = 32, threshold = 0.8),
+          pairsTbl, Seq("doc_a"), buckets = 16)
+        graft.sources.ParquetSink.writeLshIndex(
+          TextDedup.bandedKeys(
+            TextDedup.shingleHashTable(prev, "doc_id", "text", 3),
+            numPerm = 128, bands = 32), lshTbl, buckets = 16)
+        graft.sources.ParquetSink.writeBucketedSnapshot(
+          Clustering.dedupClusters(s.table(pairsTbl), "doc_a", "doc_b")
+            .select("doc_id", "cluster_id"),
+          clusTbl, Seq("doc_id"), buckets = 16)
+        // snapshot diff on (doc_id, text) — one full-outer pk join
+        val diff = prev.select(col("doc_id"), col("text").as("pt"))
+          .join(curr.select(col("doc_id"), col("text").as("ct")),
+            Seq("doc_id"), "full_outer")
+        val changed = diff.filter(col("ct").isNotNull &&
+          (col("pt").isNull || !(col("pt") <=> col("ct")))).select("doc_id")
+        val removed = diff.filter(col("pt").isNotNull && col("ct").isNull)
+          .select("doc_id")
+        val (pairsUp, bandedUp, _) = TextDedup.upsertLshPairs(
+          s.table(pairsTbl), s.table(lshTbl), curr, changed, removed,
+          "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+        graft.sources.ParquetSink.writeBucketedSnapshot(pairsUp,
+          pairsTbl + "_v2", Seq("doc_a"), buckets = 16)
+        graft.sources.ParquetSink.writeLshIndex(bandedUp,
+          lshTbl + "_v2", buckets = 16)
+        // added-pair endpoints read from the two MATERIALIZED pair
+        // snapshots (cheap bucketed anti-join) — no candidate recompute
+        val added = s.table(pairsTbl + "_v2")
+          .join(s.table(pairsTbl), Seq("doc_a", "doc_b"), "left_anti")
+        val seeds = changed.unionByName(removed)
+          .unionByName(added.select(col("doc_a").as("doc_id")))
+          .unionByName(added.select(col("doc_b").as("doc_id")))
+        val clustersUp = Clustering.upsertClusters(
+          s.table(clusTbl), s.table(pairsTbl + "_v2"), seeds)
+        graft.sources.ParquetSink.writeBucketedSnapshot(clustersUp,
+          clusTbl + "_v2", Seq("doc_id"), buckets = 16)
+        s.table(clusTbl + "_v2")
+      },
+      Some("""WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |      WHERE doc_id % 19 <> 7),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b
+        |  FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
+        |SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |FROM closure GROUP BY node""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

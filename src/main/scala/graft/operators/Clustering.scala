@@ -224,6 +224,47 @@ object Clustering {
     connectedComponents(pairs, aCol, bCol)
       .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean"))
 
+  /** Incremental re-close of a materialized cluster membership after a
+    * pair-relation upsert: only TOUCHED components recompute, the rest
+    * of the membership is carried over unchanged.
+    *
+    * `seedIds` are the docs whose incident pairs changed (stale ids plus
+    * added-pair endpoints). Every prev cluster containing a seed is
+    * affected; its full member set plus the seeds forms the affected doc
+    * set, connected components re-run ONLY over maintained pairs inside
+    * that set, and unaffected membership rows union back untouched.
+    *
+    * Why one hop of cluster expansion suffices: any doc whose component
+    * (hence membership row) changes lies in a component containing an
+    * added or dropped edge; each prev cluster merged into or split from
+    * such a component contains one of that edge's endpoints — a seed.
+    * Consequently every maintained pair touching an affected doc has
+    * BOTH endpoints affected (a kept pair's endpoints shared a prev
+    * cluster; an added pair's endpoints are both seeds), so the re-close
+    * edge set is closed under the doc_a-side semi-join alone and the
+    * kept/re-closed split can never emit a doc twice.
+    *
+    * Scale shape: seeds and affected clusters are delta-sized broadcast
+    * semi/anti-joins; the connected-components loop runs only on the
+    * affected slice; the corpus-sized membership streams through one
+    * anti-join.
+    */
+  def upsertClusters(prevClusters: DataFrame, pairs: DataFrame,
+                     seedIds: DataFrame): DataFrame = {
+    val seeds = seedIds.select(col("doc_id")).distinct()
+    val affClusters = prevClusters.join(seeds, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val affDocs = prevClusters.join(affClusters, Seq("cluster_id"), "left_semi")
+      .select("doc_id").unionByName(seeds).distinct()
+    val kept = prevClusters.join(affDocs, Seq("doc_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val affPairs = pairs.join(affDocs.select(col("doc_id").as("doc_a")),
+      Seq("doc_a"), "left_semi")
+    val reclosed = dedupClusters(affPairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    kept.unionByName(reclosed)
+  }
+
   /** The corpus AFTER dedup: every document that is either outside any
     * near-dup cluster or its cluster's canonical (min-id) survivor. The
     * step that turns pair/cluster REPORTS into the training corpus itself.

@@ -578,6 +578,75 @@ object TextDedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** Incremental maintenance of the MATERIALIZED LSH index — the text
+    * twin of [[graft.operators.Ann.ivfIndexUpsert]]: apply a document
+    * snapshot diff to the standing banded-key relation and verified pair
+    * relation, instead of re-pairing the corpus against itself.
+    *
+    *   - stale ids (changed ∪ removed) drop their banded keys and every
+    *     pair touching them;
+    *   - changed docs (inserts + new text of updates) re-shingle, re-band
+    *     and candidate-join against the MAINTAINED index (kept keys ∪
+    *     fresh keys — one equi-join on (band, bh), so changed↔unchanged
+    *     and changed↔changed candidates fall out of the same join);
+    *   - exact Jaccard verification re-shingles ONLY candidate
+    *     endpoints, never the corpus.
+    *
+    * Because unchanged documents keep byte-identical texts (hence
+    * identical band keys and pairwise Jaccards), the output pair
+    * relation is row-identical to a full [[minhashLshPairs]] rebuild of
+    * the new corpus — which is exactly what the oracle recomputes.
+    *
+    * Scale shape: every stage is delta- or candidate-sized except two
+    * anti-joins against the small stale set (broadcast); the corpus-
+    * sized banded index streams through un-shuffled (bucketed on
+    * (band, bh) it co-locates with the candidate join too).
+    *
+    * @param prevPairs  standing verified pairs (doc_a < doc_b, jaccard)
+    * @param prevBanded standing banded keys (doc_id, band, bh)
+    * @param currDocs   the NEW corpus snapshot
+    * @param changedIds doc_id relation: inserts + updated docs
+    * @param removedIds doc_id relation: docs absent from `currDocs`
+    * @return (maintained pairs, maintained banded keys, added pairs)
+    */
+  def upsertLshPairs(prevPairs: DataFrame, prevBanded: DataFrame,
+                     currDocs: DataFrame, changedIds: DataFrame,
+                     removedIds: DataFrame, idCol: String, textCol: String,
+                     n: Int, numPerm: Int, bands: Int,
+                     threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    require(numPerm % bands == 0, "numPerm must be a multiple of bands")
+    val stale = changedIds.select(col("doc_id"))
+      .unionByName(removedIds.select(col("doc_id"))).distinct()
+    val keptBanded = prevBanded.join(stale, Seq("doc_id"), "left_anti")
+    val changedDocs = currDocs.join(
+      changedIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+    val bandedChanged =
+      bandedKeys(shingleHashTable(changedDocs, idCol, textCol, n), numPerm, bands)
+    val newBanded = keptBanded.unionByName(bandedChanged)
+    val cand = bandedChanged.as("a").join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val endpoints = cand.select(col("doc_a").as(idCol))
+      .unionByName(cand.select(col("doc_b").as(idCol))).distinct()
+    val shVer = shingleHashTable(
+      currDocs.join(endpoints, Seq(idCol), "left_semi"), idCol, textCol, n)
+    val sizes = shVer.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shVer.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shVer.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val added = withJaccard(inter, sizes, threshold)
+    val keptPairs = prevPairs
+      .join(stale.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(stale.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "jaccard")
+    (keptPairs.unionByName(added), newBanded, added)
+  }
+
   /** Benchmark decontamination: for every candidate doc, the number of its
     * distinct n-gram shingles that appear anywhere in the benchmark set,
     * and a flag at `minOverlap` — the standard overlap test run before
