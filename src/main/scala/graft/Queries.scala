@@ -929,7 +929,8 @@ object Queries {
     */
   private def pqCteSql(capped: Boolean = true): String = {
     val capWhere = if (capped) " AND e.vec_id < 6400" else ""
-    s"""cb AS (SELECT CAST(s.s AS BIGINT) AS subspace, e.vec_id // 25 AS code,
+    s"""cb AS (SELECT CAST(s.s AS BIGINT) AS subspace,
+       |         ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY e.vec_id) - 1 AS code,
        |         list_slice(e.embedding, s.s*16+1, s.s*16+16) AS cvs
        |       FROM embeddings e, (SELECT unnest([0,1,2,3]) AS s) s
        |       WHERE e.vec_id % 25 = 0$capWhere),
@@ -2392,7 +2393,8 @@ object Queries {
         |    list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT)) AS rv
         |  FROM assign a JOIN c USING (centroid_id)),
-        |rcb AS (SELECT CAST(s.s AS BIGINT) AS subspace, r.vec_id // 25 AS code,
+        |rcb AS (SELECT CAST(s.s AS BIGINT) AS subspace,
+        |    ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY r.vec_id) - 1 AS code,
         |    list_slice(r.rv, s.s*16+1, s.s*16+16) AS cvs
         |  FROM rv r, (SELECT unnest([0,1,2,3]) AS s) s
         |  WHERE r.vec_id % 25 = 7 AND r.vec_id < 1600),
