@@ -444,7 +444,7 @@ object Ann {
     * JVM double ops are deterministic, so this is bit-identical to the
     * codegen'd executor expression.
     */
-  private def cosineLocal(x: Array[Float], y: Array[Float]): Double = {
+  private[graft] def cosineLocal(x: Array[Float], y: Array[Float]): Double = {
     val n = math.min(x.length, y.length)
     var dot = 0.0
     var i = 0
