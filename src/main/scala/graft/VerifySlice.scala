@@ -65,8 +65,18 @@ object VerifySlice {
         .write.mode("overwrite").parquet(s"$sliceDir/$t.parquet")
     for (t <- passthrough) {
       val link = Paths.get(s"$sliceDir/$t.parquet")
-      Files.deleteIfExists(link)
-      Files.createSymbolicLink(link, Paths.get(s"$sfDir/$t.parquet"))
+      // Absolute target: a relative one would resolve against the
+      // slicedata dir itself and dangle when sfDir is given relative.
+      val target = Paths.get(s"$sfDir/$t.parquet").toAbsolutePath.normalize()
+      // A prior run (or layout change) may have left a real directory
+      // here; deleteIfExists would throw DirectoryNotEmptyException.
+      if (Files.isSymbolicLink(link)) {
+        if (Files.readSymbolicLink(link) != target) Files.delete(link)
+      } else if (Files.exists(link)) {
+        Files.walk(link).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      if (!Files.isSymbolicLink(link)) Files.createSymbolicLink(link, target)
     }
     val only: Set[String] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -91,8 +101,10 @@ object VerifySlice {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // All tail oracles, not just the SPARK_GRAFT_ONLY subset: a resumed
+    // run that recomputes the missing outputs still scores the full set.
     val json = SparkEntry.oracleSql
-      .filter(kv => tailEntries.contains(kv._1) && keep(kv._1))
+      .filter(kv => tailEntries.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -6,24 +6,31 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 /** Continuous ANN-index maintenance — the streaming face of
   * [[graft.operators.Ann.ivfIndexUpsert]]: an embedding change stream
   * (upserts carry the new vector, deletes a tombstone, each stamped with
-  * a writetime) folds into per-id state holding the FROZEN-centroid
-  * assignment of the id's current winner.
+  * a writetime) folds into per-id state holding the id's current winning
+  * write, and emits the FROZEN-centroid assignment of that winner.
   *
-  * The fold is last-writer-wins on the writetime (ties to the tombstone
-  * — the same deterministic direction as [[StreamingLww]]'s value
-  * tie-break), which is commutative, associative and idempotent, so ANY
-  * micro-batch split and ANY at-least-once replay converge to the batch
-  * upsert's state — the spec proves stream ≡ [[graft.operators.Ann
-  * .ivfIndexUpsert]] under shuffled splits and replays.
+  * The fold is a max over a TOTAL order on writes — (writetime asc,
+  * tombstone-beats-value, then lexicographically greater vector) — so it
+  * is commutative, associative and idempotent: ANY micro-batch split and
+  * ANY at-least-once replay converge to the same state. The vector
+  * tie-break mirrors [[StreamingLww]]'s greater-value rule (tombstone
+  * direction likewise matches); without it, two non-null upserts at the
+  * same writetime would resolve by arrival order and different splits
+  * could converge to different assignments.
+  * [[graft.streaming.StreamingIvfUpsertSpec]] proves stream ≡
+  * [[graft.operators.Ann.ivfIndexUpsert]] under shuffled splits and full
+  * replays, including equal-writetime value/value and value/tombstone
+  * ties.
   *
   * Assignment runs INSIDE the state update against the broadcast-small
   * frozen centroid set using [[graft.operators.Ann.cosineLocal]] — the
   * same IEEE evaluation order as the batch path's `FloatVecCosine`
   * expression, same (cos desc, centroid_id asc) tie-break — so the
   * streaming index and the batch index pick identical buckets. State per
-  * id is three scalars; the engine checkpoints it. Centroid retraining
-  * (the [[graft.operators.Ann.centroidDrift]] tripwire) restarts the
-  * query with a new frozen set, exactly like the batch rebuild.
+  * id is the winning (writetime, vector) — bounded by the embedding
+  * width; the engine checkpoints it. Centroid retraining (the
+  * [[graft.operators.Ann.centroidDrift]] tripwire) restarts the query
+  * with a new frozen set, exactly like the batch rebuild.
   */
 object StreamingIvfUpsert {
 
@@ -52,6 +59,21 @@ object StreamingIvfUpsert {
     bestId
   }
 
+  /** Lexicographic vector order via Float.compare (a total order — NaN
+    * and signed zeros rank deterministically), longer wins on prefix
+    * equality. The equal-writetime value tie-break.
+    */
+  private[streaming] def vecGt(a: Array[Float], b: Array[Float]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = java.lang.Float.compare(a(i), b(i))
+      if (c != 0) return c > 0
+      i += 1
+    }
+    a.length > b.length
+  }
+
   def indexStream(changes: Dataset[VecChange],
                   centroids: Seq[(Long, Array[Float])]): Dataset[IndexRow] = {
     require(centroids.nonEmpty, "need a frozen centroid set")
@@ -59,24 +81,25 @@ object StreamingIvfUpsert {
     import spark.implicits._
     val cents = centroids.sortBy(_._1)
     changes.groupByKey(_.vec_id)
-      .mapGroupsWithState[(Long, Long, Boolean), IndexRow](
+      .mapGroupsWithState[(Long, Array[Float], Boolean), IndexRow](
         GroupStateTimeout.NoTimeout) { (id, it, state) =>
-        var (w, cid, del) =
-          state.getOption.getOrElse((Long.MinValue, -1L, true))
+        // state = the winning (writetime, vector, tombstone?); the total
+        // order below makes the fold commutative + idempotent
+        var (w, vec, del) =
+          state.getOption.getOrElse((Long.MinValue, null: Array[Float], true))
         it.foreach { ch =>
-          // newer writetime wins; at equal writetime the tombstone wins
-          // (deterministic under any order); an identical replay is a
-          // no-op either way
-          val wins = ch.writetime > w ||
-            (ch.writetime == w && ch.vec == null && !del)
+          val wins = ch.writetime > w || (ch.writetime == w && {
+            if (ch.vec == null) !del            // tombstone beats value
+            else !del && vec != null && vecGt(ch.vec, vec) // greater vector
+          })
           if (wins) {
             w = ch.writetime
-            if (ch.vec == null) { del = true; cid = -1L }
-            else { del = false; cid = assignLocal(ch.vec, cents) }
+            if (ch.vec == null) { del = true; vec = null }
+            else { del = false; vec = ch.vec }
           }
         }
-        state.update((w, cid, del))
-        IndexRow(id, cid, w, del)
+        state.update((w, vec, del))
+        IndexRow(id, if (del) -1L else assignLocal(vec, cents), w, del)
       }
   }
 }
