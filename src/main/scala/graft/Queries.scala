@@ -5448,14 +5448,20 @@ object Queries {
         // ensure-built ONCE per corpus — the benched body prices the
         // delta apply, not yesterday's index build
         ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl)
-        // snapshot diff on (doc_id, text) — one full-outer pk join
+        // snapshot diff on (doc_id, text) — one full-outer pk join.
+        // Eager localCheckpoints: the id lists are delta-sized but their
+        // upstream plan is the corpus-sized diff join, which would
+        // otherwise re-execute in every downstream subplan that touches
+        // changed/removed (the stale anti-joins, the delta banding, the
+        // reclosure seeds).
         val diff = prev.select(col("doc_id"), col("text").as("pt"))
           .join(curr.select(col("doc_id"), col("text").as("ct")),
             Seq("doc_id"), "full_outer")
         val changed = diff.filter(col("ct").isNotNull &&
           (col("pt").isNull || !(col("pt") <=> col("ct")))).select("doc_id")
+          .localCheckpoint(true)
         val removed = diff.filter(col("pt").isNotNull && col("ct").isNull)
-          .select("doc_id")
+          .select("doc_id").localCheckpoint(true)
         val (pairsUp, bandedUp, _) = TextDedup.upsertLshPairs(
           s.table(pairsTbl), s.table(lshTbl), curr, changed, removed,
           "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)

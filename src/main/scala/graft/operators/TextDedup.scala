@@ -615,13 +615,25 @@ object TextDedup {
                      n: Int, numPerm: Int, bands: Int,
                      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
+    // Eager localCheckpoints TRUNCATE LINEAGE on the delta-sized
+    // relations (the Clustering discipline): the caller typically
+    // derives changed/removed from a corpus-sized snapshot diff and then
+    // WRITES both returned relations as separate jobs — without the
+    // cuts, `stale` re-runs that diff in three anti-joins and the
+    // minhash banding of the changed docs (128 perms x shingles, the
+    // CPU-heavy stage) re-executes in every subplan that references
+    // `bandedChanged` or `cand`. All three are delta/candidate-sized by
+    // the operator's contract, so the cached blocks stay small at any
+    // corpus scale.
     val stale = changedIds.select(col("doc_id"))
       .unionByName(removedIds.select(col("doc_id"))).distinct()
+      .localCheckpoint(true)
     val keptBanded = prevBanded.join(stale, Seq("doc_id"), "left_anti")
     val changedDocs = currDocs.join(
       changedIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     val bandedChanged =
       bandedKeys(shingleHashTable(changedDocs, idCol, textCol, n), numPerm, bands)
+        .localCheckpoint(true)
     val newBanded = keptBanded.unionByName(bandedChanged)
     val cand = bandedChanged.as("a").join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -629,10 +641,15 @@ object TextDedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
     val endpoints = cand.select(col("doc_a").as(idCol))
       .unionByName(cand.select(col("doc_b").as(idCol))).distinct()
+    // shVer feeds three subplans (sizes + both sides of the
+    // intersection self-join); it is candidate-endpoint-sized, so the
+    // cut trades a bounded cache for two re-shingling passes.
     val shVer = shingleHashTable(
       currDocs.join(endpoints, Seq(idCol), "left_semi"), idCol, textCol, n)
+      .localCheckpoint(true)
     val sizes = shVer.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(shVer.as("sa"), col("doc_a") === col("sa.doc_id"))
