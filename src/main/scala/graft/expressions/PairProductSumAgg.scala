@@ -106,7 +106,10 @@ object Dec12 {
   * [9·10²⁴, 10²⁶) diverges: declarative keeps them (until its running
   * sum overflows), this aggregate drops them. Any product that large implies
   * float inputs ≥ ~3·10¹² in magnitude, far outside embedding range;
-  * the trade is documented rather than paid for with a 3-word cell.
+  * the trade is documented rather than paid for with a 3-word cell —
+  * and OBSERVABLE: drops count in a trailing buffer slot, surface as a
+  * stderr warning at eval and in [[PairProductSumAgg.droppedProducts]],
+  * so a run entering the band is seen, not silent.
   * Carry-word accumulation is CHECKED (Math.addExact): a run that does
   * exceed the representable total fails loudly instead of silently
   * wrapping where the declarative plan would have returned null.
@@ -121,13 +124,18 @@ case class PairProductSumAgg(
 
   require(dims >= 2, "dims must be >= 2")
   private val nPairs = dims * (dims - 1) / 2
-  // total(p) = buf(2p+1) · 10¹⁸ + buf(2p), both at decimal scale 12
+  // total(p) = buf(2p+1) · 10¹⁸ + buf(2p), both at decimal scale 12;
+  // one trailing slot counts magnitude-contract drops (|p| ≥ 9e24) so a
+  // run entering the documented divergence band is OBSERVABLE — logged
+  // at eval and mirrored in [[PairProductSumAgg.droppedProducts]] —
+  // rather than silent. The slot rides the existing buffer/serde; the
+  // output schema (and so the declarative-twin equality) is unchanged.
   private val Unit18 = 1000000000000000000L
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
   override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](2 * nPairs)
+    new Array[Long](2 * nPairs + 1)
 
   @inline private def addScaled(buf: Array[Long], p: Int, r: Long): Unit = {
     // |low| < 1e18 and |r| < 2^62, so the sum stays within a long;
@@ -162,7 +170,7 @@ case class PairProductSumAgg(
                 buf(2 * p + 1) = Math.addExact(buf(2 * p + 1), qr(0).longValueExact())
                 addScaled(buf, p, qr(1).longValue())
               }
-              // |prod| ≥ 9e24: skipped (see magnitude contract above)
+              else buf(2 * nPairs) += 1 // |prod| ≥ 9e24: dropped (contract)
             }
             p += 1
             j += 1
@@ -181,10 +189,17 @@ case class PairProductSumAgg(
       addScaled(b1, p, b2(2 * p))
       p += 1
     }
+    b1(2 * nPairs) += b2(2 * nPairs)
     b1
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (buf(2 * nPairs) > 0) {
+      PairProductSumAgg.dropped.addAndGet(buf(2 * nPairs))
+      System.err.println(s"[pair_product_sums] WARN: ${buf(2 * nPairs)} " +
+        "products with |p| >= 9e24 dropped by the magnitude contract " +
+        "(declarative try_cast twin keeps the [9e24, 1e26) band)")
+    }
     val out = new Array[Any](nPairs)
     var p = 0
     while (p < nPairs) {
@@ -206,7 +221,7 @@ case class PairProductSumAgg(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(2 * nPairs)(bb.getLong)
+    Array.fill(2 * nPairs + 1)(bb.getLong)
   }
 
   override def dataType: DataType =
@@ -220,6 +235,16 @@ case class PairProductSumAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): PairProductSumAgg =
     copy(child = newChild)
+}
+
+object PairProductSumAgg {
+  /** Per-JVM running total of magnitude-contract drops, fed at group
+    * eval (so on a cluster each executor's count lands in ITS log/total;
+    * in local mode — and the spec — it is the global count). Zero on any
+    * embedding-range workload.
+    */
+  private[graft] val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+  def droppedProducts: Long = dropped.get()
 }
 
 object PairProductSumFunctions {

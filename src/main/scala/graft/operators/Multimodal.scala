@@ -25,9 +25,53 @@ object Multimodal {
     * with `aggregate` + the [[byteAtSql]] read — native Catalyst
     * higher-order functions, no UDF, no mapPartitions (this retired the
     * last stubbed decode body). The modulus keeps every intermediate
-    * < 2³⁵, ANSI-safe; an empty payload checksums to 0.
+    * < 2⁶⁰ (acc·31⁴⁰⁹⁶-partial products reduce mod p before multiplying),
+    * ANSI-safe; an empty payload checksums to 0.
+    *
+    * CHUNKED evaluation: the fold runs per 4 KiB slice and combines the
+    * per-slice partials with acc·(31^len mod p) + partial — the
+    * polynomial-hash combine law — so a multi-MB media payload only ever
+    * materializes one 4096-element index array at a time plus an
+    * n/4096-element chunk list, never a per-byte sequence over the whole
+    * payload ([[payloadChecksumByteFold]] is the one-shot reference
+    * form; spec-proven equal on multi-chunk, exact-multiple, sub-chunk
+    * and empty payloads).
     */
-  def payloadChecksum(payloadCol: String): org.apache.spark.sql.Column =
+  def payloadChecksum(payloadCol: String): org.apache.spark.sql.Column = {
+    val p = 1000000007L
+    val chunk = 4096
+    val pow31Chunk = BigInt(31).modPow(BigInt(chunk), BigInt(p)).toLong
+    val n = s"cast(octet_length($payloadCol) as bigint)"
+    // per-chunk byte fold; the k = 0 guard keeps the dominant
+    // document-sized (single-chunk) case at exactly the one-shot fold's
+    // cost — no multiplier, no pow loop
+    val partial =
+      s"""aggregate(
+         |        sequence(1, cast(least($chunk, $n - k * $chunk) as int)),
+         |        0L,
+         |        (a, i) -> pmod(a * 31 + ${byteAtSql(payloadCol, s"k * $chunk + i")}, $p))""".stripMargin
+    expr(
+      s"""CASE WHEN $n = 0 THEN 0L
+         |ELSE aggregate(
+         |  sequence(0L, ($n + ${chunk - 1}) div $chunk - 1),
+         |  0L,
+         |  (acc, k) -> CASE WHEN k = 0 THEN $partial
+         |    ELSE pmod(
+         |      acc * (CASE WHEN (k + 1) * $chunk <= $n THEN ${pow31Chunk}L
+         |             ELSE aggregate(sequence(1, cast($n - k * $chunk as int)),
+         |               1L, (pw, j) -> pmod(pw * 31, $p)) END)
+         |      + $partial,
+         |      $p) END)
+         |END""".stripMargin)
+  }
+
+  /** The one-shot whole-payload byte fold — the reference form
+    * [[payloadChecksum]]'s chunked evaluation must equal (and did serve
+    * as the production expression until round 8). Kept for the spec and
+    * for payloads known small.
+    */
+  private[operators] def payloadChecksumByteFold(
+      payloadCol: String): org.apache.spark.sql.Column =
     expr(
       s"""CASE WHEN octet_length($payloadCol) = 0 THEN 0L
          |ELSE aggregate(sequence(1, octet_length($payloadCol)), 0L,

@@ -99,6 +99,21 @@ class GraftPairProductSumSpec extends SparkSpec {
     assert(agg(df, 3) === declarative(df, 3))
   }
 
+  test("magnitude-contract drops are counted, in-range rows are not") {
+    val spark0 = spark
+    import spark0.implicits._
+    val before = org.apache.spark.sql.graft.PairProductSumAgg.droppedProducts
+    // clean run: no drops recorded
+    agg(Seq(Tuple1(Array(1.5f, -2.5f, 3.0f))).toDF("v"), 3)
+    assert(org.apache.spark.sql.graft.PairProductSumAgg.droppedProducts
+      === before)
+    // the 6e36 pair from the huge-magnitude test drops exactly once per
+    // evaluation (pairs (0,2)/(1,2) stay in range)
+    agg(Seq(Tuple1(Array(3.0e18f, 2.0e18f, 1.0f))).toDF("v"), 3)
+    assert(org.apache.spark.sql.graft.PairProductSumAgg.droppedProducts
+      >= before + 1)
+  }
+
   test("null and wrong-width vectors are skipped like the upstream filter") {
     val spark0 = spark
     import spark0.implicits._

@@ -106,4 +106,28 @@ class MultimodalSpec extends SparkSpec {
     // one bucket: 2 docs, max 4, sum 6 → waste (8-6)·1e6 div 8 = 250000
     assert(mixed == Seq((0L, 2L, 4L, 6L, 250000L)))
   }
+
+  test("chunked payloadChecksum equals the byte fold and the Scala law") {
+    val spark0 = spark
+    import spark0.implicits._
+    // sizes straddle every chunk regime: empty, sub-chunk, exactly one
+    // chunk, chunk+1, exact multi-chunk multiple, and a multi-chunk
+    // irregular tail; bytes span the full signed range incl. 0x00/0xff
+    val sizes = Seq(0, 1, 100, 4095, 4096, 4097, 8192, 20000)
+    val rows = sizes.zipWithIndex.map { case (n, id) =>
+      (id.toLong, Array.tabulate[Byte](n)(j => ((id * 31 + j * j * 7 + j * 13) % 256).toByte))
+    }
+    def ref(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    val df = rows.toDF("doc_id", "payload")
+    val got = df.select(col("doc_id"),
+        Multimodal.payloadChecksum("payload").as("chunked"),
+        Multimodal.payloadChecksumByteFold("payload").as("flat"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    for (((id, chunked, flat), i) <- got.zipWithIndex) {
+      assert(id == i.toLong)
+      assert(chunked === flat, s"size ${sizes(i)}")
+      assert(chunked === ref(rows(i)._2), s"size ${sizes(i)} vs scala ref")
+    }
+  }
 }
