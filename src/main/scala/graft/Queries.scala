@@ -5504,7 +5504,79 @@ object Queries {
         |FROM closure GROUP BY node""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven
+  /** h-bucketed materialized shingle-hash table for `d`'s documents,
+    * fingerprint-stamped like the dedup index. Bucketing on the shingle
+    * HASH makes the two corpus-scale stages of containment — the
+    * document-frequency grouping and the rare-shingle self-join — run
+    * in place with no exchange; the sf100 probe measured ~105 GB of
+    * spill when those stages re-shingled raw text instead.
+    */
+  private def shingleIndexTable(d: String): String =
+    "shingle_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def ensureShingleIndex(s: SparkSession, d: String): Unit = {
+    val tbl = shingleIndexTable(d)
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint").contains(corpusFingerprint(s, d))
+    if (!fresh) {
+      val fp = corpusFingerprint(s, d)
+      graft.sources.ParquetSink.writeBucketedSnapshot(
+        TextDedup.shingleHashTable(Tables.documents(s, d), "doc_id", "text", 3),
+        tbl, Seq("h"), buckets = 16)
+      stampFingerprint(s, tbl + "_fprint", fp)
+    }
+  }
+
+  private val roundEight: Seq[Q] = Seq(
+    Q("shingle_index_roundtrip",
+      // The shingle-index WRITE path: materialize the distinct (doc_id,
+      // h = xxhash64(3-gram)) relation bucketed+sorted on h, read it
+      // BACK and emit per-doc shingle-set sizes. Sizes (not hash values)
+      // are the oracle surface because DuckDB cannot reproduce xxhash64;
+      // equality holds by the same no-collision argument every
+      // hash-based dedup oracle in this inventory rests on. The build
+      // belongs here; shingle_containment_indexed prices as a read.
+      (s, d) => {
+        ensureShingleIndex(s, d)
+        s.table(shingleIndexTable(d))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      },
+      Some(s"""WITH $shingleCteSql
+        |SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1""".stripMargin)),
+
+    Q("shingle_containment_indexed",
+      // Containment at its INDEX-PRICED 100 TB configuration: identical
+      // per-pair values to shingle_containment_capped, but every
+      // reference to the shingle relation reads the standing h-bucketed
+      // table — df grouping and the rare self-join execute with no
+      // exchange (bucket-local sort-merge), the verify joins move only
+      // candidate-bounded rows, and nothing re-shingles the corpus.
+      // This is the daily-report shape once shingle_index_roundtrip has
+      // run; the capped twin keeps the build-inclusive price honest.
+      (s, d) => {
+        ensureShingleIndex(s, d)
+        TextDedup.containmentPairsCappedFrom(
+          s.table(shingleIndexTable(d)), thresholdPpm = 500000L, maxDf = 20L)
+      },
+      Some(s"""WITH $shingleCteSql,
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN (
+        |    SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20) r ON sh.s = r.s),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |ip AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+        |       FROM cand
+        |       JOIN sh x ON x.doc_id = cand.doc_a
+        |       JOIN sh y ON y.doc_id = cand.doc_b AND y.s = x.s
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  inter * 1000000 // sa.sz AS contain_a_ppm,
+        |  inter * 1000000 // sb.sz AS contain_b_ppm
+        |FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE GREATEST(inter * 1000000 // sa.sz, inter * 1000000 // sb.sz) >= 500000""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven ++ roundEight
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

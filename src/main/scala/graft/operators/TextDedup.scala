@@ -220,7 +220,22 @@ object TextDedup {
     * rides — and the verification join touches candidate rows only.
     */
   def containmentPairsCapped(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int, thresholdPpm: Long, maxDf: Long): DataFrame = {
+                             n: Int, thresholdPpm: Long, maxDf: Long): DataFrame =
+    containmentPairsCappedFrom(
+      shingleHashTable(docs, idCol, textCol, n), thresholdPpm, maxDf)
+
+  /** [[containmentPairsCapped]] over a PRE-BUILT (doc_id, h) shingle-hash
+    * relation — the index-priced form. The plan references the shingle
+    * relation FIVE times (df counts, both sides of the rare self-join,
+    * both verify sides); fed from raw documents each reference re-pays
+    * the explode + lead-window + distinct shuffle (the sf100 probe
+    * measured ~105 GB of spill doing exactly that), while fed from the
+    * materialized h-bucketed table (`shingle_index_roundtrip`) the df
+    * grouping and the rare self-join run in place with NO exchange and
+    * the verify joins move only candidate-bounded rows.
+    */
+  def containmentPairsCappedFrom(sh: DataFrame, thresholdPpm: Long,
+                                 maxDf: Long): DataFrame = {
     // Two scale disciplines on top of the exhaustive form:
     // (1) every stage runs on 64-bit shingle HASHES (set semantics per
     //     the collision argument at [[minhashLshPairs]]);
@@ -232,7 +247,6 @@ object TextDedup {
     //     corpus most candidates share 1-2 shingles and prune here
     //     without ever touching the full shingle sets (measured ~6x on
     //     the bench corpus); emitted values are exact and unchanged.
-    val sh = shingleHashTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
