@@ -39,7 +39,9 @@ object VerifySlice {
     "repeated_spans", "retrieval_maxsim", "semdedup_apply",
     "semdedup_apply_sampled", "semdedup_savings", "shingle_containment",
     "shingle_containment_capped", "split_leakage_report",
-    "survivor_selection_report")
+    "survivor_selection_report",
+    // round-8 additions sharing the capped-containment oracle family
+    "shingle_index_roundtrip", "shingle_containment_indexed")
 
   private val sliced = Seq("documents" -> "doc_id", "embeddings" -> "vec_id")
   private val passthrough = Seq("region", "nation", "customer", "supplier",
