@@ -27,6 +27,9 @@ for name, m in spill["entries"].items():
         "shuffle_write_gb": m["shuffle_write_gb"],
         "peak_exec_mem_gb": m["peak_exec_mem_gb"],
     }
+    for extra in ("codec", "note"):
+        if extra in m:
+            row[extra] = m[extra]
     t3 = three.get(name)
     if t3 and m["status"] == "ok":
         ts = [t3.get("sf0.1"), t3.get("sf1"), t3.get("sf10"), m["sec"]]
