@@ -32,7 +32,10 @@ object ProfileUpsert {
         concat_ws(" ", reverse(split(col("text"), " "))))
         .otherwise(col("text")))
     val curr = docs.filter(col("doc_id") % 19 =!= 7)
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    // _prof suffix: never the entry's standing tables — writing those
+    // without stamping their fingerprint would silently force the
+    // entry's next ensure to rebuild
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_prof"
     val pairsTbl = s"dedup_upsert_pairs_$sfx"
     val lshTbl = s"dedup_upsert_lsh_$sfx"
     val clusTbl = s"dedup_upsert_clusters_$sfx"
