@@ -616,18 +616,36 @@ object TextDedup {
     * sized banded index streams through un-shuffled (bucketed on
     * (band, bh) it co-locates with the candidate join too).
     *
+    * EXECUTION SEMANTICS: with `eagerCheckpoint = true` (the default,
+    * and what the benched entries price) this method RUNS SPARK JOBS AT
+    * CALL TIME — the delta-sized intermediates are eagerly
+    * localCheckpointed, so the call is not a lazy plan-builder and an
+    * `explain`/conditional caller triggers real work. localCheckpoint
+    * blocks are NON-REPLICATED executor-local state: on a multi-executor
+    * cluster an executor loss makes the truncated lineage unrecoverable
+    * and fails the job (acceptable for an idempotent maintenance batch
+    * that simply re-runs; not for a pipeline stage that must survive
+    * preemption). Callers needing lazy composition or fault-tolerant
+    * lineage pass `eagerCheckpoint = false` and apply their own
+    * persistence discipline (e.g. `persist` + unpersist, or reliable
+    * `checkpoint` to the cluster FS) — correctness is unaffected, only
+    * re-execution shape.
+    *
     * @param prevPairs  standing verified pairs (doc_a < doc_b, jaccard)
     * @param prevBanded standing banded keys (doc_id, band, bh)
     * @param currDocs   the NEW corpus snapshot
     * @param changedIds doc_id relation: inserts + updated docs
     * @param removedIds doc_id relation: docs absent from `currDocs`
+    * @param eagerCheckpoint truncate lineage on the delta-sized
+    *                   intermediates (eager jobs at call time; see above)
     * @return (maintained pairs, maintained banded keys, added pairs)
     */
   def upsertLshPairs(prevPairs: DataFrame, prevBanded: DataFrame,
                      currDocs: DataFrame, changedIds: DataFrame,
                      removedIds: DataFrame, idCol: String, textCol: String,
                      n: Int, numPerm: Int, bands: Int,
-                     threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+                     threshold: Double,
+                     eagerCheckpoint: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     // Eager localCheckpoints TRUNCATE LINEAGE on the delta-sized
     // relations (the Clustering discipline): the caller typically
@@ -639,31 +657,29 @@ object TextDedup {
     // `bandedChanged` or `cand`. All three are delta/candidate-sized by
     // the operator's contract, so the cached blocks stay small at any
     // corpus scale.
-    val stale = changedIds.select(col("doc_id"))
-      .unionByName(removedIds.select(col("doc_id"))).distinct()
-      .localCheckpoint(true)
+    def cut(df: DataFrame): DataFrame =
+      if (eagerCheckpoint) df.localCheckpoint(true) else df
+    val stale = cut(changedIds.select(col("doc_id"))
+      .unionByName(removedIds.select(col("doc_id"))).distinct())
     val keptBanded = prevBanded.join(stale, Seq("doc_id"), "left_anti")
     val changedDocs = currDocs.join(
       changedIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-    val bandedChanged =
-      bandedKeys(shingleHashTable(changedDocs, idCol, textCol, n), numPerm, bands)
-        .localCheckpoint(true)
+    val bandedChanged = cut(
+      bandedKeys(shingleHashTable(changedDocs, idCol, textCol, n), numPerm, bands))
     val newBanded = keptBanded.unionByName(bandedChanged)
-    val cand = bandedChanged.as("a").join(newBanded.as("b"),
+    val cand = cut(bandedChanged.as("a").join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val endpoints = cand.select(col("doc_a").as(idCol))
       .unionByName(cand.select(col("doc_b").as(idCol))).distinct()
     // shVer feeds three subplans (sizes + both sides of the
     // intersection self-join); it is candidate-endpoint-sized, so the
     // cut trades a bounded cache for two re-shingling passes.
-    val shVer = shingleHashTable(
-      currDocs.join(endpoints, Seq(idCol), "left_semi"), idCol, textCol, n)
-      .localCheckpoint(true)
+    val shVer = cut(shingleHashTable(
+      currDocs.join(endpoints, Seq(idCol), "left_semi"), idCol, textCol, n))
     val sizes = shVer.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(shVer.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -18,6 +18,7 @@ object ProfileUpsert {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     def t[A](label: String)(f: => A): A = {

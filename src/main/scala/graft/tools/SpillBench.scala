@@ -51,14 +51,23 @@ object SpillBench {
     val out = args.headOption.getOrElse("/tmp/spillbench.json")
     val names = sys.env.getOrElse("SPILLQ",
       "dedup_cluster_index_roundtrip,dedup_threshold_report,dedup_clusters," +
-        "dedup_apply,dedup_savings,shingle_containment_capped," +
+        "dedup_apply,dedup_savings,shingle_index_roundtrip," +
+        "shingle_containment_indexed," +
         "curation_stage_counts,curation_pipeline,dedup_clusters_largestar," +
         "dedup_minhash_lsh").split(",").map(_.trim).filter(_.nonEmpty)
+    // Shuffle/spill compression codec, default zstd: at sf100 it halves
+    // spill bytes vs lz4 (38.5→19.6 GB shuffle on the containment index
+    // read) and is the difference between shingle-family entries fitting
+    // the local scratch disk or dying — the r8 probe's headline result
+    // depended on it, so it is pinned HERE, not passed out-of-band, and
+    // every emitted artifact row records it.
+    val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.io.compression.codec", codec)
       // shuffle files outlive their job until the ContextCleaner's
       // periodic GC (default 30 MIN) collects the driver-side refs — at
       // ~60 GB transient spill per entry that fills local disk long
@@ -86,7 +95,7 @@ object SpillBench {
       System.gc()
       Thread.sleep(1500)
       val r = Map(
-        "sec" -> sec, "status" -> status,
+        "sec" -> sec, "status" -> status, "codec" -> codec,
         "spill_mem_gb" -> gb(listener.memSpilled.get),
         "spill_disk_gb" -> gb(listener.diskSpilled.get),
         "shuffle_write_gb" -> gb(listener.shuffleWrite.get),
