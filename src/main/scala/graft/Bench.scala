@@ -49,6 +49,11 @@ object Bench {
     // note). One codec across both harnesses keeps every artifact row
     // comparable; recorded in the emitted JSON so no run is ambiguous.
     val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")
+    // The codec lands both in a Spark conf and (unescaped) in the
+    // hand-built JSON artifact — reject anything outside Spark's own
+    // codec set before it can corrupt either.
+    require(Set("lz4", "zstd", "snappy", "lzf").contains(codec),
+      s"SPARK_GRAFT_CODEC must be one of lz4/zstd/snappy/lzf, got: $codec")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

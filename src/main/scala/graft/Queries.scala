@@ -4040,9 +4040,10 @@ object Queries {
       // QUERY over ≤|labels| rows — no corpus-sized single-task sort.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
-          "vec_id", "embedding", "vec_id", "embedding")
-        Ann.knnLabelSpread(emb, assign, "vec_id", "embedding", "label", k = 3)
+        // index-priced (round 11): votes read the standing edge table
+        ensureKnnEdgeIndex(s, d)
+        Ann.knnLabelSpreadFrom(s.table(knnEdgeIndexTable(d)),
+          emb, "vec_id", "label")
       },
       Some(s"""WITH ${knnEdgesCteSql(3)},
         |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS nlabel,
@@ -4063,10 +4064,10 @@ object Queries {
       // label pairs blur). One grouped count over the spread relation.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
-          "vec_id", "embedding", "vec_id", "embedding")
-        Ann.knnConfusion(Ann.knnLabelSpread(emb, assign,
-          "vec_id", "embedding", "label", k = 3))
+        // index-priced (round 11): the spread reads the standing edges
+        ensureKnnEdgeIndex(s, d)
+        Ann.knnConfusion(Ann.knnLabelSpreadFrom(
+          s.table(knnEdgeIndexTable(d)), emb, "vec_id", "label"))
       },
       Some(s"""WITH ${knnEdgesCteSql(3)},
         |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS nlabel,
@@ -5070,9 +5071,10 @@ object Queries {
       // zero-degree row; the histogram itself is degree-bounded.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
-          "vec_id", "embedding", "vec_id", "embedding")
-        val edges = Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
+        // index-priced (round 11): the edges come from the standing
+        // query_id-bucketed table, not a per-run re-derivation
+        ensureKnnEdgeIndex(s, d)
+        val edges = s.table(knnEdgeIndexTable(d))
         val indeg = edges.groupBy(col("neighbor_id"))
           .agg(count(lit(1)).as("in_degree"))
         val hist = indeg.groupBy("in_degree")
@@ -5270,10 +5272,10 @@ object Queries {
       // the embedding graph. The threshold reads the ROUNDED cosine so
       // both engines cut identically.
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
-          "vec_id", "embedding", "vec_id", "embedding")
-        val edges = Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3)
+        // index-priced (round 11): thresholding + CC read the standing
+        // edge table; only the components machinery runs per-report
+        ensureKnnEdgeIndex(s, d)
+        val edges = s.table(knnEdgeIndexTable(d))
           .filter(col("cosine") >= 0.35)
           .select(col("query_id").as("a"), col("neighbor_id").as("b"))
         Clustering.dedupClusters(edges, "a", "b")
@@ -5529,6 +5531,34 @@ object Queries {
   private def shingleIndexTable(d: String): String =
     "shingle_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** query_id-bucketed materialized kNN edge relation (k=3) over `d`'s
+    * embeddings, fingerprint-stamped like the IVF and shingle indexes.
+    * The edge derivation — IVF assign + bucket self-join + bounded-heap
+    * top-k — is the dominant cost of every kNN-graph report (the sf100
+    * hubness probe spent ~333 s, nearly all of it re-deriving edges);
+    * materialized once per corpus, hubness/label-spread/confusion/
+    * components price at ~read + a grouped aggregate.
+    */
+  private def knnEdgeIndexTable(d: String): String =
+    "knn_edge_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def ensureKnnEdgeIndex(s: SparkSession, d: String): Unit = {
+    val tbl = knnEdgeIndexTable(d)
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint")
+        .contains(tableFingerprint(s, d, "embeddings.parquet"))
+    if (!fresh) {
+      val fp = tableFingerprint(s, d, "embeddings.parquet")
+      val emb = Tables.embeddings(s, d)
+      val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
+        "vec_id", "embedding", "vec_id", "embedding")
+      graft.sources.ParquetSink.writeBucketedSnapshot(
+        Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3),
+        tbl, Seq("query_id"), buckets = 16)
+      stampFingerprint(s, tbl + "_fprint", fp)
+    }
+  }
+
   private def ensureShingleIndex(s: SparkSession, d: String): Unit = {
     val tbl = shingleIndexTable(d)
     val fresh = s.catalog.tableExists(tbl) &&
@@ -5591,7 +5621,30 @@ object Queries {
         |WHERE GREATEST(inter * 1000000 // sa.sz, inter * 1000000 // sb.sz) >= 500000""".stripMargin))
   )
 
-  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven ++ roundEight
+  private val roundEleven: Seq[Q] = Seq(
+    Q("knn_graph_index_roundtrip",
+      // The kNN-edge-index WRITE path (the materialized-index discipline
+      // of ann_ivf_index_roundtrip applied to the kNN graph): the k=3
+      // edge relation is persisted ONCE per corpus as a query_id-bucketed
+      // table and read back whole. The oracle recomputes every edge from
+      // raw embeddings, proving the write→read trip lossless — which is
+      // what licenses knn_hubness_report / knn_label_spread /
+      // knn_confusion / knn_components to READ the standing table
+      // instead of re-deriving the IVF assign + bucket self-join +
+      // top-k per report.
+      (s, d) => {
+        ensureKnnEdgeIndex(s, d)
+        s.table(knnEdgeIndexTable(d))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            col("cosine"))
+      },
+      Some(s"""WITH ${knnEdgesCteSql(3)}
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM knn""".stripMargin))
+  )
+
+  val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven ++ roundEight ++ roundEleven
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

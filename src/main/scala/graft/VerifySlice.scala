@@ -41,7 +41,9 @@ object VerifySlice {
     "shingle_containment_capped", "split_leakage_report",
     "survivor_selection_report",
     // round-8 additions sharing the capped-containment oracle family
-    "shingle_index_roundtrip", "shingle_containment_indexed")
+    "shingle_index_roundtrip", "shingle_containment_indexed",
+    // round-11 addition sharing the knn-edge CTE oracle family
+    "knn_graph_index_roundtrip")
 
   private val sliced = Seq("documents" -> "doc_id", "embeddings" -> "vec_id")
   private val passthrough = Seq("region", "nation", "customer", "supplier",

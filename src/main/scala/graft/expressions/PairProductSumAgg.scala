@@ -195,10 +195,20 @@ case class PairProductSumAgg(
 
   override def eval(buf: Array[Long]): Any = {
     if (buf(2 * nPairs) > 0) {
-      PairProductSumAgg.dropped.addAndGet(buf(2 * nPairs))
-      System.err.println(s"[pair_product_sums] WARN: ${buf(2 * nPairs)} " +
-        "products with |p| >= 9e24 dropped by the magnitude contract " +
-        "(declarative try_cast twin keeps the [9e24, 1e26) band)")
+      val total = PairProductSumAgg.dropped.addAndGet(buf(2 * nPairs))
+      // Rate-limited: eval fires once per output group, and a run deep in
+      // the divergence band would otherwise emit one line per group. One
+      // line per JVM per 10 s carries the same signal (the line quotes the
+      // running per-JVM total, so no information is lost between lines).
+      val now = System.nanoTime()
+      val last = PairProductSumAgg.lastWarnNanos.get()
+      if (now - last > 10_000_000_000L &&
+          PairProductSumAgg.lastWarnNanos.compareAndSet(last, now)) {
+        System.err.println(s"[pair_product_sums] WARN: ${buf(2 * nPairs)} " +
+          "products with |p| >= 9e24 dropped by the magnitude contract " +
+          s"(declarative try_cast twin keeps the [9e24, 1e26) band); " +
+          s"JVM running total $total")
+      }
     }
     val out = new Array[Any](nPairs)
     var p = 0
@@ -241,9 +251,20 @@ object PairProductSumAgg {
   /** Per-JVM running total of magnitude-contract drops, fed at group
     * eval (so on a cluster each executor's count lands in ITS log/total;
     * in local mode — and the spec — it is the global count). Zero on any
-    * embedding-range workload.
+    * embedding-range workload. DIAGNOSTIC, not a metric: eval can re-run
+    * under task retry/speculation, so the value is a monotone UPPER
+    * bound on distinct drops — a nonzero reading means the band was
+    * entered, the exact count is the per-group buffer slot. (A Spark
+    * accumulator would dedup per successful task but cannot be threaded
+    * into a Catalyst expression without carrying a SparkContext into
+    * plan serialization; the upper-bound tripwire is the honest trade.)
     */
   private[graft] val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Last warn emission (monotonic nanos) — rate-limits the stderr line
+    * to one per JVM per 10 s; the line carries the running total.
+    */
+  private[graft] val lastWarnNanos =
+    new java.util.concurrent.atomic.AtomicLong(Long.MinValue / 2)
   def droppedProducts: Long = dropped.get()
 }
 

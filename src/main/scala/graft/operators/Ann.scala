@@ -650,8 +650,21 @@ object Ann {
     */
   def knnLabelSpread(emb: DataFrame, assignments: DataFrame,
                      idCol: String, vecCol: String, labelCol: String,
-                     k: Int): DataFrame = {
-    val g = knnGraph(emb, assignments, idCol, vecCol, k)
+                     k: Int): DataFrame =
+    knnLabelSpreadFrom(knnGraph(emb, assignments, idCol, vecCol, k),
+      emb, idCol, labelCol)
+
+  /** [[knnLabelSpread]] over a PRE-BUILT (query_id, neighbor_id, rank,
+    * cosine) edge relation — the index-priced form: the IVF assign +
+    * bucket self-join + bounded-heap top-k that dominate the spread's
+    * cost are paid once when the edge relation is materialized
+    * (`knn_graph_index_roundtrip`), and every reader prices at the
+    * grouped-vote cost. Rows are identical to the recompute form by the
+    * index's freshness contract.
+    */
+  def knnLabelSpreadFrom(edges: DataFrame, emb: DataFrame,
+                         idCol: String, labelCol: String): DataFrame = {
+    val g = edges
     val votes = g.join(emb.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nlabel")), "neighbor_id")
       .groupBy("query_id", "nlabel")

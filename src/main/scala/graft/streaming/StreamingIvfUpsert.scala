@@ -81,6 +81,16 @@ object StreamingIvfUpsert {
     import spark.implicits._
     val cents = centroids.sortBy(_._1)
     changes.groupByKey(_.vec_id)
+      // CHECKPOINT COMPATIBILITY: the state type (Long, Array[Float],
+      // Boolean) is part of the query's on-disk checkpoint contract —
+      // Structured Streaming persists it via its Encoder, and a restart
+      // from an existing checkpoint DESERIALIZES old state with the new
+      // code's encoder. Reordering/retyping/widening this tuple (or
+      // switching to a case class) changes the encoder schema and makes
+      // old checkpoints unreadable; ship such a change as a new query
+      // (fresh checkpoint dir) seeded from the batch index, exactly like
+      // a centroid retrain. Adding information must go through a new
+      // field ON A NEW QUERY, never an in-place reinterpretation.
       .mapGroupsWithState[(Long, Array[Float], Boolean), IndexRow](
         GroupStateTimeout.NoTimeout) { (id, it, state) =>
         // state = the winning (writetime, vector, tombstone?); the total

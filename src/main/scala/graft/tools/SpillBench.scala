@@ -62,6 +62,9 @@ object SpillBench {
     // depended on it, so it is pinned HERE, not passed out-of-band, and
     // every emitted artifact row records it.
     val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")
+    // Same guard as graft.Bench: the value reaches the JSON artifact.
+    require(Set("lz4", "zstd", "snappy", "lzf").contains(codec),
+      s"SPARK_GRAFT_CODEC must be one of lz4/zstd/snappy/lzf, got: $codec")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

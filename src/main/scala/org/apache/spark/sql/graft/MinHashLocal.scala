@@ -25,6 +25,35 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashLocal {
 
+  /** Distinct shingle hashes of ONE document, SORTED ascending — the
+    * local twin of `TextDedup.shingleHashTable`'s per-document rows
+    * (same tokens/shingles/xxhash64-seed-42 arithmetic as [[bandKeys]];
+    * the relation is a set, so the sorted array is its canonical form —
+    * set equality ≡ array equality, and the canonical order makes the
+    * streaming fold's lexicographic tie-break deterministic). A document
+    * with fewer than `n` tokens returns an empty array, mirroring
+    * `gramRows`' lead-window filter.
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(s))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(s + j)); j += 1 }
+      seen.add(XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   def bandKeys(text: String, n: Int, numPerm: Int, bands: Int): Array[Long] = {
     require(numPerm > 0 && bands > 0 && numPerm % bands == 0,
       "numPerm must be a positive multiple of bands")

@@ -100,4 +100,51 @@ class DedupIndexUpsertSpec extends SparkSpec {
       "untouched component was recomputed")
     assert(gotPoisoned - 20L - 21L === got - 20L - 21L)
   }
+
+  test("eagerCheckpoint=false composes lazily and returns identical relations") {
+    val prev = df(prevDocs)
+    val curr = df(currDocs)
+    val prevPairs = TextDedup.minhashLshPairs(prev, "doc_id", "text",
+      n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+      .localCheckpoint(true) // pre-materialize the INPUTS so the lazy-call
+    val prevBanded = TextDedup.bandedKeys(     // job count isolates the
+        TextDedup.shingleHashTable(prev, "doc_id", "text", 3), 128, 32)
+      .localCheckpoint(true)                   // operator itself
+    val changed = df(Seq(40L -> "", 50L -> "")).select("doc_id").localCheckpoint(true)
+    val removed = df(Seq(3L -> "")).select("doc_id").localCheckpoint(true)
+
+    // the documented lazy-composition contract: NO Spark jobs at call time
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (lazyPairs, lazyBanded, lazyAdded) =
+      try {
+        val r = TextDedup.upsertLshPairs(
+          prevPairs, prevBanded, curr, changed, removed,
+          "doc_id", "text", n = 3, numPerm = 128, bands = 32,
+          threshold = 0.8, eagerCheckpoint = false)
+        Thread.sleep(1000) // listener bus is async; let any job event land
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      s"eagerCheckpoint=false must not run jobs at call time, ran ${jobs.get()}")
+
+    // and the relations are row-identical to the eager path's
+    val (eagerPairs, eagerBanded, eagerAdded) = TextDedup.upsertLshPairs(
+      prevPairs, prevBanded, curr, changed, removed,
+      "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def bandSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pairSet(lazyPairs) === pairSet(eagerPairs))
+    assert(bandSet(lazyBanded) === bandSet(eagerBanded))
+    assert(pairSet(lazyAdded) === pairSet(eagerAdded))
+    assert(pairSet(lazyPairs).nonEmpty)
+  }
 }

@@ -108,6 +108,43 @@ class ParquetSinkSpec extends SparkSpec {
     assert(n == recomputed.count())
   }
 
+  test("standing shingle index feeds containment bucket-local: no exchange on h, no re-shingling") {
+    // Gates the SURVEY §2 claim behind shingle_containment_indexed: fed
+    // from the h-bucketed standing table, the document-frequency grouping
+    // and the rare-shingle self-join consume the bucket partitioning
+    // AS-IS (zero single-key exchanges on h — the exchanges that remain
+    // are on doc_a/doc_b, candidate-bounded by construction), and nothing
+    // in the plan re-shingles raw text. A bucketing or Catalyst
+    // regression here silently reintroduces the ~105 GB shuffle the
+    // sf100 probe measured on the raw-text path.
+    spark.sql("DROP TABLE IF EXISTS shingle_idx_gate")
+    val loc = new java.io.File("spark-warehouse/shingle_idx_gate")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    val corpus = graft.Tables.documents(spark, sfDir)
+    ParquetSink.writeBucketedSnapshot(
+      TextDedup.shingleHashTable(corpus, "doc_id", "text", 3),
+      "shingle_idx_gate", Seq("h"), 4)
+    val pairs = TextDedup.containmentPairsCappedFrom(
+      spark.table("shingle_idx_gate"), thresholdPpm = 500000L, maxDf = 20L)
+    assert(pairs.count() > 0, "corpus duplicates must surface containment pairs")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+    // every shingle-relation reference reads the standing table, never
+    // the raw corpus: the plan holds no shingling Generate
+    assert(!plan.contains("posexplode"), s"plan re-shingles raw text:\n$plan")
+    // no exchange partitioned on the bare shingle hash: df grouping and
+    // the rare self-join must ride the bucket partitioning
+    val hExchanges = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning(h#"))
+    assert(hExchanges.isEmpty,
+      s"bucket partitioning not used, exchanges on h:\n${hExchanges.mkString("\n")}\n$plan")
+  }
+
   test("writeSorted layout lets a selective scan skip most row groups") {
     val spark0 = spark
     import spark0.implicits._
