@@ -44,10 +44,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Same codec pin as SpillBench (zstd): the sf100 spill regime needs
     // it (halves spill bytes; lz4 killed the shingle family on local
-    // scratch), and the in-memory regime is insensitive (sf0.1 full-suite
-    // delta measured inside the ±35% noise band — see SURVEY §6 round-9
-    // note). One codec across both harnesses keeps every artifact row
-    // comparable; recorded in the emitted JSON so no run is ambiguous.
+    // scratch), and the in-memory regime is insensitive — the lz4-vs-zstd
+    // delta at sf0.1 sign-flips across quiet samples inside the noise
+    // band (SURVEY §6 "Round-9/10/11 adjudication" note;
+    // BENCH_CODEC_AB_r11.json holds the committed A/B runs). One codec
+    // across both harnesses keeps every artifact row comparable;
+    // recorded in the emitted JSON so no run is ambiguous.
     val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")
     // The codec lands both in a Spark conf and (unescaped) in the
     // hand-built JSON artifact — reject anything outside Spark's own
