@@ -122,6 +122,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kNN reports read the materialized edge index, never re-derive the graph") {
+    // The roundtrip entry owns the build (IVF assign + bucket self-join +
+    // bounded-heap top-k); run it first so the index exists, then every
+    // reader must plan as a scan of the standing query_id-bucketed table —
+    // no TopKPerGroupExec (the top-k heap only the derivation uses) and no
+    // within-bucket self-join of the embedding corpus.
+    // (knn_components is excluded: Clustering's eager localCheckpoints
+    // truncate its lineage, so the final plan is a Scan ExistingRDD and
+    // shows neither the index scan nor a hypothetical re-derivation —
+    // its index pricing is evidenced by the sf100 probe row instead.)
+    finalPlan("knn_graph_index_roundtrip")
+    for (name <- Seq("knn_hubness_report", "knn_label_spread",
+                     "knn_confusion")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("TopKPerGroup"),
+        s"$name re-derives the kNN graph:\n${plan.take(2000)}")
+      assert(plan.contains("knn_edge_index_"),
+        s"$name does not scan the materialized edge index:\n${plan.take(2000)}")
+    }
+  }
+
   test("no plan in the inventory contains a cartesian product") {
     // Exhaustive-baseline pair generators legitimately cross-join small
     // inputs (their scale paths are banded/bucketed); everything else must
