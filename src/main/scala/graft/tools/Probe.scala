@@ -10,25 +10,41 @@ object Probe {
 
   /** Content-perturbed k-x replica of an sf dir (the SCALE probe's
     * replication scheme — see the SCALE block below for why perturbation
-    * keeps dup density constant). Dims stay 1x; events/dims are plain
-    * file copies.
+    * keeps dup density constant). Dims stay 1x plain file copies. Events
+    * scale by shifting (event_id, user_id) per replica — k× the users,
+    * per-user stream structure (and so window/sessionize/funnel shape)
+    * identical to the base. SCALEGEN_TABLES=a,b restricts which tables
+    * replicate (the rest copy 1x) — used to build table-focused probe
+    * dirs without paying a full multi-GB replica.
     */
   def buildScaledDir(spark: SparkSession, sfDir: String, k: Int,
                      dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val shift = 10000000L
-    def replicate(table: String, keyCols: Seq[String],
-                  perturb: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$sfDir/$table.parquet")
-      val parts = (0 until k).map { i =>
-        perturb(keyCols.foldLeft(base) { (d, c) =>
-          d.withColumn(c, col(c) + lit(i * shift)) }, i)
-      }
-      parts.reduce(_ unionByName _).write.mode("overwrite")
-        .parquet(s"$dir/$table.parquet")
+    val only: Option[Set[String]] =
+      sys.env.get("SCALEGEN_TABLES").map(_.split(",").map(_.trim).toSet)
+    def copy1x(t: String): Unit = {
+      val target = java.nio.file.Paths.get(s"$dir/$t.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"), target)
+      ()
     }
+    def replicate(table: String, keyCols: Seq[String],
+                  perturb: (DataFrame, Int) => DataFrame): Unit =
+      if (!only.forall(_.contains(table))) copy1x(table)
+      else {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        val parts = (0 until k).map { i =>
+          perturb(keyCols.foldLeft(base) { (d, c) =>
+            d.withColumn(c, col(c) + lit(i * shift)) }, i)
+        }
+        parts.reduce(_ unionByName _).write.mode("overwrite")
+          .parquet(s"$dir/$table.parquet")
+      }
     replicate("lineitem", Seq("l_orderkey"), (d, _) => d)
     replicate("orders", Seq("o_orderkey", "o_custkey"), (d, _) => d)
+    replicate("events", Seq("event_id", "user_id"), (d, _) => d)
     replicate("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1_$i")))
@@ -40,12 +56,8 @@ object Probe {
         d.withColumn("embedding",
           zip_with(col("embedding"), lit(signs), (x, s) => x * s))
       })
-    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events")) {
-      val target = java.nio.file.Paths.get(s"$dir/$t.parquet")
-      java.nio.file.Files.deleteIfExists(target)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/$t.parquet"), target)
-    }
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+      copy1x(t)
   }
 
   def main(args: Array[String]): Unit = {
