@@ -5389,30 +5389,8 @@ object Queries {
       // at the same frozen centroid set, proving the upsert
       // row-identical to rebuild (probe-answer equality is spec-gated).
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val prev = emb.filter(col("vec_id") % 23 =!= 3)
-          .withColumn("embedding",
-            when(col("vec_id") % 17 === 2, reverse(col("embedding")))
-              .otherwise(col("embedding")))
-        val curr = emb.filter(col("vec_id") % 19 =!= 7)
-        val cents = sqrtCentroids(prev)
-        val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
-        // standing index: ensure-built ONCE per corpus (fingerprint-
-        // stamped) — in production yesterday's index EXISTS, so the
-        // benched body prices the delta apply, not the base build (the
-        // same discipline dedup_cluster_index_upsert adopted in round 8)
-        val fresh = s.catalog.tableExists(tbl) &&
-          stampedFingerprint(s, tbl + "_fprint")
-            .contains(tableFingerprint(s, d, "embeddings.parquet"))
-        if (!fresh) {
-          val fp = tableFingerprint(s, d, "embeddings.parquet")
-          val baseIdx = prev.select(col("vec_id"), col("embedding").as("v"))
-            .join(Ann.ivfAssign(prev, cents, "vec_id", "embedding",
-              "vec_id", "embedding").select("vec_id", "centroid_id"), "vec_id")
-          graft.sources.ParquetSink.writeBucketedSnapshot(baseIdx, tbl,
-            Seq("centroid_id"), buckets = 16)
-          stampFingerprint(s, tbl + "_fprint", fp)
-        }
+        val (prev, curr, cents) = upsertEmbCorpora(s, d)
+        val tbl = ensureIvfUpsertBase(s, d, prev, cents)
         val upserted = Ann.ivfIndexUpsert(s.table(tbl), prev, curr, cents,
           "vec_id", "embedding", "vec_id", "embedding")
         val tbl2 = tbl + "_v2"
@@ -5542,6 +5520,71 @@ object Queries {
   private def knnEdgeIndexTable(d: String): String =
     "knn_edge_index_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** The shared I/U/D embedding-snapshot conventions of the ANN upsert
+    * entries: prev = corpus minus the %23=3 inserts with the %17=2
+    * updates reversed; curr = corpus minus the %19=7 deletes; centroids
+    * FROZEN at prev's √n stride. One definition so `ann_ivf_index_upsert`
+    * and `knn_graph_index_upsert` exercise the SAME diff and compose
+    * into one maintained-index story.
+    */
+  private def upsertEmbCorpora(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val prev = emb.filter(col("vec_id") % 23 =!= 3)
+      .withColumn("embedding",
+        when(col("vec_id") % 17 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val curr = emb.filter(col("vec_id") % 19 =!= 7)
+    (prev, curr, sqrtCentroids(prev))
+  }
+
+  /** Standing IVF index (vec_id, v, centroid_id) of the upsert
+    * conventions' PREV corpus, ensure-built ONCE per corpus
+    * (fingerprint-stamped) — in production yesterday's index EXISTS, so
+    * the benched upsert bodies price the delta apply, not the base build
+    * (the round-8 discipline). Returns the table name.
+    */
+  private def ensureIvfUpsertBase(s: SparkSession, d: String,
+                                  prev: DataFrame, cents: DataFrame): String = {
+    val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint")
+        .contains(tableFingerprint(s, d, "embeddings.parquet"))
+    if (!fresh) {
+      val fp = tableFingerprint(s, d, "embeddings.parquet")
+      val baseIdx = prev.select(col("vec_id"), col("embedding").as("v"))
+        .join(Ann.ivfAssign(prev, cents, "vec_id", "embedding",
+          "vec_id", "embedding").select("vec_id", "centroid_id"), "vec_id")
+      graft.sources.ParquetSink.writeBucketedSnapshot(baseIdx, tbl,
+        Seq("centroid_id"), buckets = 16)
+      stampFingerprint(s, tbl + "_fprint", fp)
+    }
+    tbl
+  }
+
+  /** Standing centroid-carrying kNN edge relation of the upsert
+    * conventions' PREV corpus, bucketed on centroid_id — the carry-over
+    * key [[graft.operators.Ann.knnEdgeIndexUpsert]] anti-joins on, so
+    * unaffected buckets stream out of the base table without a shuffle.
+    */
+  private def ensureKnnUpsertBase(s: SparkSession, d: String,
+                                  prev: DataFrame, cents: DataFrame): String = {
+    val tbl = "knn_edge_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint")
+        .contains(tableFingerprint(s, d, "embeddings.parquet"))
+    if (!fresh) {
+      val fp = tableFingerprint(s, d, "embeddings.parquet")
+      val assign = Ann.ivfAssign(prev, cents, "vec_id", "embedding",
+        "vec_id", "embedding")
+      graft.sources.ParquetSink.writeBucketedSnapshot(
+        Ann.knnGraphWithCentroid(prev, assign, "vec_id", "embedding", k = 3),
+        tbl, Seq("centroid_id"), buckets = 16)
+      stampFingerprint(s, tbl + "_fprint", fp)
+    }
+    tbl
+  }
+
   private def ensureKnnEdgeIndex(s: SparkSession, d: String): Unit = {
     val tbl = knnEdgeIndexTable(d)
     val fresh = s.catalog.tableExists(tbl) &&
@@ -5639,6 +5682,62 @@ object Queries {
             col("cosine"))
       },
       Some(s"""WITH ${knnEdgesCteSql(3)}
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM knn""".stripMargin)),
+
+    Q("knn_graph_index_upsert",
+      // Incremental kNN-edge-index maintenance (the edge face of the
+      // CDC×ANN composition, completing the maintained-index quartet):
+      // the SAME embedding snapshot diff as ann_ivf_index_upsert applies
+      // to the materialized centroid-carrying edge relation at FROZEN
+      // centroids — affected buckets (every bucket a changed id maps
+      // into under its old OR new vector) recompute bucket-locally over
+      // the MAINTAINED assignment index, unaffected buckets stream out
+      // of the centroid-bucketed base without a shuffle. Oracle = full
+      // edge rebuild of the new corpus at the same frozen centroid set,
+      // proving the upsert row-identical to rebuild; carry-over-not-
+      // recompute is spec-gated by a poisoned-bucket test.
+      (s, d) => {
+        val (prev, curr, cents) = upsertEmbCorpora(s, d)
+        val ivfBase = ensureIvfUpsertBase(s, d, prev, cents)
+        val edgeBase = ensureKnnUpsertBase(s, d, prev, cents)
+        val currIdx = Ann.ivfIndexUpsert(s.table(ivfBase), prev, curr, cents,
+          "vec_id", "embedding", "vec_id", "embedding")
+        val upserted = Ann.knnEdgeIndexUpsert(s.table(edgeBase), currIdx,
+          prev, curr, cents, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3)
+        val tbl2 = edgeBase + "_v2"
+        graft.sources.ParquetSink.writeBucketedSnapshot(upserted, tbl2,
+          Seq("centroid_id"), buckets = 16)
+        s.table(tbl2)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            col("cosine"))
+      },
+      Some(s"""WITH prev AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 17 = 2 THEN list_reverse(embedding)
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 23 <> 3),
+        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 7),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
+        |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM curr e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN curr e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND n.vec_id <> q.vec_id),
+        |knn AS (SELECT query_id, neighbor_id, rank, cos
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |  WHERE rank <= 3)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         |  ROUND(cos, 4) AS cosine
         |FROM knn""".stripMargin))

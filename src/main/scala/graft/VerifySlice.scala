@@ -42,8 +42,8 @@ object VerifySlice {
     "survivor_selection_report",
     // round-8 additions sharing the capped-containment oracle family
     "shingle_index_roundtrip", "shingle_containment_indexed",
-    // round-11 addition sharing the knn-edge CTE oracle family
-    "knn_graph_index_roundtrip")
+    // round-11 additions sharing the knn-edge CTE oracle family
+    "knn_graph_index_roundtrip", "knn_graph_index_upsert")
 
   private val sliced = Seq("documents" -> "doc_id", "embeddings" -> "vec_id")
   private val passthrough = Seq("region", "nation", "customer", "supplier",

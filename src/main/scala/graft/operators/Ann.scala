@@ -622,7 +622,19 @@ object Ann {
     * node per partition.
     */
   def knnGraph(emb: DataFrame, assignments: DataFrame,
-               idCol: String, vecCol: String, k: Int): DataFrame = {
+               idCol: String, vecCol: String, k: Int): DataFrame =
+    knnGraphWithCentroid(emb, assignments, idCol, vecCol, k)
+      .drop("centroid_id")
+
+  /** [[knnGraph]] with the QUERY's centroid_id carried through — the
+    * materialized-index form: since a query's candidates come only from
+    * its own IVF bucket, the centroid column is exactly what lets
+    * [[knnEdgeIndexUpsert]] carry unaffected buckets over wholesale on a
+    * snapshot diff. Same operator tree (the plain form is this plus a
+    * final projection), so ranks/cosines are bit-identical.
+    */
+  def knnGraphWithCentroid(emb: DataFrame, assignments: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
     val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(assignments.select("vec_id", "centroid_id"), "vec_id")
     val scored = assigned
@@ -636,7 +648,79 @@ object Ann {
         Seq(col("cos_raw").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
-        round(col("cos_raw"), 4).as("cosine"))
+        round(col("cos_raw"), 4).as("cosine"), col("centroid_id"))
+  }
+
+  /** Incremental kNN-edge-index maintenance — the edge-relation face of
+    * the snapshot-diff discipline ([[ivfIndexUpsert]] maintains the
+    * assignments, THIS maintains the edges built on them): a corpus diff
+    * (I/U/D) applies to the materialized centroid-carrying edge relation
+    * at FROZEN centroids by recomputing ONLY the affected buckets.
+    *
+    * Exactness argument: a query's candidates come exclusively from its
+    * own IVF bucket (the [[knnGraph]] contract), centroids are frozen,
+    * and unchanged vectors keep byte-identical embeddings hence
+    * identical assignments — so a bucket no changed/removed/inserted
+    * vector maps into (under its OLD or NEW assignment) has
+    * element-identical membership in both corpora, and its edges carry
+    * over wholesale. Every other bucket recomputes bucket-locally over
+    * the MAINTAINED assignment index. Output is row-identical to a full
+    * rebuild of the new corpus at the same frozen centroid set
+    * (oracle-gated; carry-over-not-recompute is spec-gated by a
+    * poisoned-bucket test).
+    *
+    * Scale shape: the diff join is corpus-sized but streams (no state
+    * beyond the shuffle); both assignment probes are delta-sized at
+    * broadcast centroids; `affected` is ≤ 2·|delta| centroid ids
+    * (broadcast); the carry-over is an anti-join the centroid-bucketed
+    * base table serves without a shuffle; the recompute pays
+    * Σ bucket² over AFFECTED buckets only.
+    *
+    * @param base    standing edge relation WITH centroid —
+    *                [[knnGraphWithCentroid]] of the previous corpus
+    * @param currIdx the maintained IVF index of the NEW corpus at the
+    *                same frozen centroids — [[ivfIndexUpsert]]'s output
+    *                (vec_id, v, centroid_id)
+    */
+  def knnEdgeIndexUpsert(base: DataFrame, currIdx: DataFrame,
+                         prevEmb: DataFrame, currEmb: DataFrame,
+                         centroids: DataFrame, idCol: String, vecCol: String,
+                         centroidIdCol: String, centroidVecCol: String,
+                         k: Int): DataFrame = {
+    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
+    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val diff = p.join(c, Seq("vec_id"), "full_outer")
+    val incoming = diff
+      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
+      .select(col("vec_id"), col("nv").as("v"))
+    val leaving = diff
+      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
+      .select(col("vec_id"), col("pv").as("v"))
+    // every bucket a changed id maps into under its OLD or NEW vector —
+    // both probes delta-sized against the broadcast frozen set
+    val affected = ivfAssign(leaving, centroids, "vec_id", "v",
+        centroidIdCol, centroidVecCol).select("centroid_id")
+      .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
+        centroidIdCol, centroidVecCol).select("centroid_id"))
+      .distinct()
+    val kept = base
+      .join(broadcast(affected), Seq("centroid_id"), "left_anti")
+      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id")
+    val bucketRows = currIdx
+      .join(broadcast(affected), Seq("centroid_id"), "left_semi")
+    val scored = bucketRows
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
+      .join(bucketRows
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("nv")))
+    val recomputed = org.apache.spark.sql.graft.TopKPerGroup(scored,
+        Seq(col("query_id")), Seq(col("cos_raw").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos_raw"), 4).as("cosine"), col("centroid_id"))
+    kept.unionByName(recomputed)
   }
 
   /** One round of k-NN label spreading over the [[knnGraph]]: each vector
