@@ -5538,26 +5538,40 @@ object Queries {
     (prev, curr, sqrtCentroids(prev))
   }
 
+  /** The one fingerprint-stamped standing-table build: (re)builds the
+    * bucketed table when the stamped fingerprint no longer matches the
+    * corpus (missing/torn stamps read as stale). `build` is by-name —
+    * the derivation runs ONLY on a rebuild, so warm entries pay a
+    * catalog check plus one sidecar read. Every ensure below is this
+    * shape; the round-8 discipline (standing index built once, benched
+    * bodies price the delta/report) lives here.
+    */
+  private def ensureBucketedIndex(s: SparkSession, tbl: String, fp: => Long,
+                                  bucketCols: Seq[String])
+                                 (build: => DataFrame): Unit = {
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint").contains(fp)
+    if (!fresh) {
+      val stamp = fp
+      graft.sources.ParquetSink.writeBucketedSnapshot(build, tbl,
+        bucketCols, buckets = 16)
+      stampFingerprint(s, tbl + "_fprint", stamp)
+    }
+  }
+
   /** Standing IVF index (vec_id, v, centroid_id) of the upsert
-    * conventions' PREV corpus, ensure-built ONCE per corpus
-    * (fingerprint-stamped) — in production yesterday's index EXISTS, so
-    * the benched upsert bodies price the delta apply, not the base build
-    * (the round-8 discipline). Returns the table name.
+    * conventions' PREV corpus — in production yesterday's index EXISTS,
+    * so the benched upsert bodies price the delta apply, not the base
+    * build. Returns the table name.
     */
   private def ensureIvfUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint")
-        .contains(tableFingerprint(s, d, "embeddings.parquet"))
-    if (!fresh) {
-      val fp = tableFingerprint(s, d, "embeddings.parquet")
-      val baseIdx = prev.select(col("vec_id"), col("embedding").as("v"))
+    ensureBucketedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
+        Seq("centroid_id")) {
+      prev.select(col("vec_id"), col("embedding").as("v"))
         .join(Ann.ivfAssign(prev, cents, "vec_id", "embedding",
           "vec_id", "embedding").select("vec_id", "centroid_id"), "vec_id")
-      graft.sources.ParquetSink.writeBucketedSnapshot(baseIdx, tbl,
-        Seq("centroid_id"), buckets = 16)
-      stampFingerprint(s, tbl + "_fprint", fp)
     }
     tbl
   }
@@ -5570,50 +5584,30 @@ object Queries {
   private def ensureKnnUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "knn_edge_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint")
-        .contains(tableFingerprint(s, d, "embeddings.parquet"))
-    if (!fresh) {
-      val fp = tableFingerprint(s, d, "embeddings.parquet")
-      val assign = Ann.ivfAssign(prev, cents, "vec_id", "embedding",
-        "vec_id", "embedding")
-      graft.sources.ParquetSink.writeBucketedSnapshot(
-        Ann.knnGraphWithCentroid(prev, assign, "vec_id", "embedding", k = 3),
-        tbl, Seq("centroid_id"), buckets = 16)
-      stampFingerprint(s, tbl + "_fprint", fp)
+    ensureBucketedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
+        Seq("centroid_id")) {
+      Ann.knnGraphWithCentroid(prev,
+        Ann.ivfAssign(prev, cents, "vec_id", "embedding", "vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
     }
     tbl
   }
 
-  private def ensureKnnEdgeIndex(s: SparkSession, d: String): Unit = {
-    val tbl = knnEdgeIndexTable(d)
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint")
-        .contains(tableFingerprint(s, d, "embeddings.parquet"))
-    if (!fresh) {
-      val fp = tableFingerprint(s, d, "embeddings.parquet")
+  private def ensureKnnEdgeIndex(s: SparkSession, d: String): Unit =
+    ensureBucketedIndex(s, knnEdgeIndexTable(d),
+        tableFingerprint(s, d, "embeddings.parquet"), Seq("query_id")) {
       val emb = Tables.embeddings(s, d)
-      val assign = Ann.ivfAssign(emb, sqrtCentroids(emb),
-        "vec_id", "embedding", "vec_id", "embedding")
-      graft.sources.ParquetSink.writeBucketedSnapshot(
-        Ann.knnGraph(emb, assign, "vec_id", "embedding", k = 3),
-        tbl, Seq("query_id"), buckets = 16)
-      stampFingerprint(s, tbl + "_fprint", fp)
+      Ann.knnGraph(emb,
+        Ann.ivfAssign(emb, sqrtCentroids(emb),
+          "vec_id", "embedding", "vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
     }
-  }
 
-  private def ensureShingleIndex(s: SparkSession, d: String): Unit = {
-    val tbl = shingleIndexTable(d)
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint").contains(corpusFingerprint(s, d))
-    if (!fresh) {
-      val fp = corpusFingerprint(s, d)
-      graft.sources.ParquetSink.writeBucketedSnapshot(
-        TextDedup.shingleHashTable(Tables.documents(s, d), "doc_id", "text", 3),
-        tbl, Seq("h"), buckets = 16)
-      stampFingerprint(s, tbl + "_fprint", fp)
+  private def ensureShingleIndex(s: SparkSession, d: String): Unit =
+    ensureBucketedIndex(s, shingleIndexTable(d), corpusFingerprint(s, d),
+        Seq("h")) {
+      TextDedup.shingleHashTable(Tables.documents(s, d), "doc_id", "text", 3)
     }
-  }
 
   private val roundEight: Seq[Q] = Seq(
     Q("shingle_index_roundtrip",
