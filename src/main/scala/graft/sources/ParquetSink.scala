@@ -155,6 +155,102 @@ object ParquetSink {
       .saveAsTable(tableName)
   }
 
+  /** Persists a standing index table HIVE-PARTITIONED on its carry-over
+    * key (`tbl/partCol=v/…`) — the layout that makes incremental
+    * maintenance publish at DELTA cost: an upsert rewrites only the
+    * affected partitions' directories and the new version references
+    * every other partition's files IN PLACE ([[publishPartitionSwap]]),
+    * where a bucketed `saveAsTable` could only republish by rewriting
+    * the whole corpus-sized relation. The pre-shuffle on the partition
+    * key gives each partition one output file instead of one per task
+    * that touches it.
+    */
+  def writePartitionedSnapshot(df: DataFrame, tableName: String,
+                               partCol: String,
+                               sortCols: Seq[String] = Nil): Unit = {
+    dropWithLocation(df, tableName)
+    df.repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** The `partCol=value → directory` map of one partitioned table root. */
+  private def partitionDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: org.apache.hadoop.fs.Path,
+                            partCol: String): Map[String, org.apache.hadoop.fs.Path] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .map(st => st.getPath.getName.stripPrefix(partCol + "=") -> st.getPath)
+      .toMap
+  }
+
+  /** Warehouse directory of a managed table written by this sink (the
+    * `dropWithLocation` convention: `warehouse/<lowercased name>`).
+    */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                    tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+
+  /** Publishes the NEW VERSION of a maintained, partitioned standing
+    * index at DELTA cost — the partition-location swap: only the
+    * affected partitions' rows are written (to a fresh delta directory);
+    * `v2Table` is then created as an external partitioned table whose
+    * unaffected partitions POINT AT the base table's directories and
+    * whose affected partitions point at the delta directory. Unaffected
+    * partition files are never read, rewritten, or copied — they are
+    * byte-identical by construction (spec-proven) — so publish cost is
+    * O(affected partitions), not O(corpus). Affected partitions whose
+    * new content is EMPTY simply get no partition entry (the
+    * all-members-deleted bucket). This is the parquet-native form of
+    * what snapshot table formats do with manifest swaps: a new table
+    * version referencing unchanged data files in place.
+    *
+    * @param baseTable the standing index ([[writePartitionedSnapshot]])
+    * @param affected  partition values whose content changed (rendered
+    *                  as the directory-name string, e.g. "104");
+    *                  delta-bounded by the maintenance operator's
+    *                  contract
+    * @param deltaRows the new content of ALL affected partitions
+    *                  (must carry `partCol`; rows only for values in
+    *                  `affected`)
+    */
+  def publishPartitionSwap(spark: org.apache.spark.sql.SparkSession,
+                           baseTable: String, v2Table: String,
+                           partCol: String, affected: Set[String],
+                           deltaRows: DataFrame): Unit = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val baseLoc = tableLocation(spark, baseTable)
+    val deltaRoot = tableLocation(spark, v2Table + "_delta")
+    val v2Root = tableLocation(spark, v2Table)
+    val fs = deltaRoot.getFileSystem(fsConf)
+    if (fs.exists(deltaRoot)) fs.delete(deltaRoot, true)
+    deltaRows.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(deltaRoot.toString)
+    // v2 = (base partitions − affected) in place ∪ delta partitions
+    val keptParts = partitionDirs(spark, baseLoc, partCol) -- affected
+    val deltaParts = partitionDirs(spark, deltaRoot, partCol)
+    spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+    if (fs.exists(v2Root)) fs.delete(v2Root, true)
+    val dataCols = deltaRows.schema.fields.filterNot(_.name == partCol)
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partType = deltaRows.schema(partCol).dataType.sql
+    spark.sql(s"""CREATE TABLE `$v2Table` ($dataCols, `$partCol` $partType)
+      USING PARQUET PARTITIONED BY (`$partCol`) LOCATION '$v2Root'""")
+    (keptParts ++ deltaParts).toSeq.grouped(500).foreach { chunk =>
+      val specs = chunk.map { case (v, p) =>
+        s"PARTITION (`$partCol`='$v') LOCATION '$p'"
+      }.mkString(" ")
+      spark.sql(s"ALTER TABLE `$v2Table` ADD $specs")
+    }
+  }
+
   /** Overwrite across JVMs: the in-memory catalog forgets managed tables
     * at shutdown but their warehouse directories persist, and a fresh
     * session's CTAS then refuses the orphaned location
