@@ -687,6 +687,30 @@ object Ann {
                          centroids: DataFrame, idCol: String, vecCol: String,
                          centroidIdCol: String, centroidVecCol: String,
                          k: Int): DataFrame = {
+    val (affected, recomputed) = knnEdgeIndexUpsertParts(base, currIdx,
+      prevEmb, currEmb, centroids, idCol, vecCol, centroidIdCol,
+      centroidVecCol, k)
+    base.join(broadcast(affected), Seq("centroid_id"), "left_anti")
+      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id")
+      .unionByName(recomputed)
+  }
+
+  /** [[knnEdgeIndexUpsert]] split at its carry-over boundary — the form
+    * the DELTA-COST PUBLISH consumes: returns (affected centroid ids,
+    * recomputed edges of exactly those buckets) so the caller can
+    * rewrite only affected partitions and reference every other
+    * bucket's files in place
+    * ([[graft.sources.ParquetSink.publishPartitionSwap]]), instead of
+    * re-unioning the corpus-sized carry-over just to rewrite it. The
+    * union form above is parts-equivalent by construction, so the
+    * existing oracle and poisoned-bucket spec gate both.
+    */
+  def knnEdgeIndexUpsertParts(base: DataFrame, currIdx: DataFrame,
+                              prevEmb: DataFrame, currEmb: DataFrame,
+                              centroids: DataFrame, idCol: String,
+                              vecCol: String, centroidIdCol: String,
+                              centroidVecCol: String,
+                              k: Int): (DataFrame, DataFrame) = {
     val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
     val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
     val diff = p.join(c, Seq("vec_id"), "full_outer")
@@ -703,9 +727,6 @@ object Ann {
       .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
         centroidIdCol, centroidVecCol).select("centroid_id"))
       .distinct()
-    val kept = base
-      .join(broadcast(affected), Seq("centroid_id"), "left_anti")
-      .select("query_id", "neighbor_id", "rank", "cosine", "centroid_id")
     val bucketRows = currIdx
       .join(broadcast(affected), Seq("centroid_id"), "left_semi")
     val scored = bucketRows
@@ -720,7 +741,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"), col("centroid_id"))
-    kept.unionByName(recomputed)
+    (affected, recomputed)
   }
 
   /** One round of k-NN label spreading over the [[knnGraph]]: each vector
@@ -884,6 +905,57 @@ object Ann {
       .unionByName(incoming
         .join(assign.select("vec_id", "centroid_id"), "vec_id")
         .select(col("vec_id"), col("v"), col("centroid_id")))
+  }
+
+  /** [[ivfIndexUpsert]] split at its carry-over boundary for the
+    * DELTA-COST PUBLISH: (affected centroid ids, the new full content of
+    * exactly those buckets). A bucket is affected when a changed id maps
+    * into it under its OLD or NEW vector — the old-side probe re-assigns
+    * the leaving vectors at the same frozen centroids, which reproduces
+    * the stored assignment exactly (assignment is a deterministic
+    * function of vector × frozen centroid set, tie-broken on centroid
+    * id). Affected-bucket content = the base rows of those buckets minus
+    * removed/changed ids, plus the freshly assigned incoming rows; rows
+    * of every other bucket are untouched by the diff, so a publish that
+    * references their files in place is row-identical to
+    * [[ivfIndexUpsert]] (oracle-gated through the entry).
+    *
+    * Scale shape: both probes and the anti-join sets are delta-sized at
+    * broadcast centroids; the base-side read of affected buckets prunes
+    * to affected partitions when `base` is the partitioned standing
+    * table (isin on the partition key pushes to partition pruning).
+    */
+  def ivfIndexUpsertParts(base: DataFrame, prevEmb: DataFrame,
+                          currEmb: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          centroidIdCol: String, centroidVecCol: String)
+      : (DataFrame, DataFrame) = {
+    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
+    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    val diff = p.join(c, Seq("vec_id"), "full_outer")
+    val incoming = diff
+      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
+      .select(col("vec_id"), col("nv").as("v"))
+    val leaving = diff
+      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
+      .select(col("vec_id"), col("pv").as("v"))
+    val removed = leaving.select("vec_id")
+    val affected = ivfAssign(leaving, centroids, "vec_id", "v",
+        centroidIdCol, centroidVecCol).select("centroid_id")
+      .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
+        centroidIdCol, centroidVecCol).select("centroid_id"))
+      .distinct()
+    val incomingAssigned = incoming
+      .join(ivfAssign(incoming, centroids, "vec_id", "v",
+          centroidIdCol, centroidVecCol).select("vec_id", "centroid_id"),
+        "vec_id")
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+    val affectedRows = base
+      .join(broadcast(affected), Seq("centroid_id"), "left_semi")
+      .join(broadcast(removed), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+      .unionByName(incomingAssigned)
+    (affected, affectedRows)
   }
 
   /** Top principal component by POWER ITERATION — the distributed
