@@ -177,7 +177,10 @@ object ParquetSink {
       .saveAsTable(tableName)
   }
 
-  /** The `partCol=value → directory` map of one partitioned table root. */
+  /** The `partCol=value → directory` map of one partitioned PATH root
+    * (hive-style dir names, %XX-unescaped) — the resolution for delta
+    * directories, which live outside any catalog.
+    */
   private def partitionDirs(spark: org.apache.spark.sql.SparkSession,
                             root: org.apache.hadoop.fs.Path,
                             partCol: String): Map[String, org.apache.hadoop.fs.Path] = {
@@ -185,8 +188,43 @@ object ParquetSink {
     if (!fs.exists(root)) Map.empty
     else fs.listStatus(root).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
-      .map(st => st.getPath.getName.stripPrefix(partCol + "=") -> st.getPath)
+      .map { st =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(st.getPath.getName.stripPrefix(partCol + "=")) ->
+          st.getPath
+      }
       .toMap
+  }
+
+  /** The `partCol=value → location` map of a TABLE's partitions, resolved
+    * from the CATALOG — the only resolution that survives a chained
+    * publish, where a swap-published version's partitions live under a
+    * PRIOR base's root (a filesystem listing of its own root would see
+    * nothing and silently drop every carried-over partition). Falls back
+    * to the filesystem scan only when the catalog holds no partition
+    * metadata for the table.
+    */
+  def partitionLocations(spark: org.apache.spark.sql.SparkSession,
+                         tableName: String,
+                         partCol: String): Map[String, org.apache.hadoop.fs.Path] = {
+    val fromCatalog = scala.util.Try {
+      spark.sessionState.catalog
+        .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+        .flatMap { p =>
+          p.spec.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(partCol) =>
+              v -> new org.apache.hadoop.fs.Path(p.location)
+          }
+        }.toMap
+    }.getOrElse(Map.empty[String, org.apache.hadoop.fs.Path])
+    if (fromCatalog.nonEmpty) fromCatalog
+    else {
+      val loc = scala.util.Try(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+          .location)).getOrElse(tableLocation(spark, tableName))
+      partitionDirs(spark, loc, partCol)
+    }
   }
 
   /** Warehouse directory of a managed table written by this sink (the
@@ -220,48 +258,207 @@ object ParquetSink {
     *                  (must carry `partCol`; rows only for values in
     *                  `affected`)
     */
+  /** SQL string literal with quote/backslash escaping — partition values
+    * and locations are interpolated into DDL, so a value containing a
+    * quote must not break (or worse, redirect) the statement.
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Sidecar ledger of the FOREIGN directories a swap-published version
+    * references (partitions living under some prior base's root rather
+    * than its own): `warehouse/<table>__refs.txt`, one qualified URI per
+    * line. Every destructive path in this sink consults the ledgers
+    * ([[guardReferenced]]) before deleting, so rebuilding or dropping a
+    * base whose files a live version still reads is REFUSED instead of
+    * silently dangling that version — the ownership rule snapshot table
+    * formats get from manifest refcounts. The ledger is a FILE (not
+    * catalog state) so the guard survives the in-memory catalog's
+    * per-JVM lifetime.
+    */
+  private def refsPath(spark: org.apache.spark.sql.SparkSession,
+                       tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase + "__refs.txt")
+
+  private def writeRefs(spark: org.apache.spark.sql.SparkSession,
+                        tableName: String,
+                        dirs: Iterable[org.apache.hadoop.fs.Path]): Unit = {
+    val p = refsPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(dirs.map(d => qualified(spark, d).toString).toSeq.sorted
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def qualified(spark: org.apache.spark.sql.SparkSession,
+                        p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p)
+
+  /** Throws when `dir` (or anything under it) is referenced by a LIVE
+    * published version's ledger — the caller must [[dropIndexVersion]]
+    * the referencing version first. `owner` exempts that version's own
+    * ledger (republish supersedes itself).
+    */
+  private def guardReferenced(spark: org.apache.spark.sql.SparkSession,
+                              dir: org.apache.hadoop.fs.Path,
+                              owner: Option[String] = None): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return
+    val target = qualified(spark, dir).toString
+    val ownRefs = owner.map(o => refsPath(spark, o).getName)
+    fs.listStatus(wh).iterator
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith("__refs.txt"))
+      .filterNot(st => ownRefs.contains(st.getPath.getName))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
+                    finally in.close()
+        val hit = lines.exists(l => l.nonEmpty &&
+          (l == target || l.startsWith(target + "/") || target.startsWith(l + "/")))
+        if (hit) {
+          val version = st.getPath.getName.stripSuffix("__refs.txt")
+          throw new IllegalStateException(
+            s"refusing to delete $dir: published version '$version' still " +
+            s"references files under it (ledger ${st.getPath}); drop that " +
+            "version first (ParquetSink.dropIndexVersion)")
+        }
+      }
+  }
+
+  /** Best-effort guarded delete: skips (returns false) when a live
+    * version references the directory, deletes and returns true otherwise.
+    */
+  private def deleteUnlessReferenced(spark: org.apache.spark.sql.SparkSession,
+                                     dir: org.apache.hadoop.fs.Path,
+                                     owner: Option[String]): Boolean = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try { guardReferenced(spark, dir, owner); fs.delete(dir, true); true }
+    catch { case _: IllegalStateException => false }
+  }
+
+  /** Existing generation numbers of `v2Table`'s delta/root directories
+    * (`<v2>_delta_g<N>` / `<v2>_g<N>` under the warehouse).
+    */
+  private def generations(spark: org.apache.spark.sql.SparkSession,
+                          v2Table: String): Seq[Int] = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) Nil
+    else {
+      val prefix = v2Table.toLowerCase + "_delta_g"
+      fs.listStatus(wh).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+        .toSeq.sorted
+    }
+  }
+
+  /** Publishes the NEW VERSION of a maintained, partitioned standing
+    * index at DELTA cost — see the class doc above
+    * [[writePartitionedSnapshot]]. Crash/republish discipline: each
+    * publish writes into fresh GENERATION-numbered delta/root
+    * directories and registers the full partition map on a STAGING
+    * table; the catalog re-point (drop old `v2Table`, rename staging)
+    * is the LAST step, so a failure mid-publish leaves the previous
+    * version's files and ledger intact (rerun to recover — the staging
+    * name is reclaimed). Single-writer per index is assumed, as with
+    * any snapshot-format commit.
+    *
+    * @param affected  partition values (UNESCAPED strings) whose content
+    *                  changed; deltaRows must stay within them (asserted)
+    * @param sortCols  within-partition sort of the delta rows, matching
+    *                  [[writePartitionedSnapshot]]'s layout
+    */
   def publishPartitionSwap(spark: org.apache.spark.sql.SparkSession,
                            baseTable: String, v2Table: String,
                            partCol: String, affected: Set[String],
-                           deltaRows: DataFrame): Unit = {
+                           deltaRows: DataFrame,
+                           sortCols: Seq[String] = Nil): Unit = {
+    require(baseTable.toLowerCase != v2Table.toLowerCase,
+      "publish target must differ from the base table")
     val fsConf = spark.sparkContext.hadoopConfiguration
-    val baseLoc = tableLocation(spark, baseTable)
-    val deltaRoot = tableLocation(spark, v2Table + "_delta")
-    val v2Root = tableLocation(spark, v2Table)
+    val gen = generations(spark, v2Table).lastOption.getOrElse(0) + 1
+    val deltaRoot = tableLocation(spark, s"${v2Table}_delta_g$gen")
+    val v2Root = tableLocation(spark, s"${v2Table}_g$gen")
     val fs = deltaRoot.getFileSystem(fsConf)
-    if (fs.exists(deltaRoot)) fs.delete(deltaRoot, true)
     deltaRows.repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(deltaRoot.toString)
     // v2 = (base partitions − affected) in place ∪ delta partitions
-    val keptParts = partitionDirs(spark, baseLoc, partCol) -- affected
+    val keptParts = partitionLocations(spark, baseTable, partCol) -- affected
     val deltaParts = partitionDirs(spark, deltaRoot, partCol)
-    spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
-    if (fs.exists(v2Root)) fs.delete(v2Root, true)
+    val strayParts = deltaParts.keySet -- affected
+    require(strayParts.isEmpty,
+      s"deltaRows contain partition values outside `affected` — they would " +
+      s"shadow kept partitions: ${strayParts.toSeq.sorted.take(5).mkString(", ")}")
+    val stage = v2Table + "__stage"
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
     val dataCols = deltaRows.schema.fields.filterNot(_.name == partCol)
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     val partType = deltaRows.schema(partCol).dataType.sql
-    spark.sql(s"""CREATE TABLE `$v2Table` ($dataCols, `$partCol` $partType)
-      USING PARQUET PARTITIONED BY (`$partCol`) LOCATION '$v2Root'""")
+    spark.sql(s"""CREATE TABLE `$stage` ($dataCols, `$partCol` $partType)
+      USING PARQUET PARTITIONED BY (`$partCol`) LOCATION ${sqlLit(v2Root.toString)}""")
     (keptParts ++ deltaParts).toSeq.grouped(500).foreach { chunk =>
       val specs = chunk.map { case (v, p) =>
-        s"PARTITION (`$partCol`='$v') LOCATION '$p'"
+        s"PARTITION (`$partCol`=${sqlLit(v)}) LOCATION ${sqlLit(p.toString)}"
       }.mkString(" ")
-      spark.sql(s"ALTER TABLE `$v2Table` ADD $specs")
+      spark.sql(s"ALTER TABLE `$stage` ADD $specs")
     }
+    // THE COMMIT: re-point the name, then advance the ledger and GC the
+    // superseded generations this version owned (skipping any a chained
+    // version still references).
+    spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$v2Table`")
+    val owned = Set(qualified(spark, deltaRoot).toString,
+      qualified(spark, v2Root).toString)
+    writeRefs(spark, v2Table,
+      (keptParts ++ deltaParts).values.filterNot(p =>
+        owned.contains(qualified(spark, p).toString)))
+    generations(spark, v2Table).filter(_ < gen).foreach { g =>
+      deleteUnlessReferenced(spark,
+        tableLocation(spark, s"${v2Table}_delta_g$g"), Some(v2Table))
+      deleteUnlessReferenced(spark,
+        tableLocation(spark, s"${v2Table}_g$g"), Some(v2Table))
+    }
+  }
+
+  /** Drops a swap-published version COMPLETELY: catalog entry, ledger,
+    * and every generation directory it owns. Refused (throws) when a
+    * chained version still references one of its delta directories.
+    */
+  def dropIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                       v2Table: String): Unit = {
+    val gens = generations(spark, v2Table)
+    val dirs = gens.flatMap(g => Seq(tableLocation(spark, s"${v2Table}_delta_g$g"),
+      tableLocation(spark, s"${v2Table}_g$g"))) :+ tableLocation(spark, v2Table)
+    dirs.foreach(guardReferenced(spark, _, Some(v2Table)))
+    spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+    val fs = dirs.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(refsPath(spark, v2Table), false)
+    dirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
   }
 
   /** Overwrite across JVMs: the in-memory catalog forgets managed tables
     * at shutdown but their warehouse directories persist, and a fresh
     * session's CTAS then refuses the orphaned location
     * (LOCATION_ALREADY_EXISTS). Drop the catalog entry AND clear the
-    * leftover directory before rewriting.
+    * leftover directory before rewriting — REFUSING the delete when a
+    * live swap-published version still references files under it
+    * ([[guardReferenced]]): rebuilding a base out from under its
+    * versions would silently dangle their carried-over partitions.
     */
   private def dropWithLocation(df: DataFrame, tableName: String): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+    guardReferenced(spark, p)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

@@ -10,8 +10,12 @@ import graft.SparkSpec
   * PLACE — never read, rewritten, or copied. These specs prove the
   * mechanics end to end on the same (in-memory) catalog the mains run:
   * read-back equivalence to a full publish, byte-stability of the
-  * unaffected files, delta-only write volume, and the emptied-partition
-  * edge case.
+  * unaffected files, delta-only write volume, the emptied-partition edge
+  * case, CHAINED publishes (a version used as the next base — partition
+  * resolution must come from the catalog, not the filesystem), the
+  * ownership rule (rebuilding a base referenced by a live version is
+  * refused until the version is dropped), generation GC on republish,
+  * stray-partition rejection, and value escaping.
   */
 class PartitionSwapSpec extends SparkSpec {
 
@@ -20,6 +24,12 @@ class PartitionSwapSpec extends SparkSpec {
     (4L, "d", 20L), (5L, "e", 20L),
     (6L, "f", 30L), (7L, "g", 30L),
     (8L, "h", 40L))
+
+  /** Warehouse ledgers persist across JVMs by design; reclaim this
+    * test's version names so a rerun in the same warehouse starts clean.
+    */
+  private def reclaim(versions: String*): Unit =
+    versions.foreach(v => ParquetSink.dropIndexVersion(spark, v))
 
   private def mkBase(tbl: String): Unit = {
     val s = spark
@@ -50,6 +60,7 @@ class PartitionSwapSpec extends SparkSpec {
   test("swap publish ≡ full publish, with unaffected files byte-stable") {
     val s = spark
     import s.implicits._
+    reclaim("pswap_v2")
     mkBase("pswap_base")
     val before = fileStamps("pswap_base")
 
@@ -72,7 +83,7 @@ class PartitionSwapSpec extends SparkSpec {
     // files, not copies); delta dir holds ONLY the affected partition
     // inputFiles render as file:// URIs; compare on the path suffix
     val baseLoc = ParquetSink.tableLocation(spark, "pswap_base").toUri.getPath
-    val deltaLoc = ParquetSink.tableLocation(spark, "pswap_v2_delta")
+    val deltaLoc = ParquetSink.tableLocation(spark, "pswap_v2_delta_g1")
     val fs = deltaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deltaDirs = fs.listStatus(deltaLoc)
       .filter(_.isDirectory).map(_.getPath.getName).toSet
@@ -87,6 +98,7 @@ class PartitionSwapSpec extends SparkSpec {
   test("partition filters prune v2 to single directories") {
     val s = spark
     import s.implicits._
+    reclaim("pswap_v2b")
     mkBase("pswap_base2")
     ParquetSink.publishPartitionSwap(spark, "pswap_base2", "pswap_v2b",
       "bucket", Set("10"), Seq((1L, "z", 10L)).toDF("id", "payload", "bucket"))
@@ -96,9 +108,10 @@ class PartitionSwapSpec extends SparkSpec {
     assert(pruned.select("id").collect().map(_.getLong(0)).toSet === Set(6L, 7L))
   }
 
-  test("republish over an existing v2 is clean (idempotent re-run)") {
+  test("republish over an existing v2 is clean and GCs superseded generations") {
     val s = spark
     import s.implicits._
+    reclaim("pswap_v2c")
     mkBase("pswap_base3")
     val delta = Seq((9L, "i", 20L)).toDF("id", "payload", "bucket")
     ParquetSink.publishPartitionSwap(spark, "pswap_base3", "pswap_v2c",
@@ -107,5 +120,102 @@ class PartitionSwapSpec extends SparkSpec {
     ParquetSink.publishPartitionSwap(spark, "pswap_base3", "pswap_v2c",
       "bucket", Set("20"), delta)
     assert(asSet("pswap_v2c") === first)
+    // generation 1's dirs are superseded and unreferenced — GC'd;
+    // generation 2 is live
+    val fs = ParquetSink.tableLocation(spark, "pswap_v2c")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(ParquetSink.tableLocation(spark, "pswap_v2c_delta_g1")))
+    assert(fs.exists(ParquetSink.tableLocation(spark, "pswap_v2c_delta_g2")))
+  }
+
+  test("chained publish: a swap-published version works as the next base") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v3d", "pswap_v2d")
+    mkBase("pswap_base4")
+    // v2: bucket 20 gains id 9
+    ParquetSink.publishPartitionSwap(spark, "pswap_base4", "pswap_v2d",
+      "bucket", Set("20"),
+      Seq((4L, "d", 20L), (5L, "e", 20L), (9L, "i", 20L))
+        .toDF("id", "payload", "bucket"))
+    // v3 FROM v2: bucket 30 drops id 6 — v3 must carry bucket 10 (base
+    // files), bucket 20 (v2's delta files), and bucket 40 (base files)
+    ParquetSink.publishPartitionSwap(spark, "pswap_v2d", "pswap_v3d",
+      "bucket", Set("30"),
+      Seq((7L, "g", 30L)).toDF("id", "payload", "bucket"))
+    val want = baseRows.toSet + ((9L, "i", 20L)) - ((6L, "f", 30L))
+    assert(asSet("pswap_v3d") === want)
+    // the carried bucket-20 partition resolves into v2's DELTA dir — the
+    // catalog resolution a filesystem listing of v2's root cannot give
+    val v3Files = spark.table("pswap_v3d").inputFiles.toSeq
+    assert(v3Files.exists(_.contains("pswap_v2d_delta_g1")),
+      s"v3 should reference v2's delta files in place: $v3Files")
+    val baseLoc = ParquetSink.tableLocation(spark, "pswap_base4").toUri.getPath
+    assert(v3Files.exists(f => new java.net.URI(f).getPath.startsWith(baseLoc)),
+      s"v3 should still reference the original base's files: $v3Files")
+  }
+
+  test("rebuilding a base under a live version is refused until the version drops") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2e")
+    mkBase("pswap_base5")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base5", "pswap_v2e",
+      "bucket", Set("20"), Seq((9L, "i", 20L)).toDF("id", "payload", "bucket"))
+    // overwriting the base would dangle v2e's carried partitions
+    val ex = intercept[IllegalStateException] { mkBase("pswap_base5") }
+    assert(ex.getMessage.contains("pswap_v2e"))
+    // v2 still reads correctly after the refused rebuild
+    assert(asSet("pswap_v2e") ===
+      baseRows.toSet -- Set((4L, "d", 20L), (5L, "e", 20L)) + ((9L, "i", 20L)))
+    // dropping the version releases the base for rebuild
+    ParquetSink.dropIndexVersion(spark, "pswap_v2e")
+    mkBase("pswap_base5")
+    assert(asSet("pswap_base5") === baseRows.toSet)
+  }
+
+  test("delta rows outside `affected` are rejected, not silently shadowed") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2f")
+    mkBase("pswap_base6")
+    val ex = intercept[IllegalArgumentException] {
+      ParquetSink.publishPartitionSwap(spark, "pswap_base6", "pswap_v2f",
+        "bucket", Set("20"),
+        Seq((9L, "i", 20L), (99L, "x", 30L)).toDF("id", "payload", "bucket"))
+    }
+    assert(ex.getMessage.contains("30"))
+    reclaim("pswap_v2f")
+  }
+
+  test("string partition values with quotes escape cleanly") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2g")
+    val base = Seq((1L, "it's"), (2L, "plain"), (3L, "it's"))
+      .toDF("id", "tag")
+    ParquetSink.writePartitionedSnapshot(base, "pswap_base7", "tag", Seq("id"))
+    ParquetSink.publishPartitionSwap(spark, "pswap_base7", "pswap_v2g",
+      "tag", Set("it's"),
+      Seq((1L, "it's"), (4L, "it's")).toDF("id", "tag"))
+    val got = spark.table("pswap_v2g").select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "it's"), (4L, "it's"), (2L, "plain")))
+  }
+
+  test("sortCols lays affected partitions out in the snapshot's sort order") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2h")
+    mkBase("pswap_base8")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base8", "pswap_v2h",
+      "bucket", Set("20"),
+      Seq((9L, "i", 20L), (4L, "d", 20L), (5L, "e", 20L))
+        .toDF("id", "payload", "bucket"),
+      sortCols = Seq("id"))
+    // single file per partition: parquet preserves written row order
+    val ids = spark.table("pswap_v2h").filter(col("bucket") === 20L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted, s"affected partition should be id-sorted: $ids")
   }
 }
