@@ -5381,28 +5381,41 @@ object Queries {
 
     Q("ann_ivf_index_upsert",
       // Incremental ANN-index maintenance (CDC×ANN): a snapshot diff of
-      // the embedding corpus (inserts: id%23=3 absent before; updates:
-      // id%17=2 reversed before; deletes: id%19=7 absent after) applies
+      // the embedding corpus (ids ≡ 3/2/7 mod ~16·√n: inserts absent
+      // before / updates reversed before / deletes absent after) applies
       // to the MATERIALIZED IVF index at FROZEN centroids — new/changed
-      // vectors re-assign, removed ids anti-join out, the corpus-sized
-      // base streams untouched. Oracle = full rebuild of the new corpus
-      // at the same frozen centroid set, proving the upsert
-      // row-identical to rebuild (probe-answer equality is spec-gated).
+      // vectors re-assign, and the new version publishes at DELTA cost:
+      // only affected buckets' partitions are written, unaffected
+      // partitions' files are referenced in place (the partition-location
+      // swap — parquet's manifest-swap analogue), so neither compute NOR
+      // publish touches the corpus-sized base. Oracle = full rebuild of
+      // the new corpus at the same frozen centroid set, proving the
+      // swap-published table row-identical to rebuild (probe-answer
+      // equality and unaffected-file byte-stability are spec-gated).
       (s, d) => {
         val (prev, curr, cents) = upsertEmbCorpora(s, d)
         val tbl = ensureIvfUpsertBase(s, d, prev, cents)
-        val upserted = Ann.ivfIndexUpsert(s.table(tbl), prev, curr, cents,
+        // DELTA-COST PUBLISH: the upsert's carry-over boundary feeds the
+        // partition-location swap — only affected buckets are written,
+        // every unaffected partition's files are referenced in place
+        // (spec-proven byte-stable). The affected-id collect is bounded
+        // by ≤ 2·|delta| centroid ids — the same bound its broadcast
+        // relies on — and the publish needs the values driver-side for
+        // its partition DDL anyway.
+        val (affected, affectedRows) = Ann.ivfIndexUpsertParts(
+          s.table(tbl), prev, curr, cents,
           "vec_id", "embedding", "vec_id", "embedding")
+        val affSet = affected.collect().map(_.getLong(0).toString).toSet
         val tbl2 = tbl + "_v2"
-        graft.sources.ParquetSink.writeBucketedSnapshot(upserted, tbl2,
-          Seq("centroid_id"), buckets = 16)
+        graft.sources.ParquetSink.publishPartitionSwap(s, tbl, tbl2,
+          "centroid_id", affSet, affectedRows, sortCols = Seq("vec_id"))
         s.table(tbl2).select(col("vec_id"), col("centroid_id"))
       },
       Some(s"""WITH prev AS (SELECT vec_id,
-        |    CASE WHEN vec_id % 17 = 2 THEN list_reverse(embedding)
+        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
         |         ELSE embedding END AS embedding
-        |  FROM embeddings WHERE vec_id % 23 <> 3),
-        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 7),
+        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 3),
+        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 7),
         |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
         |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
         |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
@@ -5419,8 +5432,8 @@ object Queries {
     Q("dedup_cluster_index_upsert",
       // Incremental dedup-index maintenance — the text twin of
       // ann_ivf_index_upsert: a document snapshot diff (inserts:
-      // doc_id%23=3 absent before; updates: doc_id%17=2 word-reversed
-      // before; deletes: doc_id%19=7 absent after) applies to the
+      // ids ≡ 3 mod ~16·√n absent before; updates: ≡ 2 word-reversed
+      // before; deletes: ≡ 7 absent after) applies to the
       // MATERIALIZED banded-key + pair + membership tables. Changed docs
       // band against the maintained index (the dedup_incremental join
       // shape), stale pairs anti-join out, and only touched components
@@ -5430,11 +5443,15 @@ object Queries {
       // parquet like every index entry.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val prev = docs.filter(col("doc_id") % 23 =!= 3)
-          .withColumn("text", when(col("doc_id") % 17 === 2,
+        // ingest-batch-sized diff classes (see upsertEmbCorpora): ids
+        // ≡ 3/2/7 mod ~16·√n — a delta that stays below the partition
+        // count at every scale, so the swap publish stays delta-sized
+        val sMod = upsertDiffModulus(docs.count())
+        val prev = docs.filter(col("doc_id") % sMod =!= 3)
+          .withColumn("text", when(col("doc_id") % sMod === 2,
             concat_ws(" ", reverse(split(col("text"), " "))))
             .otherwise(col("text")))
-        val curr = docs.filter(col("doc_id") % 19 =!= 7)
+        val curr = docs.filter(col("doc_id") % sMod =!= 7)
         val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
         val pairsTbl = s"dedup_upsert_pairs_$sfx"
         val lshTbl = s"dedup_upsert_lsh_$sfx"
@@ -5477,9 +5494,9 @@ object Queries {
           clusTbl + "_v2", Seq("doc_id"), buckets = 16)
         s.table(clusTbl + "_v2")
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |      WHERE doc_id % 19 <> 7),
+        |      WHERE doc_id % ${upsertModSql("documents")} <> 7),
         |sh AS (SELECT DISTINCT doc_id,
         |  unnest(list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
@@ -5530,13 +5547,34 @@ object Queries {
   private def upsertEmbCorpora(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
-    val prev = emb.filter(col("vec_id") % 23 =!= 3)
+    // INGEST-BATCH-SIZED diff: the touched classes are three residues of
+    // a ~16·√n modulus, so |delta| ≈ 3·√n/16 — a maintenance batch that
+    // stays SMALLER than the ~√n bucket count at every scale, the regime
+    // incremental maintenance exists for (most partitions carry over and
+    // the delta-cost publish stays delta-sized). A constant-fraction
+    // diff (the old %17/%19/%23 classes) scatters into EVERY bucket at
+    // every scale, turning any delta publish into a full rewrite. The
+    // count is one footer-metadata action on the raw table.
+    val sMod = upsertDiffModulus(emb.count())
+    val prev = emb.filter(col("vec_id") % sMod =!= 3)
       .withColumn("embedding",
-        when(col("vec_id") % 17 === 2, reverse(col("embedding")))
+        when(col("vec_id") % sMod === 2, reverse(col("embedding")))
           .otherwise(col("embedding")))
-    val curr = emb.filter(col("vec_id") % 19 =!= 7)
+    val curr = emb.filter(col("vec_id") % sMod =!= 7)
     (prev, curr, sqrtCentroids(prev))
   }
+
+  /** The upsert conventions' diff modulus: ids ≡ 3 (inserts), 2
+    * (updates), 7 (deletes) mod `16·⌊√n⌋` are the touched classes.
+    * Mirrored verbatim by the oracles' `GREATEST(1, 16 * CAST(FLOOR(
+    * SQRT(COUNT(*))) AS BIGINT))` subquery.
+    */
+  private def upsertDiffModulus(n: Long): Long =
+    math.max(1L, 16L * math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** The diff-modulus subquery shared by every upsert oracle. */
+  private def upsertModSql(table: String): String =
+    s"(SELECT GREATEST(1, 16 * CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM $table)"
 
   /** The one fingerprint-stamped standing-table build: (re)builds the
     * bucketed table when the stamped fingerprint no longer matches the
@@ -5559,6 +5597,35 @@ object Queries {
     }
   }
 
+  /** [[ensureBucketedIndex]]'s twin for standing tables maintained by
+    * the DELTA-COST PUBLISH: laid out hive-partitioned on the carry-over
+    * key ([[graft.sources.ParquetSink.writePartitionedSnapshot]]) so an
+    * upsert publishes a new version by rewriting only affected
+    * partitions and referencing the rest in place. Rebuilding the base
+    * first RETIRES its published versions (`dependents`) — the ledger
+    * refuses to overwrite files a live version still references, and a
+    * version of a vanished corpus is stale by definition.
+    */
+  private def ensurePartitionedIndex(s: SparkSession, tbl: String,
+                                     fp: => Long, partCol: String,
+                                     sortCols: Seq[String],
+                                     dependents: Seq[String])
+                                    (build: => DataFrame): Unit = {
+    // the salt versions the LAYOUT+DIFF-SHAPE era: a stamp written by
+    // the bucketed-layout (or old diff) build of the same corpus must
+    // read as stale, not fresh
+    def salted = fp ^ 0x50415254L
+    val fresh = s.catalog.tableExists(tbl) &&
+      stampedFingerprint(s, tbl + "_fprint").contains(salted)
+    if (!fresh) {
+      val stamp = salted
+      dependents.foreach(graft.sources.ParquetSink.dropIndexVersion(s, _))
+      graft.sources.ParquetSink.writePartitionedSnapshot(build, tbl,
+        partCol, sortCols)
+      stampFingerprint(s, tbl + "_fprint", stamp)
+    }
+  }
+
   /** Standing IVF index (vec_id, v, centroid_id) of the upsert
     * conventions' PREV corpus — in production yesterday's index EXISTS,
     * so the benched upsert bodies price the delta apply, not the base
@@ -5567,8 +5634,8 @@ object Queries {
   private def ensureIvfUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    ensureBucketedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
-        Seq("centroid_id")) {
+    ensurePartitionedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
+        "centroid_id", Seq("vec_id"), Seq(tbl + "_v2")) {
       prev.select(col("vec_id"), col("embedding").as("v"))
         .join(Ann.ivfAssign(prev, cents, "vec_id", "embedding",
           "vec_id", "embedding").select("vec_id", "centroid_id"), "vec_id")
@@ -5584,8 +5651,8 @@ object Queries {
   private def ensureKnnUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "knn_edge_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    ensureBucketedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
-        Seq("centroid_id")) {
+    ensurePartitionedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
+        "centroid_id", Seq("query_id", "rank"), Seq(tbl + "_v2")) {
       Ann.knnGraphWithCentroid(prev,
         Ann.ivfAssign(prev, cents, "vec_id", "embedding", "vec_id", "embedding"),
         "vec_id", "embedding", k = 3)
@@ -5687,10 +5754,11 @@ object Queries {
       // to the materialized centroid-carrying edge relation at FROZEN
       // centroids — affected buckets (every bucket a changed id maps
       // into under its old OR new vector) recompute bucket-locally over
-      // the MAINTAINED assignment index, unaffected buckets stream out
-      // of the centroid-bucketed base without a shuffle. Oracle = full
-      // edge rebuild of the new corpus at the same frozen centroid set,
-      // proving the upsert row-identical to rebuild; carry-over-not-
+      // the MAINTAINED assignment index, and the publish is the DELTA-
+      // COST partition swap: unaffected buckets' files are referenced in
+      // place, never read or rewritten. Oracle = full edge rebuild of
+      // the new corpus at the same frozen centroid set, proving the
+      // swap-published table row-identical to rebuild; carry-over-not-
       // recompute is spec-gated by a poisoned-bucket test.
       (s, d) => {
         val (prev, curr, cents) = upsertEmbCorpora(s, d)
@@ -5698,21 +5766,28 @@ object Queries {
         val edgeBase = ensureKnnUpsertBase(s, d, prev, cents)
         val currIdx = Ann.ivfIndexUpsert(s.table(ivfBase), prev, curr, cents,
           "vec_id", "embedding", "vec_id", "embedding")
-        val upserted = Ann.knnEdgeIndexUpsert(s.table(edgeBase), currIdx,
-          prev, curr, cents, "vec_id", "embedding", "vec_id", "embedding",
-          k = 3)
+        // DELTA-COST PUBLISH (the ann_ivf_index_upsert discipline): only
+        // affected buckets' edges are recomputed AND written; unaffected
+        // partitions carry over as in-place file references. Bounded
+        // collect: ≤ 2·|delta| centroid ids, needed driver-side for the
+        // partition DDL.
+        val (affected, recomputed) = Ann.knnEdgeIndexUpsertParts(
+          s.table(edgeBase), currIdx, prev, curr, cents,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        val affSet = affected.collect().map(_.getLong(0).toString).toSet
         val tbl2 = edgeBase + "_v2"
-        graft.sources.ParquetSink.writeBucketedSnapshot(upserted, tbl2,
-          Seq("centroid_id"), buckets = 16)
+        graft.sources.ParquetSink.publishPartitionSwap(s, edgeBase, tbl2,
+          "centroid_id", affSet, recomputed,
+          sortCols = Seq("query_id", "rank"))
         s.table(tbl2)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             col("cosine"))
       },
       Some(s"""WITH prev AS (SELECT vec_id,
-        |    CASE WHEN vec_id % 17 = 2 THEN list_reverse(embedding)
+        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
         |         ELSE embedding END AS embedding
-        |  FROM embeddings WHERE vec_id % 23 <> 3),
-        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 7),
+        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 3),
+        |curr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 7),
         |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
         |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
         |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),

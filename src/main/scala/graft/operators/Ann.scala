@@ -709,24 +709,28 @@ object Ann {
                               prevEmb: DataFrame, currEmb: DataFrame,
                               centroids: DataFrame, idCol: String,
                               vecCol: String, centroidIdCol: String,
-                              centroidVecCol: String,
-                              k: Int): (DataFrame, DataFrame) = {
-    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
-    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-    val diff = p.join(c, Seq("vec_id"), "full_outer")
-    val incoming = diff
-      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
+                              centroidVecCol: String, k: Int,
+                              eagerCheckpoint: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    // ONE pass over the corpus-sized diff ([[ivfIndexUpsertParts]]'s
+    // discipline); the probes below are delta-sized off the cut
+    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol),
+      eagerCheckpoint)
+    val incoming = touched.filter(col("nv").isNotNull)
       .select(col("vec_id"), col("nv").as("v"))
-    val leaving = diff
-      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
+    val leaving = touched.filter(col("pv").isNotNull)
       .select(col("vec_id"), col("pv").as("v"))
     // every bucket a changed id maps into under its OLD or NEW vector —
-    // both probes delta-sized against the broadcast frozen set
-    val affected = ivfAssign(leaving, centroids, "vec_id", "v",
-        centroidIdCol, centroidVecCol).select("centroid_id")
-      .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
-        centroidIdCol, centroidVecCol).select("centroid_id"))
-      .distinct()
+    // both probes delta-sized against the broadcast frozen set; cut so
+    // the swap publish's driver-side partition list and the carry-over
+    // anti-join both read the tiny cached set
+    val affected = localCut(
+      ivfAssign(leaving, centroids, "vec_id", "v",
+          centroidIdCol, centroidVecCol).select("centroid_id")
+        .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
+          centroidIdCol, centroidVecCol).select("centroid_id"))
+        .distinct(),
+      eagerCheckpoint)
     val bucketRows = currIdx
       .join(broadcast(affected), Seq("centroid_id"), "left_semi")
     val scored = bucketRows
@@ -878,8 +882,8 @@ object Ann {
     * Scale shape: the diff is one pk full-outer join (shuffle-free when
     * both snapshots are bucketed by id), the touched set is
     * delta-sized — assignment joins it against broadcast centroids, and
-    * the anti-join's removed-id set broadcasts; the corpus-sized base
-    * streams through untouched. Drift of the data under the frozen
+    * the carry-over anti-join's affected-bucket set broadcasts; the
+    * corpus-sized base streams through untouched. Drift of the data under the frozen
     * centroids is the retrain tripwire: feed [[centroidDrift]] with
     * slice 0 = base assignment, slice 1 = upserted assignment and
     * retrain when bucket-mean cosines sag (spec demonstrates the
@@ -888,23 +892,18 @@ object Ann {
   def ivfIndexUpsert(base: DataFrame, prevEmb: DataFrame, currEmb: DataFrame,
                      centroids: DataFrame, idCol: String, vecCol: String,
                      centroidIdCol: String, centroidVecCol: String): DataFrame = {
-    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
-    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-    val diff = p.join(c, Seq("vec_id"), "full_outer")
-    // inserts + changed vectors enter with a fresh frozen-centroid
-    // assignment; deletes + changed ids leave the base
-    val incoming = diff
-      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
-      .select(col("vec_id"), col("nv").as("v"))
-    val removed = diff
-      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
-      .select("vec_id")
-    val assign = ivfAssign(incoming, centroids, "vec_id", "v",
-      centroidIdCol, centroidVecCol)
-    base.join(removed, Seq("vec_id"), "left_anti")
-      .unionByName(incoming
-        .join(assign.select("vec_id", "centroid_id"), "vec_id")
-        .select(col("vec_id"), col("v"), col("centroid_id")))
+    // Composed from the parts split (the knnEdgeIndexUpsert pattern), so
+    // the entry's rebuild oracle gates BOTH forms: carry-over is exact
+    // because a removed row's stored assignment equals the deterministic
+    // re-assignment of its old vector at the frozen centroids — i.e.
+    // every removed/changed row lies inside an affected bucket, making
+    // (base − affected buckets) ∪ affectedRows ≡ (base − removed) ∪
+    // freshly-assigned incoming.
+    val (affected, affectedRows) = ivfIndexUpsertParts(base, prevEmb,
+      currEmb, centroids, idCol, vecCol, centroidIdCol, centroidVecCol)
+    base.join(broadcast(affected), Seq("centroid_id"), "left_anti")
+      .select("vec_id", "v", "centroid_id")
+      .unionByName(affectedRows)
   }
 
   /** [[ivfIndexUpsert]] split at its carry-over boundary for the
@@ -925,30 +924,60 @@ object Ann {
     * to affected partitions when `base` is the partitioned standing
     * table (isin on the partition key pushes to partition pruning).
     */
+  /** The (inserts ∪ updates ∪ deletes) slice of an embedding snapshot
+    * diff — one corpus-sized full-outer pk join filtered to the rows
+    * whose vector changed, ready for the [[localCut]] that keeps every
+    * downstream consumer delta-sized.
+    */
+  private def touchedDiff(prevEmb: DataFrame, currEmb: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
+    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+    p.join(c, Seq("vec_id"), "full_outer")
+      .filter(!(col("pv") <=> col("nv")))
+      .select("vec_id", "pv", "nv")
+  }
+
+  /** Lineage cut on a DELTA-SIZED relation (the upsertLshPairs
+    * discipline): with `eager = true` the corpus-sized upstream runs
+    * ONCE at call time and every downstream consumer (the affected-set
+    * collect a swap publish needs, the delta write, both sides of a
+    * bucket self-join) reads the small cached blocks. localCheckpoint
+    * blocks are executor-local and non-replicated — acceptable for an
+    * idempotent maintenance batch that re-runs on loss; callers needing
+    * fault-tolerant lineage pass eager = false and persist themselves.
+    */
+  private def localCut(df: DataFrame, eager: Boolean): DataFrame =
+    if (eager) df.localCheckpoint(true) else df
+
   def ivfIndexUpsertParts(base: DataFrame, prevEmb: DataFrame,
                           currEmb: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
-                          centroidIdCol: String, centroidVecCol: String)
+                          centroidIdCol: String, centroidVecCol: String,
+                          eagerCheckpoint: Boolean = true)
       : (DataFrame, DataFrame) = {
-    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
-    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-    val diff = p.join(c, Seq("vec_id"), "full_outer")
-    val incoming = diff
-      .filter(col("nv").isNotNull && (col("pv").isNull || !(col("pv") <=> col("nv"))))
+    // ONE pass over the corpus-sized diff; everything below is
+    // delta-sized off the cut
+    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol),
+      eagerCheckpoint)
+    val incoming = touched.filter(col("nv").isNotNull)
       .select(col("vec_id"), col("nv").as("v"))
-    val leaving = diff
-      .filter(col("pv").isNotNull && (col("nv").isNull || !(col("pv") <=> col("nv"))))
+    val leaving = touched.filter(col("pv").isNotNull)
       .select(col("vec_id"), col("pv").as("v"))
     val removed = leaving.select("vec_id")
-    val affected = ivfAssign(leaving, centroids, "vec_id", "v",
-        centroidIdCol, centroidVecCol).select("centroid_id")
-      .unionByName(ivfAssign(incoming, centroids, "vec_id", "v",
-        centroidIdCol, centroidVecCol).select("centroid_id"))
-      .distinct()
+    // one incoming-assignment plan feeds both consumers (the affected
+    // set and the fresh rows), so the physical planner's exchange reuse
+    // sees identical subtrees instead of two re-derivations
+    val incomingAssign = ivfAssign(incoming, centroids, "vec_id", "v",
+      centroidIdCol, centroidVecCol)
+    val affected = localCut(
+      ivfAssign(leaving, centroids, "vec_id", "v",
+          centroidIdCol, centroidVecCol).select("centroid_id")
+        .unionByName(incomingAssign.select("centroid_id"))
+        .distinct(),
+      eagerCheckpoint)
     val incomingAssigned = incoming
-      .join(ivfAssign(incoming, centroids, "vec_id", "v",
-          centroidIdCol, centroidVecCol).select("vec_id", "centroid_id"),
-        "vec_id")
+      .join(incomingAssign.select("vec_id", "centroid_id"), "vec_id")
       .select(col("vec_id"), col("v"), col("centroid_id"))
     val affectedRows = base
       .join(broadcast(affected), Seq("centroid_id"), "left_semi")

@@ -1,0 +1,80 @@
+package graft
+
+import java.net.URI
+
+import graft.sources.ParquetSink
+
+/** The PartitionSwapSpec byte-stability proof, extended to the REAL
+  * maintained-index entries: running `ann_ivf_index_upsert` and
+  * `knn_graph_index_upsert` end-to-end must leave every base-table file
+  * untouched (same path, length, mtime), publish only the affected
+  * partitions into the version's delta directory, and resolve the
+  * unaffected partitions of the published table INTO the base's
+  * directories — i.e. the entries really publish at delta cost, not by
+  * rewriting the corpus-sized standing table.
+  */
+class IndexSwapPublishSpec extends SparkSpec {
+
+  private def sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def fileStamps(tbl: String): Map[String, (Long, Long)] = {
+    val root = ParquetSink.tableLocation(spark, tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (!st.getPath.getName.startsWith("_"))
+          out += st.getPath.toString -> (st.getLen, st.getModificationTime)
+      }
+    walk(root)
+    out.toMap
+  }
+
+  private def checkEntry(entry: String, baseTbl: String): Unit = {
+    val v2Tbl = baseTbl + "_v2"
+    // cold run: ensure-builds the standing base, publishes the version
+    val rows = SparkEntry.queries(entry)(spark, sfDir).count()
+    assert(rows > 0)
+    val baseStamps = fileStamps(baseTbl)
+    assert(baseStamps.nonEmpty)
+
+    // warm rerun: republish over the existing version
+    val rows2 = SparkEntry.queries(entry)(spark, sfDir).count()
+    assert(rows2 === rows)
+
+    // the corpus-sized base was never read-modified or rewritten —
+    // every file byte-stable across BOTH publishes
+    assert(fileStamps(baseTbl) === baseStamps,
+      s"$entry rewrote base files of $baseTbl")
+
+    // the published table reads unaffected partitions IN PLACE from the
+    // base's directories and affected partitions from its delta dir
+    val baseLoc = ParquetSink.tableLocation(spark, baseTbl).toUri.getPath
+    val v2Files = spark.table(v2Tbl).inputFiles.toSeq
+    assert(v2Files.exists(f => new URI(f).getPath.startsWith(baseLoc)),
+      s"$entry: no in-place base references in $v2Files")
+    assert(v2Files.exists(_.contains(v2Tbl + "_delta")),
+      s"$entry: no delta-partition files in $v2Files")
+
+    // delta write volume is partial: some partition VALUES are served
+    // from the delta (affected), the rest from the base in place (kept)
+    val byPart = v2Files.groupBy(f =>
+      new URI(f).getPath.split("/").takeRight(2).head)
+    val deltaVals = byPart.collect {
+      case (p, fs) if fs.exists(_.contains(v2Tbl + "_delta")) => p
+    }.toSet
+    val keptVals = byPart.keySet -- deltaVals
+    assert(deltaVals.nonEmpty && keptVals.nonEmpty,
+      s"$entry: affected=${deltaVals.size} kept=${keptVals.size} — " +
+      "expected a PARTIAL delta publish")
+  }
+
+  test("ann_ivf_index_upsert publishes at delta cost with a byte-stable base") {
+    checkEntry("ann_ivf_index_upsert", s"ivf_upsert_base_$sfx")
+  }
+
+  test("knn_graph_index_upsert publishes at delta cost with a byte-stable base") {
+    checkEntry("knn_graph_index_upsert", s"knn_edge_upsert_base_$sfx")
+  }
+}
