@@ -1114,27 +1114,54 @@ object Queries {
     * measurement of the delta-sized operator (r7 benched 10.97 s of
     * which ~2/3 was this setup).
     */
+  /** Partition count of the dedup standing tables' carry-over layout —
+    * sized so each partition is one comfortable parquet file at the test
+    * scales; at 100 TB this scales up with the corpus (partition ≈ one
+    * file-size target), keeping swap-publish cost = |affected| × one
+    * partition.
+    */
+  private val dedupUpsertParts = 16
+
   private def ensureUpsertBaseIndex(s: SparkSession, d: String,
       prev: DataFrame, pairsTbl: String, lshTbl: String,
       clusTbl: String): Unit = {
     val fprintName = "dedup_upsert_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // layout+diff-shape salt, as in ensurePartitionedIndex
+    def salted = corpusFingerprint(s, d) ^ 0x50415254L
     val fresh = s.catalog.tableExists(pairsTbl) &&
       s.catalog.tableExists(lshTbl) && s.catalog.tableExists(clusTbl) &&
-      stampedFingerprint(s, fprintName).contains(corpusFingerprint(s, d))
+      stampedFingerprint(s, fprintName).contains(salted)
     if (!fresh) {
-      val fp = corpusFingerprint(s, d)
-      graft.sources.ParquetSink.writeBucketedSnapshot(
+      val fp = salted
+      val p = lit(dedupUpsertParts)
+      // rebuilding the bases retires their published versions first
+      // (the ownership ledger refuses to overwrite referenced files)
+      Seq(pairsTbl, lshTbl, clusTbl).foreach(t =>
+        graft.sources.ParquetSink.dropIndexVersion(s, t + "_v2"))
+      // all three standing tables hive-partition on a pmod of the doc id
+      // that BOUNDS each row's partition by the ids it belongs to — the
+      // carry-over key the delta-cost publish rewrites by. The banded
+      // keys key on doc_id (a changed doc's keys all live in its own
+      // partitions; the delta candidate join broadcasts the delta side,
+      // so the (band,bh)-bucketed co-location the old layout gave is
+      // not needed).
+      graft.sources.ParquetSink.writePartitionedSnapshot(
         TextDedup.minhashLshPairs(prev, "doc_id", "text",
-          n = 3, numPerm = 128, bands = 32, threshold = 0.8),
-        pairsTbl, Seq("doc_a"), buckets = 16)
-      graft.sources.ParquetSink.writeLshIndex(
+            n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+          .withColumn("pa_part", pmod(col("doc_a"), p)),
+        pairsTbl, "pa_part", Seq("doc_a", "doc_b"))
+      graft.sources.ParquetSink.writePartitionedSnapshot(
         TextDedup.bandedKeys(
-          TextDedup.shingleHashTable(prev, "doc_id", "text", 3),
-          numPerm = 128, bands = 32), lshTbl, buckets = 16)
-      graft.sources.ParquetSink.writeBucketedSnapshot(
-        Clustering.dedupClusters(s.table(pairsTbl), "doc_a", "doc_b")
-          .select("doc_id", "cluster_id"),
-        clusTbl, Seq("doc_id"), buckets = 16)
+            TextDedup.shingleHashTable(prev, "doc_id", "text", 3),
+            numPerm = 128, bands = 32)
+          .withColumn("dk_part", pmod(col("doc_id"), p)),
+        lshTbl, "dk_part", Seq("doc_id", "band"))
+      graft.sources.ParquetSink.writePartitionedSnapshot(
+        Clustering.dedupClusters(
+            s.table(pairsTbl).drop("pa_part"), "doc_a", "doc_b")
+          .select("doc_id", "cluster_id")
+          .withColumn("dc_part", pmod(col("doc_id"), p)),
+        clusTbl, "dc_part", Seq("doc_id"))
       stampFingerprint(s, fprintName, fp)
     }
   }
@@ -5437,10 +5464,12 @@ object Queries {
       // MATERIALIZED banded-key + pair + membership tables. Changed docs
       // band against the maintained index (the dedup_incremental join
       // shape), stale pairs anti-join out, and only touched components
-      // re-close (Clustering.upsertClusters). Oracle = full rebuild of
-      // the new corpus's transitive closure, proving upsert ≡ rebuild
-      // row-for-row; the upserted tables round-trip through bucketed
-      // parquet like every index entry.
+      // re-close (Clustering.upsertClusters). All three maintained
+      // tables publish at DELTA cost via the partition-location swap:
+      // only partitions holding stale/added/re-closed rows are written,
+      // every other partition's files are referenced in place. Oracle =
+      // full rebuild of the new corpus's transitive closure, proving the
+      // swap-published membership ≡ rebuild row-for-row.
       (s, d) => {
         val docs = Tables.documents(s, d)
         // ingest-batch-sized diff classes (see upsertEmbCorpora): ids
@@ -5460,39 +5489,81 @@ object Queries {
         // ensure-built ONCE per corpus — the benched body prices the
         // delta apply, not yesterday's index build
         ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl)
-        // snapshot diff on (doc_id, text) — one full-outer pk join.
-        // Eager localCheckpoints: the id lists are delta-sized but their
-        // upstream plan is the corpus-sized diff join, which would
-        // otherwise re-execute in every downstream subplan that touches
-        // changed/removed (the stale anti-joins, the delta banding, the
-        // reclosure seeds).
+        // snapshot diff on (doc_id, text) — ONE full-outer pk join, ONE
+        // pass: the touched slice is delta-sized, so the eager cut keeps
+        // every downstream consumer (stale anti-joins, delta banding,
+        // re-closure seeds, all three publishes) off the corpus plan.
         val diff = prev.select(col("doc_id"), col("text").as("pt"))
           .join(curr.select(col("doc_id"), col("text").as("ct")),
             Seq("doc_id"), "full_outer")
-        val changed = diff.filter(col("ct").isNotNull &&
-          (col("pt").isNull || !(col("pt") <=> col("ct")))).select("doc_id")
-          .localCheckpoint(true)
-        val removed = diff.filter(col("pt").isNotNull && col("ct").isNull)
-          .select("doc_id").localCheckpoint(true)
-        val (pairsUp, bandedUp, _) = TextDedup.upsertLshPairs(
-          s.table(pairsTbl), s.table(lshTbl), curr, changed, removed,
+        val touched = diff.filter(!(col("pt") <=> col("ct")))
+          .select("doc_id", "pt", "ct").localCheckpoint(true)
+        val changed = touched.filter(col("ct").isNotNull).select("doc_id")
+        val removed = touched.filter(col("pt").isNotNull && col("ct").isNull)
+          .select("doc_id")
+        val (stale, bandedChanged, added) = TextDedup.upsertLshPairsParts(
+          s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
+          curr, changed, removed,
           "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
-        graft.sources.ParquetSink.writeBucketedSnapshot(pairsUp,
-          pairsTbl + "_v2", Seq("doc_a"), buckets = 16)
-        graft.sources.ParquetSink.writeLshIndex(bandedUp,
-          lshTbl + "_v2", buckets = 16)
-        // added-pair endpoints read from the two MATERIALIZED pair
-        // snapshots (cheap bucketed anti-join) — no candidate recompute
-        val added = s.table(pairsTbl + "_v2")
-          .join(s.table(pairsTbl), Seq("doc_a", "doc_b"), "left_anti")
+        val p = lit(dedupUpsertParts)
+        val sink = graft.sources.ParquetSink
+
+        // PAIRS publish: a base pair leaves iff either endpoint is stale,
+        // so the affected partitions are those of stale-touching base
+        // pairs (two column-pruned scans of the 3-col standing table
+        // with a broadcast semi-join — read-only, nothing rewritten)
+        // plus the added pairs' own partitions. Partition values collect
+        // bounded by the partition count.
+        val pairsBase = s.table(pairsTbl)
+        val staleA = stale.select(col("doc_id").as("doc_a"))
+        val staleB = stale.select(col("doc_id").as("doc_b"))
+        val affPairParts = pairsBase
+          .join(broadcast(staleA), Seq("doc_a"), "left_semi").select("pa_part")
+          .unionByName(pairsBase.join(broadcast(staleB), Seq("doc_b"),
+            "left_semi").select("pa_part"))
+          .unionByName(added.select(pmod(col("doc_a"), p).as("pa_part")))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val pairsDelta = pairsBase
+          .filter(col("pa_part").isInCollection(affPairParts))
+          .join(broadcast(staleA), Seq("doc_a"), "left_anti")
+          .join(broadcast(staleB), Seq("doc_b"), "left_anti")
+          .unionByName(added.withColumn("pa_part", pmod(col("doc_a"), p)))
+        sink.publishPartitionSwap(s, pairsTbl, pairsTbl + "_v2", "pa_part",
+          affPairParts.map(_.toString), pairsDelta,
+          sortCols = Seq("doc_a", "doc_b"))
+
+        // BANDED publish: keys live in their OWN doc's partition, so the
+        // affected set comes from the stale ids alone — no base scan.
+        val affBandParts = stale.select(pmod(col("doc_id"), p).as("dk_part"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val bandedDelta = s.table(lshTbl)
+          .filter(col("dk_part").isInCollection(affBandParts))
+          .join(broadcast(stale), Seq("doc_id"), "left_anti")
+          .unionByName(bandedChanged.withColumn("dk_part",
+            pmod(col("doc_id"), p)))
+        sink.publishPartitionSwap(s, lshTbl, lshTbl + "_v2", "dk_part",
+          affBandParts.map(_.toString), bandedDelta,
+          sortCols = Seq("doc_id", "band"))
+
+        // CLUSTERS publish: membership changes only inside the affected
+        // doc set (touched components + seeds — upsertClustersParts'
+        // contract), so those docs' partitions are exactly the affected
+        // set. The re-close reads the just-published pairs version.
         val seeds = changed.unionByName(removed)
           .unionByName(added.select(col("doc_a").as("doc_id")))
           .unionByName(added.select(col("doc_b").as("doc_id")))
-        val clustersUp = Clustering.upsertClusters(
-          s.table(clusTbl), s.table(pairsTbl + "_v2"), seeds)
-        graft.sources.ParquetSink.writeBucketedSnapshot(clustersUp,
-          clusTbl + "_v2", Seq("doc_id"), buckets = 16)
-        s.table(clusTbl + "_v2")
+        val (affDocs, reclosed) = Clustering.upsertClustersParts(
+          s.table(clusTbl).drop("dc_part"),
+          s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
+        val affClusParts = affDocs.select(pmod(col("doc_id"), p).as("dc_part"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val clusDelta = s.table(clusTbl)
+          .filter(col("dc_part").isInCollection(affClusParts))
+          .join(broadcast(affDocs), Seq("doc_id"), "left_anti")
+          .unionByName(reclosed.withColumn("dc_part", pmod(col("doc_id"), p)))
+        sink.publishPartitionSwap(s, clusTbl, clusTbl + "_v2", "dc_part",
+          affClusParts.map(_.toString), clusDelta, sortCols = Seq("doc_id"))
+        s.table(clusTbl + "_v2").select("doc_id", "cluster_id")
       },
       Some(s"""WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -251,18 +251,37 @@ object Clustering {
     */
   def upsertClusters(prevClusters: DataFrame, pairs: DataFrame,
                      seedIds: DataFrame): DataFrame = {
+    // Composed from the parts split, so the rebuild-equality oracle and
+    // the poisoned-bucket carry-over spec gate the split form the
+    // delta-cost publish consumes.
+    val (affDocs, reclosed) = upsertClustersParts(prevClusters, pairs, seedIds)
+    prevClusters.join(affDocs, Seq("doc_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+      .unionByName(reclosed)
+  }
+
+  /** [[upsertClusters]] split at its carry-over boundary: `(affected doc
+    * ids, their re-closed membership rows)`. Membership rows change ONLY
+    * for docs in the affected set (the one-hop-expansion argument above),
+    * so a publish that rewrites only the partitions holding affected
+    * docs and references the rest in place is row-identical to the
+    * union form. `affDocs` is delta-sized and eagerly checkpointed — it
+    * feeds the affected-partition list, the carry-over anti-join, and
+    * the re-close, and its upstream is a corpus-sized semi-join.
+    */
+  def upsertClustersParts(prevClusters: DataFrame, pairs: DataFrame,
+                          seedIds: DataFrame): (DataFrame, DataFrame) = {
     val seeds = seedIds.select(col("doc_id")).distinct()
     val affClusters = prevClusters.join(seeds, Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
     val affDocs = prevClusters.join(affClusters, Seq("cluster_id"), "left_semi")
       .select("doc_id").unionByName(seeds).distinct()
-    val kept = prevClusters.join(affDocs, Seq("doc_id"), "left_anti")
-      .select("doc_id", "cluster_id")
+      .localCheckpoint(true)
     val affPairs = pairs.join(affDocs.select(col("doc_id").as("doc_a")),
       Seq("doc_a"), "left_semi")
     val reclosed = dedupClusters(affPairs, "doc_a", "doc_b")
       .select("doc_id", "cluster_id")
-    kept.unionByName(reclosed)
+    (affDocs, reclosed)
   }
 
   /** The corpus AFTER dedup: every document that is either outside any

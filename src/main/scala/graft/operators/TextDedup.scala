@@ -646,15 +646,45 @@ object TextDedup {
                      n: Int, numPerm: Int, bands: Int,
                      threshold: Double,
                      eagerCheckpoint: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    // Composed from the parts split (the Ann.ivfIndexUpsert pattern), so
+    // every rebuild-equivalence oracle/spec on this form gates the parts
+    // form the delta-cost publish consumes.
+    val (stale, bandedChanged, added) = upsertLshPairsParts(prevPairs,
+      prevBanded, currDocs, changedIds, removedIds, idCol, textCol,
+      n, numPerm, bands, threshold, eagerCheckpoint)
+    val keptBanded = prevBanded.join(stale, Seq("doc_id"), "left_anti")
+    val keptPairs = prevPairs
+      .join(stale.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(stale.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "jaccard")
+    (keptPairs.unionByName(added), keptBanded.unionByName(bandedChanged), added)
+  }
+
+  /** [[upsertLshPairs]] split at its carry-over boundary — the DELTA
+    * pieces the partition-location-swap publish consumes: `(stale ids,
+    * fresh banded keys of the changed docs, verified added pairs)`. The
+    * caller derives each standing table's affected partitions and their
+    * new content from these (stale/added endpoints bound the affected
+    * sets) instead of re-unioning the corpus-sized carry-over just to
+    * rewrite it. The union form above is parts-composed, so its
+    * rebuild-equality oracle gates this split too.
+    */
+  def upsertLshPairsParts(prevPairs: DataFrame, prevBanded: DataFrame,
+                          currDocs: DataFrame, changedIds: DataFrame,
+                          removedIds: DataFrame, idCol: String,
+                          textCol: String, n: Int, numPerm: Int, bands: Int,
+                          threshold: Double,
+                          eagerCheckpoint: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     // Eager localCheckpoints TRUNCATE LINEAGE on the delta-sized
     // relations (the Clustering discipline): the caller typically
     // derives changed/removed from a corpus-sized snapshot diff and then
-    // WRITES both returned relations as separate jobs — without the
+    // WRITES the returned relations as separate jobs — without the
     // cuts, `stale` re-runs that diff in three anti-joins and the
     // minhash banding of the changed docs (128 perms x shingles, the
     // CPU-heavy stage) re-executes in every subplan that references
-    // `bandedChanged` or `cand`. All three are delta/candidate-sized by
+    // `bandedChanged` or `cand`. All are delta/candidate-sized by
     // the operator's contract, so the cached blocks stay small at any
     // corpus scale.
     def cut(df: DataFrame): DataFrame =
@@ -686,12 +716,10 @@ object TextDedup {
       .join(shVer.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val added = withJaccard(inter, sizes, threshold)
-    val keptPairs = prevPairs
-      .join(stale.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .join(stale.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .select("doc_a", "doc_b", "jaccard")
-    (keptPairs.unionByName(added), newBanded, added)
+    // added feeds the delta content, the affected-partition set and the
+    // re-close seeds — cut so the verify join runs once
+    val added = cut(withJaccard(inter, sizes, threshold))
+    (stale, bandedChanged, added)
   }
 
   /** Benchmark decontamination: for every candidate doc, the number of its

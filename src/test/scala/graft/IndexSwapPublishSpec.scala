@@ -77,4 +77,44 @@ class IndexSwapPublishSpec extends SparkSpec {
   test("knn_graph_index_upsert publishes at delta cost with a byte-stable base") {
     checkEntry("knn_graph_index_upsert", s"knn_edge_upsert_base_$sfx")
   }
+
+  test("dedup_cluster_index_upsert swap-publishes all three standing tables") {
+    val tbls = Seq(s"dedup_upsert_pairs_$sfx", s"dedup_upsert_lsh_$sfx",
+      s"dedup_upsert_clusters_$sfx")
+    val rows = SparkEntry.queries("dedup_cluster_index_upsert")(spark, sfDir)
+      .count()
+    assert(rows > 0)
+    val stamps = tbls.map(fileStamps)
+    val rows2 = SparkEntry.queries("dedup_cluster_index_upsert")(spark, sfDir)
+      .count()
+    assert(rows2 === rows)
+    // every base file of all three corpus-sized tables byte-stable
+    // across both publishes
+    tbls.zip(stamps).foreach { case (t, st) =>
+      assert(fileStamps(t) === st, s"base files of $t were rewritten")
+    }
+    // the banded and membership versions are PARTIAL delta publishes:
+    // kept partitions resolve into the base in place, affected ones into
+    // the delta dir (pairs are sparse at this sf, so only byte-stability
+    // and the delta's existence are asserted there)
+    for (t <- Seq(s"dedup_upsert_lsh_$sfx", s"dedup_upsert_clusters_$sfx")) {
+      val v2 = t + "_v2"
+      val files = spark.table(v2).inputFiles.toSeq
+      val baseLoc = ParquetSink.tableLocation(spark, t).toUri.getPath + "/"
+      assert(files.exists(f => new URI(f).getPath.startsWith(baseLoc)),
+        s"$v2: no in-place base references in $files")
+      assert(files.exists(_.contains(v2 + "_delta")),
+        s"$v2: no delta-partition files in $files")
+    }
+    // the pairs delta can be legitimately EMPTY at this sf (the sparse
+    // stale set may touch no pair and add none — a pure carry-over
+    // publish); assert the version still serves the base in place
+    val pairsV2Files = spark.table(s"dedup_upsert_pairs_${sfx}_v2")
+      .inputFiles.toSeq
+    val pairsBaseLoc = ParquetSink
+      .tableLocation(spark, s"dedup_upsert_pairs_$sfx").toUri.getPath + "/"
+    assert(pairsV2Files.nonEmpty &&
+      pairsV2Files.forall(f => new URI(f).getPath.startsWith(pairsBaseLoc) ||
+        f.contains("_delta")))
+  }
 }
