@@ -41,14 +41,20 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A missing output is only "not run" when a SPARK_GRAFT_ONLY subset
+    # says the entry wasn't attempted; otherwise it means the entry
+    # CRASHED mid-dump and must fail the gate, not silently skip.
+    subset_env = os.environ.get("SPARK_GRAFT_ONLY", "")
+    subset = {s.strip() for s in subset_env.split(",") if s.strip()}
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
-        # VerifySlice dumps ALL tail oracles so a resumed run can score the
-        # full set, but a SPARK_GRAFT_ONLY subset run only writes its own
-        # outputs — an absent directory is "not run", not a failure.
         if not os.path.exists(f"{out_dir}/{name}"):
-            print(f"skip {name}: no output (not in this run's subset)")
-            skipped += 1
+            if subset and name not in subset:
+                print(f"skip {name}: no output (not in this run's subset)")
+                skipped += 1
+                continue
+            print(f"FAIL {name}: attempted but no output (crashed mid-run?)")
+            fail += 1
             continue
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
