@@ -24,17 +24,36 @@ object Probe {
     val only: Option[Set[String]] =
       sys.env.get("SCALEGEN_TABLES").map(_.split(",").map(_.trim).toSet)
     def copy1x(t: String): Unit = {
+      val source = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
       val target = java.nio.file.Paths.get(s"$dir/$t.parquet")
-      java.nio.file.Files.deleteIfExists(target)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/$t.parquet"), target)
-      ()
+      // a prior replicated build into the same dir leaves a DIRECTORY
+      // layout here — recursive-delete it, and fall back to a Spark
+      // read/write copy when the source itself is a directory (a plain
+      // Files.copy of a directory copies an empty dir)
+      if (java.nio.file.Files.isDirectory(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } else java.nio.file.Files.deleteIfExists(target)
+      if (java.nio.file.Files.isDirectory(source))
+        spark.read.parquet(source.toString)
+          .write.mode("overwrite").parquet(target.toString)
+      else { java.nio.file.Files.copy(source, target); () }
     }
     def replicate(table: String, keyCols: Seq[String],
                   perturb: (DataFrame, Int) => DataFrame): Unit =
       if (!only.forall(_.contains(table))) copy1x(table)
       else {
         val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        // replica key ranges must not overlap, or replicas silently
+        // merge (users sharing streams, orders sharing lineitems)
+        val maxAgg = keyCols.map(c => max(col(c))) match {
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val maxKey = base.agg(maxAgg).head().getLong(0)
+        require(maxKey < shift,
+          s"$table max key $maxKey >= replica shift $shift — replicas would overlap")
         val parts = (0 until k).map { i =>
           perturb(keyCols.foldLeft(base) { (d, c) =>
             d.withColumn(c, col(c) + lit(i * shift)) }, i)
