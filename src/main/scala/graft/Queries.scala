@@ -1114,17 +1114,26 @@ object Queries {
     * measurement of the delta-sized operator (r7 benched 10.97 s of
     * which ~2/3 was this setup).
     */
-  /** Partition count of the dedup standing tables' carry-over layout —
-    * sized so each partition is one comfortable parquet file at the test
-    * scales; at 100 TB this scales up with the corpus (partition ≈ one
-    * file-size target), keeping swap-publish cost = |affected| × one
-    * partition.
+  /** Partition count of the dedup standing tables' carry-over layout:
+    * the next power of two ≥ √n (min 16). √n keeps the partition count
+    * ABOVE the ~3·√n/16 diff-class size at every scale, so most
+    * partitions stay unaffected and swap-publish cost stays
+    * |affected| × one partition — a fixed count would be swamped by the
+    * delta as the corpus grows (at 500k docs a 132-doc batch touches
+    * all 16 of a fixed-16 layout, none of the carry-over survives).
+    * Deterministic per corpus (a function of the row count), consistent
+    * between the ensure-build layout and the entry's pmod computations.
     */
-  private val dedupUpsertParts = 16
+  private[graft] def dedupUpsertParts(n: Long): Int = {
+    val target = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    var pw = 16
+    while (pw < target && pw < (1 << 20)) pw <<= 1
+    pw
+  }
 
-  private def ensureUpsertBaseIndex(s: SparkSession, d: String,
+  private[graft] def ensureUpsertBaseIndex(s: SparkSession, d: String,
       prev: DataFrame, pairsTbl: String, lshTbl: String,
-      clusTbl: String): Unit = {
+      clusTbl: String, parts: Int): Unit = {
     val fprintName = "dedup_upsert_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_")
     // layout+diff-shape salt, as in ensurePartitionedIndex
     def salted = corpusFingerprint(s, d) ^ 0x50415254L
@@ -1133,7 +1142,7 @@ object Queries {
       stampedFingerprint(s, fprintName).contains(salted)
     if (!fresh) {
       val fp = salted
-      val p = lit(dedupUpsertParts)
+      val p = lit(parts)
       // rebuilding the bases retires their published versions first
       // (the ownership ledger refuses to overwrite referenced files)
       Seq(pairsTbl, lshTbl, clusTbl).foreach(t =>
@@ -5488,7 +5497,8 @@ object Queries {
         // standing index (verified pairs, banded keys, membership):
         // ensure-built ONCE per corpus — the benched body prices the
         // delta apply, not yesterday's index build
-        ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl)
+        val nParts = dedupUpsertParts(docs.count())
+        ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl, nParts)
         // snapshot diff on (doc_id, text) — ONE full-outer pk join, ONE
         // pass: the touched slice is delta-sized, so the eager cut keeps
         // every downstream consumer (stale anti-joins, delta banding,
@@ -5505,7 +5515,7 @@ object Queries {
           s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
           curr, changed, removed,
           "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
-        val p = lit(dedupUpsertParts)
+        val p = lit(nParts)
         val sink = graft.sources.ParquetSink
 
         // PAIRS publish: a base pair leaves iff either endpoint is stale,
@@ -5615,7 +5625,7 @@ object Queries {
     * and `knn_graph_index_upsert` exercise the SAME diff and compose
     * into one maintained-index story.
     */
-  private def upsertEmbCorpora(s: SparkSession, d: String)
+  private[graft] def upsertEmbCorpora(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
     // INGEST-BATCH-SIZED diff: the touched classes are three residues of
@@ -5640,7 +5650,7 @@ object Queries {
     * Mirrored verbatim by the oracles' `GREATEST(1, 16 * CAST(FLOOR(
     * SQRT(COUNT(*))) AS BIGINT))` subquery.
     */
-  private def upsertDiffModulus(n: Long): Long =
+  private[graft] def upsertDiffModulus(n: Long): Long =
     math.max(1L, 16L * math.floor(math.sqrt(n.toDouble)).toLong)
 
   /** The diff-modulus subquery shared by every upsert oracle. */
@@ -5702,7 +5712,7 @@ object Queries {
     * so the benched upsert bodies price the delta apply, not the base
     * build. Returns the table name.
     */
-  private def ensureIvfUpsertBase(s: SparkSession, d: String,
+  private[graft] def ensureIvfUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "ivf_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
     ensurePartitionedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
@@ -5719,7 +5729,7 @@ object Queries {
     * key [[graft.operators.Ann.knnEdgeIndexUpsert]] anti-joins on, so
     * unaffected buckets stream out of the base table without a shuffle.
     */
-  private def ensureKnnUpsertBase(s: SparkSession, d: String,
+  private[graft] def ensureKnnUpsertBase(s: SparkSession, d: String,
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "knn_edge_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
     ensurePartitionedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
