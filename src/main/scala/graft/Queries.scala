@@ -1115,17 +1115,20 @@ object Queries {
     * which ~2/3 was this setup).
     */
   /** Partition count of the dedup standing tables' carry-over layout:
-    * the next power of two ≥ √n (min 16). √n keeps the partition count
-    * ABOVE the ~3·√n/16 diff-class size at every scale, so most
-    * partitions stay unaffected and swap-publish cost stays
-    * |affected| × one partition — a fixed count would be swamped by the
-    * delta as the corpus grows (at 500k docs a 132-doc batch touches
-    * all 16 of a fixed-16 layout, none of the carry-over survives).
+    * ~1000 docs per partition (next power of two, min 16) — i.e.
+    * partition ≈ one comfortable parquet file at realistic doc sizes,
+    * the same sizing rule `writeSizeControlled` applies to files. The
+    * count GROWS with the corpus, which is what keeps the swap publish
+    * delta-bounded: a fixed count would eventually be swamped by any
+    * ingest batch (at 500k docs a ~130-doc batch touches all 16 of a
+    * fixed-16 layout and none of the carry-over survives; at 1000
+    * docs/partition it touches ≤ ~25%), while over-partitioning a small
+    * corpus just pays file/task overhead on every standing-table read.
     * Deterministic per corpus (a function of the row count), consistent
     * between the ensure-build layout and the entry's pmod computations.
     */
   private[graft] def dedupUpsertParts(n: Long): Int = {
-    val target = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val target = math.max(16L, n / 1000L)
     var pw = 16
     while (pw < target && pw < (1 << 20)) pw <<= 1
     pw
