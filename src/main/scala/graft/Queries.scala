@@ -1115,20 +1115,22 @@ object Queries {
     * which ~2/3 was this setup).
     */
   /** Partition count of the dedup standing tables' carry-over layout:
-    * ~1000 docs per partition (next power of two, min 16) — i.e.
+    * ~10k docs per partition (next power of two, min 16) — i.e.
     * partition ≈ one comfortable parquet file at realistic doc sizes,
     * the same sizing rule `writeSizeControlled` applies to files. The
     * count GROWS with the corpus, which is what keeps the swap publish
     * delta-bounded: a fixed count would eventually be swamped by any
-    * ingest batch (at 500k docs a ~130-doc batch touches all 16 of a
-    * fixed-16 layout and none of the carry-over survives; at 1000
-    * docs/partition it touches ≤ ~25%), while over-partitioning a small
-    * corpus just pays file/task overhead on every standing-table read.
+    * ingest batch (at 8M docs a ~400-doc batch touches all 16 of a
+    * fixed-16 layout and none of the carry-over survives; at 10k
+    * docs/partition it touches ≤ ~1/3), while over-partitioning pays
+    * file/task/DDL overhead on every standing-table read and publish
+    * (measured: P=8192 at sf100 added ~40 s across the three tables'
+    * publishes and reads vs P=1024).
     * Deterministic per corpus (a function of the row count), consistent
     * between the ensure-build layout and the entry's pmod computations.
     */
   private[graft] def dedupUpsertParts(n: Long): Int = {
-    val target = math.max(16L, n / 1000L)
+    val target = math.max(16L, n / 10000L)
     var pw = 16
     while (pw < target && pw < (1 << 20)) pw <<= 1
     pw
@@ -1138,11 +1140,17 @@ object Queries {
       prev: DataFrame, pairsTbl: String, lshTbl: String,
       clusTbl: String, parts: Int): Unit = {
     val fprintName = "dedup_upsert_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    // layout+diff-shape salt, as in ensurePartitionedIndex
-    def salted = corpusFingerprint(s, d) ^ 0x50415254L
-    val fresh = s.catalog.tableExists(pairsTbl) &&
-      s.catalog.tableExists(lshTbl) && s.catalog.tableExists(clusTbl) &&
-      stampedFingerprint(s, fprintName).contains(salted)
+    // layout+diff-shape salt as in ensurePartitionedIndex, with the
+    // partition COUNT folded in: a layout built under a different P
+    // rule must read stale (the entry's pmod math must match the dirs)
+    def salted = corpusFingerprint(s, d) ^ 0x50415254L ^ parts.toLong
+    def present(t: String, partCol: String) =
+      s.catalog.tableExists(t) ||
+        graft.sources.ParquetSink.adoptPartitionedTable(s, t, partCol,
+          "BIGINT")
+    val fresh = stampedFingerprint(s, fprintName).contains(salted) &&
+      present(pairsTbl, "pa_part") && present(lshTbl, "dk_part") &&
+      present(clusTbl, "dc_part")
     if (!fresh) {
       val fp = salted
       val p = lit(parts)
@@ -5699,8 +5707,14 @@ object Queries {
     // the bucketed-layout (or old diff) build of the same corpus must
     // read as stale, not fresh
     def salted = fp ^ 0x50415254L
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint").contains(salted)
+    // a fresh JVM forgets the catalog entry while the table's data and
+    // stamp persist — ADOPT the on-disk table instead of rebuilding the
+    // corpus-sized index (stamp checked first: only a fresh corpus is
+    // worth adopting)
+    val fresh = stampedFingerprint(s, tbl + "_fprint").contains(salted) &&
+      (s.catalog.tableExists(tbl) ||
+        graft.sources.ParquetSink.adoptPartitionedTable(s, tbl, partCol,
+          "BIGINT"))
     if (!fresh) {
       val stamp = salted
       dependents.foreach(graft.sources.ParquetSink.dropIndexVersion(s, _))

@@ -428,6 +428,40 @@ object ParquetSink {
     }
   }
 
+  /** Re-registers a standing partitioned table over its EXISTING
+    * warehouse directory: the in-memory catalog forgets tables at JVM
+    * exit while their data files and fingerprint stamps persist, and
+    * without adoption every fresh JVM pays a full corpus-sized rebuild
+    * of an index that is sitting on disk, fresh (a real metastore keeps
+    * the registration; this recovers the equivalent). Data schema comes
+    * from one leaf file's footer; the partition column's TYPE must be
+    * supplied (directory-name inference would narrow `104` to INT).
+    * Returns false (caller rebuilds) when the directory holds no data.
+    */
+  def adoptPartitionedTable(spark: org.apache.spark.sql.SparkSession,
+                            tableName: String, partCol: String,
+                            partColTypeSql: String): Boolean = {
+    val loc = tableLocation(spark, tableName)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return false
+    val leaf = fs.listStatus(loc).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(st => fs.listStatus(st.getPath).iterator)
+      .find(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+    leaf match {
+      case None => false
+      case Some(f) =>
+        val dataCols = spark.read.parquet(f.getPath.toString).schema.fields
+          .map(fld => s"`${fld.name}` ${fld.dataType.sql}").mkString(", ")
+        spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+        spark.sql(s"""CREATE TABLE `$tableName` ($dataCols,
+          `$partCol` $partColTypeSql) USING PARQUET
+          PARTITIONED BY (`$partCol`) LOCATION ${sqlLit(loc.toString)}""")
+        spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
+        true
+    }
+  }
+
   /** Drops a swap-published version COMPLETELY: catalog entry, ledger,
     * and every generation directory it owns. Refused (throws) when a
     * chained version still references one of its delta directories.

@@ -203,6 +203,57 @@ class PartitionSwapSpec extends SparkSpec {
     assert(got === Set((1L, "it's"), (4L, "it's"), (2L, "plain")))
   }
 
+  test("adoptPartitionedTable re-registers on-disk data after a catalog restart") {
+    val s = spark
+    import s.implicits._
+    // simulate the fresh-JVM state: partitioned DATA at the table's
+    // conventional warehouse location, no catalog entry
+    val loc = ParquetSink.tableLocation(spark, "pswap_adopt")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql("DROP TABLE IF EXISTS `pswap_adopt`")
+    baseRows.toDF("id", "payload", "bucket")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(loc.toString)
+    val before = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else out += st.getPath.toString -> st.getModificationTime
+        }
+      walk(loc); out.toMap
+    }
+
+    assert(ParquetSink.adoptPartitionedTable(spark, "pswap_adopt",
+      "bucket", "BIGINT"))
+    // adopted, not rebuilt: files untouched, full content back, the
+    // partition column typed LONG (no INT narrowing from dir names),
+    // partition pruning live
+    assert(asSet("pswap_adopt") === baseRows.toSet)
+    assert(spark.table("pswap_adopt").schema("bucket").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val pruned = spark.table("pswap_adopt").filter(col("bucket") === 20L)
+    assert(pruned.inputFiles.forall(_.contains("bucket=20")))
+    val after = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else out += st.getPath.toString -> st.getModificationTime
+        }
+      walk(loc); out.toMap
+    }
+    assert(after === before)
+    // a published version can chain off the adopted base
+    reclaim("pswap_adopt_v2")
+    ParquetSink.publishPartitionSwap(spark, "pswap_adopt", "pswap_adopt_v2",
+      "bucket", Set("20"), Seq((9L, "i", 20L)).toDF("id", "payload", "bucket"))
+    assert(asSet("pswap_adopt_v2") ===
+      baseRows.toSet -- Set((4L, "d", 20L), (5L, "e", 20L)) + ((9L, "i", 20L)))
+    reclaim("pswap_adopt_v2")
+  }
+
   test("sortCols lays affected partitions out in the snapshot's sort order") {
     val s = spark
     import s.implicits._
