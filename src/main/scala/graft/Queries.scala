@@ -1100,9 +1100,13 @@ object Queries {
     * reading the stale pairs/membership tables.
     */
   private def ensureDedupIndex(s: SparkSession, d: String): Unit = {
-    val fresh = s.catalog.tableExists(dedupPairsTable(d)) &&
-      s.catalog.tableExists(dedupClustersTable(d)) &&
-      stampedFingerprint(s, dedupFprintName(d)).contains(corpusFingerprint(s, d))
+    def present(t: String, cols: Seq[String]) =
+      s.catalog.tableExists(t) ||
+        graft.sources.ParquetSink.adoptBucketedTable(s, t, cols, cols, 16)
+    val fresh =
+      stampedFingerprint(s, dedupFprintName(d)).contains(corpusFingerprint(s, d)) &&
+      present(dedupPairsTable(d), Seq("doc_a")) &&
+      present(dedupClustersTable(d), Seq("doc_id"))
     if (!fresh) buildDedupIndex(s, d)
   }
 
@@ -5679,8 +5683,12 @@ object Queries {
   private def ensureBucketedIndex(s: SparkSession, tbl: String, fp: => Long,
                                   bucketCols: Seq[String])
                                  (build: => DataFrame): Unit = {
-    val fresh = s.catalog.tableExists(tbl) &&
-      stampedFingerprint(s, tbl + "_fprint").contains(fp)
+    // fresh-JVM adoption, as in ensurePartitionedIndex: re-register the
+    // on-disk bucketed table instead of rebuilding a fresh index
+    val fresh = stampedFingerprint(s, tbl + "_fprint").contains(fp) &&
+      (s.catalog.tableExists(tbl) ||
+        graft.sources.ParquetSink.adoptBucketedTable(s, tbl, bucketCols,
+          bucketCols, 16))
     if (!fresh) {
       val stamp = fp
       graft.sources.ParquetSink.writeBucketedSnapshot(build, tbl,

@@ -462,6 +462,38 @@ object ParquetSink {
     }
   }
 
+  /** [[adoptPartitionedTable]]'s twin for BUCKETED standing tables
+    * (writeBucketedSnapshot/writeLshIndex layouts): re-registers the
+    * existing directory as an external table with the same CLUSTERED BY
+    * spec. Sound because Spark assigns bucket ids from the writer's
+    * file-name convention (`part-…_00003…`), which the files on disk
+    * already carry — the re-registered table serves bucket-local joins
+    * exactly like the original (spec-checked: no exchange on the
+    * adopted side). Returns false when no data exists (caller rebuilds).
+    */
+  def adoptBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                         tableName: String, bucketCols: Seq[String],
+                         sortCols: Seq[String], buckets: Int): Boolean = {
+    val loc = tableLocation(spark, tableName)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return false
+    val leaf = fs.listStatus(loc).iterator
+      .find(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+    leaf match {
+      case None => false
+      case Some(f) =>
+        val dataCols = spark.read.parquet(f.getPath.toString).schema.fields
+          .map(fld => s"`${fld.name}` ${fld.dataType.sql}").mkString(", ")
+        val bcols = bucketCols.map(c => s"`$c`").mkString(", ")
+        val scols = sortCols.map(c => s"`$c`").mkString(", ")
+        spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+        spark.sql(s"""CREATE TABLE `$tableName` ($dataCols) USING PARQUET
+          CLUSTERED BY ($bcols) SORTED BY ($scols) INTO $buckets BUCKETS
+          LOCATION ${sqlLit(loc.toString)}""")
+        true
+    }
+  }
+
   /** Drops a swap-published version COMPLETELY: catalog entry, ledger,
     * and every generation directory it owns. Refused (throws) when a
     * chained version still references one of its delta directories.

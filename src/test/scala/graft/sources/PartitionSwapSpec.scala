@@ -254,6 +254,41 @@ class PartitionSwapSpec extends SparkSpec {
     reclaim("pswap_adopt_v2")
   }
 
+  test("adoptBucketedTable re-registers a bucketed index with bucket-local joins intact") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, s"p$i")).toDF("id", "payload")
+    ParquetSink.writeBucketedSnapshot(df, "badopt_src", Seq("id"), buckets = 4)
+    // simulate the fresh-JVM state for a SECOND table: same files on
+    // disk at its conventional location, no catalog entry
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcLoc = ParquetSink.tableLocation(spark, "badopt_src")
+    val dstLoc = ParquetSink.tableLocation(spark, "badopt_dst")
+    val fs = dstLoc.getFileSystem(conf)
+    if (fs.exists(dstLoc)) fs.delete(dstLoc, true)
+    spark.sql("DROP TABLE IF EXISTS `badopt_dst`")
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcLoc, fs, dstLoc, false, conf)
+
+    assert(ParquetSink.adoptBucketedTable(spark, "badopt_dst", Seq("id"),
+      Seq("id"), buckets = 4))
+    assert(spark.table("badopt_dst").count() === 200L)
+    // the adopted table must behave as BUCKETED: a (non-broadcast)
+    // sort-merge join of the original and the adopted copy on the
+    // bucket column plans with ZERO shuffle exchanges — both sides
+    // scan bucket-locally
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("badopt_src")
+        .join(spark.table("badopt_dst"), "id")
+      assert(joined.count() === 200L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"adopted bucketed table lost bucket-local join:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("sortCols lays affected partitions out in the snapshot's sort order") {
     val s = spark
     import s.implicits._
