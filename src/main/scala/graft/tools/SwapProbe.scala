@@ -30,6 +30,11 @@ object SwapProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+      // own warehouse NEXT TO the replica: the probe's corpus-sized
+      // standing tables must not pollute the repo warehouse the bench
+      // and verify mains run against (adoption makes them durable here)
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SWAP_PROBE_WAREHOUSE", "target/sf100_wh"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
@@ -107,14 +112,14 @@ object SwapProbe {
       SparkEntry.queries("dedup_cluster_index_upsert")(s, d).count()
     }
     // decomposition mirrors the entry body
-    val diff = dPrev.select(col("doc_id"), col("text").as("pt"))
-      .join(dCurr.select(col("doc_id"), col("text").as("ct")),
+    val diff = dPrev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
+      .join(dCurr.select(col("doc_id"), xxhash64(col("text")).as("ch")),
         Seq("doc_id"), "full_outer")
     val (stale, bandedChanged, added) = t("dedup_parts_compute") {
-      val touched = diff.filter(!(col("pt") <=> col("ct")))
-        .select("doc_id", "pt", "ct").localCheckpoint(true)
-      val changed = touched.filter(col("ct").isNotNull).select("doc_id")
-      val removed = touched.filter(col("pt").isNotNull && col("ct").isNull)
+      val touched = diff.filter(!(col("ph") <=> col("ch")))
+        .select("doc_id", "ph", "ch").localCheckpoint(true)
+      val changed = touched.filter(col("ch").isNotNull).select("doc_id")
+      val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
         .select("doc_id")
       TextDedup.upsertLshPairsParts(
         s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
@@ -154,10 +159,10 @@ object SwapProbe {
         sortCols = Seq("doc_id", "band"))
     }
     t("dedup_publish_clusters") {
-      val touched = diff.filter(!(col("pt") <=> col("ct")))
-        .select("doc_id", "pt", "ct").localCheckpoint(true)
-      val changed = touched.filter(col("ct").isNotNull).select("doc_id")
-      val removed = touched.filter(col("pt").isNotNull && col("ct").isNull)
+      val touched = diff.filter(!(col("ph") <=> col("ch")))
+        .select("doc_id", "ph", "ch").localCheckpoint(true)
+      val changed = touched.filter(col("ch").isNotNull).select("doc_id")
+      val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
         .select("doc_id")
       val seeds = changed.unionByName(removed)
         .unionByName(added.select(col("doc_a").as("doc_id")))
