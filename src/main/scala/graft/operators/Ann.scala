@@ -714,8 +714,8 @@ object Ann {
       : (DataFrame, DataFrame) = {
     // ONE pass over the corpus-sized diff ([[ivfIndexUpsertParts]]'s
     // discipline); the probes below are delta-sized off the cut
-    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol),
-      eagerCheckpoint)
+    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol,
+      eagerCheckpoint), eagerCheckpoint)
     val incoming = touched.filter(col("nv").isNotNull)
       .select(col("vec_id"), col("nv").as("v"))
     val leaving = touched.filter(col("pv").isNotNull)
@@ -925,16 +925,36 @@ object Ann {
     * table (isin on the partition key pushes to partition pruning).
     */
   /** The (inserts ∪ updates ∪ deletes) slice of an embedding snapshot
-    * diff — one corpus-sized full-outer pk join filtered to the rows
-    * whose vector changed, ready for the [[localCut]] that keeps every
-    * downstream consumer delta-sized.
+    * diff, CONTENT-HASHED: the full-outer pk join compares
+    * xxhash64(vector) — 8 bytes per row cross the corpus-sized diff
+    * shuffle instead of the vectors themselves (at production dims a
+    * vector is KBs; the raw-vector join would shuffle the whole corpus
+    * body twice) — and only the touched rows' vectors are then fetched
+    * back with delta-sized semi-joins against the snapshots (broadcast
+    * probe side, no corpus shuffle). Hash equality ⇒ unchanged rests on
+    * the same corpus-wide no-collision argument as every hash-keyed
+    * dedup oracle. Output: (vec_id, pv, nv) for touched rows only.
     */
   private def touchedDiff(prevEmb: DataFrame, currEmb: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
-    val p = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
-    val c = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
-    p.join(c, Seq("vec_id"), "full_outer")
-      .filter(!(col("pv") <=> col("nv")))
+                          idCol: String, vecCol: String,
+                          eager: Boolean): DataFrame = {
+    val p = prevEmb.select(col(idCol).as("vec_id"),
+      xxhash64(col(vecCol)).as("ph"))
+    val c = currEmb.select(col(idCol).as("vec_id"),
+      xxhash64(col(vecCol)).as("ch"))
+    // cut: the id set feeds BOTH broadcast probes below — without it
+    // the corpus diff join would execute once per probe build
+    val touchedIds = localCut(p.join(c, Seq("vec_id"), "full_outer")
+      .filter(!(col("ph") <=> col("ch")))
+      .select(col("vec_id"), col("ph").isNotNull.as("had"),
+        col("ch").isNotNull.as("has")), eager)
+    val pv = prevEmb.select(col(idCol).as("vec_id"), col(vecCol).as("pv"))
+      .join(broadcast(touchedIds.filter(col("had")).select("vec_id")),
+        Seq("vec_id"), "left_semi")
+    val nv = currEmb.select(col(idCol).as("vec_id"), col(vecCol).as("nv"))
+      .join(broadcast(touchedIds.filter(col("has")).select("vec_id")),
+        Seq("vec_id"), "left_semi")
+    pv.join(nv, Seq("vec_id"), "full_outer")
       .select("vec_id", "pv", "nv")
   }
 
@@ -958,8 +978,8 @@ object Ann {
       : (DataFrame, DataFrame) = {
     // ONE pass over the corpus-sized diff; everything below is
     // delta-sized off the cut
-    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol),
-      eagerCheckpoint)
+    val touched = localCut(touchedDiff(prevEmb, currEmb, idCol, vecCol,
+      eagerCheckpoint), eagerCheckpoint)
     val incoming = touched.filter(col("nv").isNotNull)
       .select(col("vec_id"), col("nv").as("v"))
     val leaving = touched.filter(col("pv").isNotNull)
