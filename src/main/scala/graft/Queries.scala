@@ -1140,6 +1140,159 @@ object Queries {
     pw
   }
 
+  /** Phase-timing hook for the maintenance APPLY bodies below: the
+    * entries run them un-timed ([[NoTimer]]), `graft.tools.SwapProbe`
+    * runs the SAME bodies with a wall-clock timer per phase — one code
+    * path, so the probe can never drift from what the entries ship.
+    */
+  private[graft] trait PhaseTimer {
+    def apply[A](label: String)(f: => A): A
+  }
+  private[graft] object NoTimer extends PhaseTimer {
+    def apply[A](label: String)(f: => A): A = f
+  }
+
+  /** `ann_ivf_index_upsert`'s APPLY body (standing base ensured by the
+    * caller): carry-over parts → partition-location-swap publish →
+    * version read. The affected-id collect is bounded by ≤ 2·|delta|
+    * centroid ids — the same bound its broadcast relies on — and the
+    * publish needs the values driver-side for its partition DDL anyway.
+    */
+  private[graft] def ivfUpsertApply(s: SparkSession, tbl: String,
+      prev: DataFrame, curr: DataFrame, cents: DataFrame,
+      t: PhaseTimer = NoTimer): DataFrame = {
+    val (affSet, affectedRows) = t("parts_compute") {
+      val (affected, rows) = Ann.ivfIndexUpsertParts(s.table(tbl),
+        prev, curr, cents, "vec_id", "embedding", "vec_id", "embedding")
+      (affected.collect().map(_.getLong(0).toString).toSet, rows)
+    }
+    val tbl2 = tbl + "_v2"
+    t("publish_swap") {
+      graft.sources.ParquetSink.publishPartitionSwap(s, tbl, tbl2,
+        "centroid_id", affSet, affectedRows, sortCols = Seq("vec_id"))
+    }
+    s.table(tbl2).select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** `knn_graph_index_upsert`'s APPLY body: maintained assignments
+    * (lazy ivfIndexUpsert over the standing IVF base) feed the edge
+    * carry-over parts; affected buckets recompute bucket-locally and
+    * publish via the swap.
+    */
+  private[graft] def knnUpsertApply(s: SparkSession, ivfBase: String,
+      edgeBase: String, prev: DataFrame, curr: DataFrame, cents: DataFrame,
+      t: PhaseTimer = NoTimer): DataFrame = {
+    val currIdx = Ann.ivfIndexUpsert(s.table(ivfBase), prev, curr, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val (affSet, recomputed) = t("parts_compute") {
+      val (affected, rows) = Ann.knnEdgeIndexUpsertParts(s.table(edgeBase),
+        currIdx, prev, curr, cents, "vec_id", "embedding", "vec_id",
+        "embedding", k = 3)
+      (affected.collect().map(_.getLong(0).toString).toSet, rows)
+    }
+    val tbl2 = edgeBase + "_v2"
+    t("publish_swap") {
+      graft.sources.ParquetSink.publishPartitionSwap(s, edgeBase, tbl2,
+        "centroid_id", affSet, recomputed,
+        sortCols = Seq("query_id", "rank"))
+    }
+    s.table(tbl2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** `dedup_cluster_index_upsert`'s APPLY body: content-hash snapshot
+    * diff → LSH parts → three partition-location-swap publishes
+    * (pairs / banded keys / membership) → membership version read.
+    * See the entry's comment for the affected-set derivations.
+    */
+  private[graft] def dedupUpsertApply(s: SparkSession, pairsTbl: String,
+      lshTbl: String, clusTbl: String, prev: DataFrame, curr: DataFrame,
+      nParts: Int, t: PhaseTimer = NoTimer): DataFrame = {
+    val sink = graft.sources.ParquetSink
+    val p = lit(nParts)
+    // snapshot diff on (doc_id, xxhash64(text)) — ONE full-outer pk
+    // join shuffling 8 BYTES per doc instead of the document bodies
+    // (the CDC content-hash trick; at 100 TB the text shuffle IS the
+    // diff's cost). Equality-by-hash rests on the same corpus-wide
+    // no-collision argument every hash-keyed dedup oracle here uses.
+    // The touched slice is delta-sized, so the eager cut keeps every
+    // downstream consumer off the corpus plan.
+    val (stale, bandedChanged, added) = t("parts_compute") {
+      val diff = prev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
+        .join(curr.select(col("doc_id"), xxhash64(col("text")).as("ch")),
+          Seq("doc_id"), "full_outer")
+      val touched = diff.filter(!(col("ph") <=> col("ch")))
+        .select("doc_id", "ph", "ch").localCheckpoint(true)
+      val changed = touched.filter(col("ch").isNotNull).select("doc_id")
+      val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
+        .select("doc_id")
+      TextDedup.upsertLshPairsParts(
+        s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
+        curr, changed, removed,
+        "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+    }
+    // PAIRS publish: a base pair leaves iff either endpoint is stale,
+    // so the affected partitions are those of stale-touching base pairs
+    // (two column-pruned scans with a broadcast semi-join — read-only)
+    // plus the added pairs' own partitions. Partition-value collects
+    // are bounded by the partition count.
+    t("publish_pairs") {
+      val pairsBase = s.table(pairsTbl)
+      val staleA = stale.select(col("doc_id").as("doc_a"))
+      val staleB = stale.select(col("doc_id").as("doc_b"))
+      val affPairParts = pairsBase
+        .join(broadcast(staleA), Seq("doc_a"), "left_semi").select("pa_part")
+        .unionByName(pairsBase.join(broadcast(staleB), Seq("doc_b"),
+          "left_semi").select("pa_part"))
+        .unionByName(added.select(pmod(col("doc_a"), p).as("pa_part")))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val pairsDelta = pairsBase
+        .filter(col("pa_part").isInCollection(affPairParts))
+        .join(broadcast(staleA), Seq("doc_a"), "left_anti")
+        .join(broadcast(staleB), Seq("doc_b"), "left_anti")
+        .unionByName(added.withColumn("pa_part", pmod(col("doc_a"), p)))
+      sink.publishPartitionSwap(s, pairsTbl, pairsTbl + "_v2", "pa_part",
+        affPairParts.map(_.toString), pairsDelta,
+        sortCols = Seq("doc_a", "doc_b"))
+    }
+    // BANDED publish: keys live in their OWN doc's partition, so the
+    // affected set comes from the stale ids alone — no base scan.
+    t("publish_bands") {
+      val affBandParts = stale.select(pmod(col("doc_id"), p).as("dk_part"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val bandedDelta = s.table(lshTbl)
+        .filter(col("dk_part").isInCollection(affBandParts))
+        .join(broadcast(stale), Seq("doc_id"), "left_anti")
+        .unionByName(bandedChanged.withColumn("dk_part",
+          pmod(col("doc_id"), p)))
+      sink.publishPartitionSwap(s, lshTbl, lshTbl + "_v2", "dk_part",
+        affBandParts.map(_.toString), bandedDelta,
+        sortCols = Seq("doc_id", "band"))
+    }
+    // CLUSTERS publish: membership changes only inside the affected doc
+    // set (touched components + seeds — upsertClustersParts' contract),
+    // so those docs' partitions are exactly the affected set. The
+    // re-close reads the just-published pairs version.
+    t("publish_clusters") {
+      val seeds = stale
+        .unionByName(added.select(col("doc_a").as("doc_id")))
+        .unionByName(added.select(col("doc_b").as("doc_id")))
+      val (affDocs, reclosed) = Clustering.upsertClustersParts(
+        s.table(clusTbl).drop("dc_part"),
+        s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
+      val affClusParts = affDocs.select(pmod(col("doc_id"), p).as("dc_part"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val clusDelta = s.table(clusTbl)
+        .filter(col("dc_part").isInCollection(affClusParts))
+        .join(broadcast(affDocs), Seq("doc_id"), "left_anti")
+        .unionByName(reclosed.withColumn("dc_part", pmod(col("doc_id"), p)))
+      sink.publishPartitionSwap(s, clusTbl, clusTbl + "_v2", "dc_part",
+        affClusParts.map(_.toString), clusDelta, sortCols = Seq("doc_id"))
+    }
+    s.table(clusTbl + "_v2").select("doc_id", "cluster_id")
+  }
+
   private[graft] def ensureUpsertBaseIndex(s: SparkSession, d: String,
       prev: DataFrame, pairsTbl: String, lshTbl: String,
       clusTbl: String, parts: Int): Unit = {
@@ -5446,21 +5599,7 @@ object Queries {
       (s, d) => {
         val (prev, curr, cents) = upsertEmbCorpora(s, d)
         val tbl = ensureIvfUpsertBase(s, d, prev, cents)
-        // DELTA-COST PUBLISH: the upsert's carry-over boundary feeds the
-        // partition-location swap — only affected buckets are written,
-        // every unaffected partition's files are referenced in place
-        // (spec-proven byte-stable). The affected-id collect is bounded
-        // by ≤ 2·|delta| centroid ids — the same bound its broadcast
-        // relies on — and the publish needs the values driver-side for
-        // its partition DDL anyway.
-        val (affected, affectedRows) = Ann.ivfIndexUpsertParts(
-          s.table(tbl), prev, curr, cents,
-          "vec_id", "embedding", "vec_id", "embedding")
-        val affSet = affected.collect().map(_.getLong(0).toString).toSet
-        val tbl2 = tbl + "_v2"
-        graft.sources.ParquetSink.publishPartitionSwap(s, tbl, tbl2,
-          "centroid_id", affSet, affectedRows, sortCols = Seq("vec_id"))
-        s.table(tbl2).select(col("vec_id"), col("centroid_id"))
+        ivfUpsertApply(s, tbl, prev, curr, cents)
       },
       Some(s"""WITH prev AS (SELECT vec_id,
         |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
@@ -5514,87 +5653,7 @@ object Queries {
         // delta apply, not yesterday's index build
         val nParts = dedupUpsertParts(docs.count())
         ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl, nParts)
-        // snapshot diff on (doc_id, xxhash64(text)) — ONE full-outer pk
-        // join shuffling 8 BYTES per doc instead of the document bodies
-        // (the CDC content-hash trick; at 100 TB the text shuffle IS
-        // the diff's cost — sf100 measured ~30 s of the warm apply in
-        // it). Equality-by-hash rests on the same corpus-wide
-        // no-collision argument every hash-keyed dedup oracle here
-        // uses. The touched slice is delta-sized, so the eager cut
-        // keeps every downstream consumer (stale anti-joins, delta
-        // banding, re-closure seeds, all three publishes) off the
-        // corpus plan.
-        val diff = prev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
-          .join(curr.select(col("doc_id"), xxhash64(col("text")).as("ch")),
-            Seq("doc_id"), "full_outer")
-        val touched = diff.filter(!(col("ph") <=> col("ch")))
-          .select("doc_id", "ph", "ch").localCheckpoint(true)
-        val changed = touched.filter(col("ch").isNotNull).select("doc_id")
-        val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
-          .select("doc_id")
-        val (stale, bandedChanged, added) = TextDedup.upsertLshPairsParts(
-          s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
-          curr, changed, removed,
-          "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
-        val p = lit(nParts)
-        val sink = graft.sources.ParquetSink
-
-        // PAIRS publish: a base pair leaves iff either endpoint is stale,
-        // so the affected partitions are those of stale-touching base
-        // pairs (two column-pruned scans of the 3-col standing table
-        // with a broadcast semi-join — read-only, nothing rewritten)
-        // plus the added pairs' own partitions. Partition values collect
-        // bounded by the partition count.
-        val pairsBase = s.table(pairsTbl)
-        val staleA = stale.select(col("doc_id").as("doc_a"))
-        val staleB = stale.select(col("doc_id").as("doc_b"))
-        val affPairParts = pairsBase
-          .join(broadcast(staleA), Seq("doc_a"), "left_semi").select("pa_part")
-          .unionByName(pairsBase.join(broadcast(staleB), Seq("doc_b"),
-            "left_semi").select("pa_part"))
-          .unionByName(added.select(pmod(col("doc_a"), p).as("pa_part")))
-          .distinct().collect().map(_.getLong(0)).toSet
-        val pairsDelta = pairsBase
-          .filter(col("pa_part").isInCollection(affPairParts))
-          .join(broadcast(staleA), Seq("doc_a"), "left_anti")
-          .join(broadcast(staleB), Seq("doc_b"), "left_anti")
-          .unionByName(added.withColumn("pa_part", pmod(col("doc_a"), p)))
-        sink.publishPartitionSwap(s, pairsTbl, pairsTbl + "_v2", "pa_part",
-          affPairParts.map(_.toString), pairsDelta,
-          sortCols = Seq("doc_a", "doc_b"))
-
-        // BANDED publish: keys live in their OWN doc's partition, so the
-        // affected set comes from the stale ids alone — no base scan.
-        val affBandParts = stale.select(pmod(col("doc_id"), p).as("dk_part"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        val bandedDelta = s.table(lshTbl)
-          .filter(col("dk_part").isInCollection(affBandParts))
-          .join(broadcast(stale), Seq("doc_id"), "left_anti")
-          .unionByName(bandedChanged.withColumn("dk_part",
-            pmod(col("doc_id"), p)))
-        sink.publishPartitionSwap(s, lshTbl, lshTbl + "_v2", "dk_part",
-          affBandParts.map(_.toString), bandedDelta,
-          sortCols = Seq("doc_id", "band"))
-
-        // CLUSTERS publish: membership changes only inside the affected
-        // doc set (touched components + seeds — upsertClustersParts'
-        // contract), so those docs' partitions are exactly the affected
-        // set. The re-close reads the just-published pairs version.
-        val seeds = changed.unionByName(removed)
-          .unionByName(added.select(col("doc_a").as("doc_id")))
-          .unionByName(added.select(col("doc_b").as("doc_id")))
-        val (affDocs, reclosed) = Clustering.upsertClustersParts(
-          s.table(clusTbl).drop("dc_part"),
-          s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
-        val affClusParts = affDocs.select(pmod(col("doc_id"), p).as("dc_part"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        val clusDelta = s.table(clusTbl)
-          .filter(col("dc_part").isInCollection(affClusParts))
-          .join(broadcast(affDocs), Seq("doc_id"), "left_anti")
-          .unionByName(reclosed.withColumn("dc_part", pmod(col("doc_id"), p)))
-        sink.publishPartitionSwap(s, clusTbl, clusTbl + "_v2", "dc_part",
-          affClusParts.map(_.toString), clusDelta, sortCols = Seq("doc_id"))
-        s.table(clusTbl + "_v2").select("doc_id", "cluster_id")
+        dedupUpsertApply(s, pairsTbl, lshTbl, clusTbl, prev, curr, nParts)
       },
       Some(s"""WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -5876,24 +5935,7 @@ object Queries {
         val (prev, curr, cents) = upsertEmbCorpora(s, d)
         val ivfBase = ensureIvfUpsertBase(s, d, prev, cents)
         val edgeBase = ensureKnnUpsertBase(s, d, prev, cents)
-        val currIdx = Ann.ivfIndexUpsert(s.table(ivfBase), prev, curr, cents,
-          "vec_id", "embedding", "vec_id", "embedding")
-        // DELTA-COST PUBLISH (the ann_ivf_index_upsert discipline): only
-        // affected buckets' edges are recomputed AND written; unaffected
-        // partitions carry over as in-place file references. Bounded
-        // collect: ≤ 2·|delta| centroid ids, needed driver-side for the
-        // partition DDL.
-        val (affected, recomputed) = Ann.knnEdgeIndexUpsertParts(
-          s.table(edgeBase), currIdx, prev, curr, cents,
-          "vec_id", "embedding", "vec_id", "embedding", k = 3)
-        val affSet = affected.collect().map(_.getLong(0).toString).toSet
-        val tbl2 = edgeBase + "_v2"
-        graft.sources.ParquetSink.publishPartitionSwap(s, edgeBase, tbl2,
-          "centroid_id", affSet, recomputed,
-          sortCols = Seq("query_id", "rank"))
-        s.table(tbl2)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            col("cosine"))
+        knnUpsertApply(s, ivfBase, edgeBase, prev, curr, cents)
       },
       Some(s"""WITH prev AS (SELECT vec_id,
         |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
