@@ -235,29 +235,6 @@ object ParquetSink {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
 
-  /** Publishes the NEW VERSION of a maintained, partitioned standing
-    * index at DELTA cost — the partition-location swap: only the
-    * affected partitions' rows are written (to a fresh delta directory);
-    * `v2Table` is then created as an external partitioned table whose
-    * unaffected partitions POINT AT the base table's directories and
-    * whose affected partitions point at the delta directory. Unaffected
-    * partition files are never read, rewritten, or copied — they are
-    * byte-identical by construction (spec-proven) — so publish cost is
-    * O(affected partitions), not O(corpus). Affected partitions whose
-    * new content is EMPTY simply get no partition entry (the
-    * all-members-deleted bucket). This is the parquet-native form of
-    * what snapshot table formats do with manifest swaps: a new table
-    * version referencing unchanged data files in place.
-    *
-    * @param baseTable the standing index ([[writePartitionedSnapshot]])
-    * @param affected  partition values whose content changed (rendered
-    *                  as the directory-name string, e.g. "104");
-    *                  delta-bounded by the maintenance operator's
-    *                  contract
-    * @param deltaRows the new content of ALL affected partitions
-    *                  (must carry `partCol`; rows only for values in
-    *                  `affected`)
-    */
   /** SQL string literal with quote/backslash escaping — partition values
     * and locations are interpolated into DDL, so a value containing a
     * quote must not break (or worse, redirect) the statement.
@@ -359,18 +336,36 @@ object ParquetSink {
   }
 
   /** Publishes the NEW VERSION of a maintained, partitioned standing
-    * index at DELTA cost — see the class doc above
-    * [[writePartitionedSnapshot]]. Crash/republish discipline: each
-    * publish writes into fresh GENERATION-numbered delta/root
-    * directories and registers the full partition map on a STAGING
-    * table; the catalog re-point (drop old `v2Table`, rename staging)
-    * is the LAST step, so a failure mid-publish leaves the previous
-    * version's files and ledger intact (rerun to recover — the staging
-    * name is reclaimed). Single-writer per index is assumed, as with
-    * any snapshot-format commit.
+    * index at DELTA cost — the partition-location swap: only the
+    * affected partitions' rows are written (to a fresh delta directory);
+    * `v2Table` is then created as an external partitioned table whose
+    * unaffected partitions POINT AT the base table's directories and
+    * whose affected partitions point at the delta directory. Unaffected
+    * partition files are never read, rewritten, or copied — byte-
+    * identical by construction (spec-proven) — so publish cost is
+    * O(affected partitions), not O(corpus). Affected partitions whose
+    * new content is EMPTY simply get no partition entry (the
+    * all-members-deleted bucket). This is the parquet-native form of
+    * what snapshot table formats do with manifest swaps: a new table
+    * version referencing unchanged data files in place.
     *
+    * Crash/republish discipline: each publish writes into fresh
+    * GENERATION-numbered delta/root directories and registers the full
+    * partition map on a STAGING table; the catalog re-point (drop old
+    * `v2Table`, rename staging) is the LAST step, so a failure
+    * mid-publish leaves the previous version's files and ledger intact
+    * (rerun to recover — the staging name is reclaimed). Single-writer
+    * per index is assumed, as with any snapshot-format commit.
+    *
+    * @param baseTable the standing index ([[writePartitionedSnapshot]]
+    *                  layout, or a previously published version —
+    *                  partitions resolve from the catalog)
     * @param affected  partition values (UNESCAPED strings) whose content
-    *                  changed; deltaRows must stay within them (asserted)
+    *                  changed; delta-bounded by the maintenance
+    *                  operator's contract, and deltaRows must stay
+    *                  within them (asserted)
+    * @param deltaRows the new content of ALL affected partitions (must
+    *                  carry `partCol`)
     * @param sortCols  within-partition sort of the delta rows, matching
     *                  [[writePartitionedSnapshot]]'s layout
     */
