@@ -1174,21 +1174,24 @@ object Queries {
     s.table(tbl2).select(col("vec_id"), col("centroid_id"))
   }
 
-  /** `knn_graph_index_upsert`'s APPLY body: maintained assignments
-    * (lazy ivfIndexUpsert over the standing IVF base) feed the edge
-    * carry-over parts; affected buckets recompute bucket-locally and
-    * publish via the swap.
+  /** `knn_graph_index_upsert`'s APPLY body: ONE snapshot-diff pass
+    * serves everything — the IVF parts' affected set is derived by the
+    * identical formula the edge parts would use (buckets of the
+    * leaving ∪ incoming assignments at the frozen centroids), and the
+    * IVF parts' affectedRows ARE exactly the affected buckets' member
+    * rows of the maintained assignment index, so the edge recompute
+    * consumes them directly instead of re-running the corpus diff and
+    * assignment probes a second time.
     */
   private[graft] def knnUpsertApply(s: SparkSession, ivfBase: String,
       edgeBase: String, prev: DataFrame, curr: DataFrame, cents: DataFrame,
       t: PhaseTimer = NoTimer): DataFrame = {
-    val currIdx = Ann.ivfIndexUpsert(s.table(ivfBase), prev, curr, cents,
-      "vec_id", "embedding", "vec_id", "embedding")
     val (affSet, recomputed) = t("parts_compute") {
-      val (affected, rows) = Ann.knnEdgeIndexUpsertParts(s.table(edgeBase),
-        currIdx, prev, curr, cents, "vec_id", "embedding", "vec_id",
-        "embedding", k = 3)
-      (affected.collect().map(_.getLong(0).toString).toSet, rows)
+      val (affected, affectedRows) = Ann.ivfIndexUpsertParts(
+        s.table(ivfBase), prev, curr, cents,
+        "vec_id", "embedding", "vec_id", "embedding")
+      (affected.collect().map(_.getLong(0).toString).toSet,
+        Ann.knnEdgeRecompute(affectedRows, k = 3))
     }
     val tbl2 = edgeBase + "_v2"
     t("publish_swap") {

@@ -43,6 +43,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of the entries this run ATTEMPTED, recorded WITH the run
+    // artifacts: the checker distinguishes "not in this run's subset"
+    // (skip) from "attempted but wrote no output" (a crashed entry —
+    // FAIL) without depending on the checker's own environment still
+    // carrying the subset variable.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      SparkEntry.queries.keys.filter(keep).toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -733,6 +733,18 @@ object Ann {
       eagerCheckpoint)
     val bucketRows = currIdx
       .join(broadcast(affected), Seq("centroid_id"), "left_semi")
+    (affected, knnEdgeRecompute(bucketRows, k))
+  }
+
+  /** Recomputes the kNN edges of a set of buckets from their member
+    * rows `(vec_id, v, centroid_id)` — the recompute tail of
+    * [[knnEdgeIndexUpsertParts]], exposed so a caller already holding
+    * the affected buckets' rows (e.g. [[ivfIndexUpsertParts]]'s
+    * affectedRows, which ARE exactly those rows since both parts forms
+    * derive the same affected set) can skip a second snapshot-diff
+    * pass. Bucket-local self-join + bounded-heap top-k.
+    */
+  def knnEdgeRecompute(bucketRows: DataFrame, k: Int): DataFrame = {
     val scored = bucketRows
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
       .join(bucketRows
@@ -740,12 +752,11 @@ object Ann {
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_raw", cosine(col("qv"), col("nv")))
-    val recomputed = org.apache.spark.sql.graft.TopKPerGroup(scored,
+    org.apache.spark.sql.graft.TopKPerGroup(scored,
         Seq(col("query_id")), Seq(col("cos_raw").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         round(col("cos_raw"), 4).as("cosine"), col("centroid_id"))
-    (affected, recomputed)
   }
 
   /** One round of k-NN label spreading over the [[knnGraph]]: each vector
@@ -899,6 +910,13 @@ object Ann {
     // every removed/changed row lies inside an affected bucket, making
     // (base − affected buckets) ∪ affectedRows ≡ (base − removed) ∪
     // freshly-assigned incoming.
+    // PRECONDITION (part of the index contract, now load-bearing for
+    // removal too): base.centroid_id must equal ivfAssign of each row's
+    // prev vector at `centroids` — true of every index this library
+    // builds (ivfAssign-derived, maintained at frozen centroids). A
+    // base whose stored assignments drifted from that function could
+    // keep a deleted row alive in an unaffected bucket; rebuild such an
+    // index rather than upserting it.
     val (affected, affectedRows) = ivfIndexUpsertParts(base, prevEmb,
       currEmb, centroids, idCol, vecCol, centroidIdCol, centroidVecCol)
     base.join(broadcast(affected), Seq("centroid_id"), "left_anti")

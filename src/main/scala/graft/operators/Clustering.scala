@@ -250,11 +250,17 @@ object Clustering {
     * anti-join.
     */
   def upsertClusters(prevClusters: DataFrame, pairs: DataFrame,
-                     seedIds: DataFrame): DataFrame = {
+                     seedIds: DataFrame,
+                     eagerCheckpoint: Boolean = true): DataFrame = {
     // Composed from the parts split, so the rebuild-equality oracle and
     // the poisoned-bucket carry-over spec gate the split form the
-    // delta-cost publish consumes.
-    val (affDocs, reclosed) = upsertClustersParts(prevClusters, pairs, seedIds)
+    // delta-cost publish consumes. EXECUTION SEMANTICS: with the
+    // default eagerCheckpoint the affected-doc set runs Spark jobs AT
+    // CALL TIME (the upsertLshPairs convention — see its scaladoc for
+    // the lineage/fault-tolerance tradeoff); pass false for lazy
+    // composition.
+    val (affDocs, reclosed) =
+      upsertClustersParts(prevClusters, pairs, seedIds, eagerCheckpoint)
     prevClusters.join(affDocs, Seq("doc_id"), "left_anti")
       .select("doc_id", "cluster_id")
       .unionByName(reclosed)
@@ -267,16 +273,20 @@ object Clustering {
     * docs and references the rest in place is row-identical to the
     * union form. `affDocs` is delta-sized and eagerly checkpointed — it
     * feeds the affected-partition list, the carry-over anti-join, and
-    * the re-close, and its upstream is a corpus-sized semi-join.
+    * the re-close, and its upstream is a corpus-sized semi-join
+    * (eagerCheckpoint = false composes lazily, re-executing that
+    * upstream per consumer).
     */
   def upsertClustersParts(prevClusters: DataFrame, pairs: DataFrame,
-                          seedIds: DataFrame): (DataFrame, DataFrame) = {
+                          seedIds: DataFrame,
+                          eagerCheckpoint: Boolean = true)
+      : (DataFrame, DataFrame) = {
     val seeds = seedIds.select(col("doc_id")).distinct()
     val affClusters = prevClusters.join(seeds, Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
-    val affDocs = prevClusters.join(affClusters, Seq("cluster_id"), "left_semi")
+    val affDocs0 = prevClusters.join(affClusters, Seq("cluster_id"), "left_semi")
       .select("doc_id").unionByName(seeds).distinct()
-      .localCheckpoint(true)
+    val affDocs = if (eagerCheckpoint) affDocs0.localCheckpoint(true) else affDocs0
     val affPairs = pairs.join(affDocs.select(col("doc_id").as("doc_a")),
       Seq("doc_a"), "left_semi")
     val reclosed = dedupClusters(affPairs, "doc_a", "doc_b")

@@ -405,16 +405,23 @@ object ParquetSink {
       }.mkString(" ")
       spark.sql(s"ALTER TABLE `$stage` ADD $specs")
     }
+    // Protect the kept directories BEFORE the commit: if the publish
+    // dies between the re-point and the final ledger write, the staged
+    // ledger still guards the base dirs the new version references (the
+    // guard honors ANY ledger file, live table or not; a rerun
+    // overwrites it).
+    val owned = Set(qualified(spark, deltaRoot).toString,
+      qualified(spark, v2Root).toString)
+    val foreignRefs = (keptParts ++ deltaParts).values.filterNot(p =>
+      owned.contains(qualified(spark, p).toString))
+    writeRefs(spark, stage, foreignRefs)
     // THE COMMIT: re-point the name, then advance the ledger and GC the
     // superseded generations this version owned (skipping any a chained
     // version still references).
     spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
     spark.sql(s"ALTER TABLE `$stage` RENAME TO `$v2Table`")
-    val owned = Set(qualified(spark, deltaRoot).toString,
-      qualified(spark, v2Root).toString)
-    writeRefs(spark, v2Table,
-      (keptParts ++ deltaParts).values.filterNot(p =>
-        owned.contains(qualified(spark, p).toString)))
+    writeRefs(spark, v2Table, foreignRefs)
+    fs.delete(refsPath(spark, stage), false)
     generations(spark, v2Table).filter(_ < gen).foreach { g =>
       deleteUnlessReferenced(spark,
         tableLocation(spark, s"${v2Table}_delta_g$g"), Some(v2Table))
@@ -500,8 +507,10 @@ object ParquetSink {
       tableLocation(spark, s"${v2Table}_g$g"))) :+ tableLocation(spark, v2Table)
     dirs.foreach(guardReferenced(spark, _, Some(v2Table)))
     spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${v2Table}__stage`")
     val fs = dirs.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(refsPath(spark, v2Table), false)
+    fs.delete(refsPath(spark, v2Table + "__stage"), false)
     dirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
   }
 

@@ -32,8 +32,10 @@ object Probe {
       // Files.copy of a directory copies an empty dir)
       if (java.nio.file.Files.isDirectory(target)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(target)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       } else java.nio.file.Files.deleteIfExists(target)
       if (java.nio.file.Files.isDirectory(source))
         spark.read.parquet(source.toString)

@@ -43,10 +43,21 @@ class KnnComponentsGateSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       body
-      Thread.sleep(1500) // listener bus is async; let the events land
+      // the listener bus is async and a fixed sleep is racy either way
+      // (late TopKPerGroup events would make the NO-derivation assert
+      // pass vacuously). Drain deterministically: post a SENTINEL action
+      // from this same thread — the bus is FIFO, so once the sentinel's
+      // event is visible every earlier event has been delivered.
+      spark.range(7777001).filter(col("id") === 7777000L).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.toArray.exists(_.toString.contains("7777001")) &&
+             System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(plans.toArray.exists(_.toString.contains("7777001")),
+        "sentinel event never arrived — listener bus drain failed")
     } finally spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
-    plans.asScala.toSeq
+    plans.asScala.toSeq.filterNot(_.contains("7777001"))
   }
 
   test("knn_components runs zero edge-derivation stages, reads the standing index") {

@@ -41,15 +41,23 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # A missing output is only "not run" when a SPARK_GRAFT_ONLY subset
-    # says the entry wasn't attempted; otherwise it means the entry
-    # CRASHED mid-dump and must fail the gate, not silently skip.
-    subset_env = os.environ.get("SPARK_GRAFT_ONLY", "")
-    subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+    # A missing output is only "not run" when the entry wasn't ATTEMPTED;
+    # otherwise it means the entry CRASHED mid-dump and must fail the
+    # gate, not silently skip. The attempted set comes from the manifest
+    # Verify writes WITH the run artifacts (so re-scoring from a fresh
+    # shell works); the SPARK_GRAFT_ONLY env is the legacy fallback for
+    # output dirs predating the manifest.
+    manifest = f"{out_dir}/attempted.json"
+    if os.path.exists(manifest):
+        attempted = set(json.load(open(manifest)))
+    else:
+        subset_env = os.environ.get("SPARK_GRAFT_ONLY", "")
+        subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+        attempted = subset if subset else None  # None = all attempted
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.exists(f"{out_dir}/{name}"):
-            if subset and name not in subset:
+            if attempted is not None and name not in attempted:
                 print(f"skip {name}: no output (not in this run's subset)")
                 skipped += 1
                 continue
