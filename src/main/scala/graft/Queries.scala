@@ -1140,17 +1140,12 @@ object Queries {
     pw
   }
 
-  /** Phase-timing hook for the maintenance APPLY bodies below: the
-    * entries run them un-timed ([[NoTimer]]), `graft.tools.SwapProbe`
-    * runs the SAME bodies with a wall-clock timer per phase — one code
-    * path, so the probe can never drift from what the entries ship.
+  /** Phase-timing hook for the maintenance APPLY bodies below — the
+    * top-level [[graft.PhaseTimer]], re-exported so existing callers
+    * (`graft.tools.SwapProbe`) keep addressing it as `Queries.PhaseTimer`.
     */
-  private[graft] trait PhaseTimer {
-    def apply[A](label: String)(f: => A): A
-  }
-  private[graft] object NoTimer extends PhaseTimer {
-    def apply[A](label: String)(f: => A): A = f
-  }
+  private[graft] type PhaseTimer = graft.PhaseTimer
+  private[graft] val NoTimer = graft.NoTimer
 
   /** `ann_ivf_index_upsert`'s APPLY body (standing base ensured by the
     * caller): carry-over parts → partition-location-swap publish →

@@ -21,13 +21,6 @@ object Verify {
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
     def keep(name: String): Boolean = only.isEmpty || only(name)
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,17 +33,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of the entries this run ATTEMPTED, recorded WITH the run
-    // artifacts: the checker distinguishes "not in this run's subset"
-    // (skip) from "attempted but wrote no output" (a crashed entry —
-    // FAIL) without depending on the checker's own environment still
-    // carrying the subset variable.
+    // Manifest of the entries this run WILL ATTEMPT, recorded WITH the
+    // run artifacts: the checker distinguishes "not in this run's
+    // subset" (skip) from "attempted but wrote no output" (a crashed
+    // entry — FAIL) without depending on the checker's own environment
+    // still carrying the subset variable. Written BEFORE the entry loop
+    // (the attempted set is known up front), so a hard JVM death
+    // mid-loop (OOM/kill) still leaves the manifest and the crashed
+    // entries score as FAIL instead of every non-subset entry of a
+    // subset run being mis-flagged from a fresh shell.
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
       SparkEntry.queries.keys.filter(keep).toSeq.sorted
         .map(q).mkString("[", ",", "]"))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -676,6 +676,13 @@ object Ann {
     * base table serves without a shuffle; the recompute pays
     * Σ bucket² over AFFECTED buckets only.
     *
+    * Inherits both of [[ivfIndexUpsert]]'s contract assumptions: the
+    * snapshot diff compares `xxhash64(vector)` (a 64-bit old/new
+    * collision reads as unchanged and skips that update — negligible,
+    * but a semantic departure from exact comparison), and the
+    * maintained assignment index must be ivfAssign-consistent at the
+    * frozen centroids.
+    *
     * @param base    standing edge relation WITH centroid —
     *                [[knnGraphWithCentroid]] of the previous corpus
     * @param currIdx the maintained IVF index of the NEW corpus at the
@@ -899,6 +906,23 @@ object Ann {
     * slice 0 = base assignment, slice 1 = upserted assignment and
     * retrain when bucket-mean cosines sag (spec demonstrates the
     * composition).
+    *
+    * Two assumptions callers inherit (both part of the maintained-index
+    * contract, stated here because the composed forms below rely on
+    * them):
+    * (1) the snapshot diff compares `xxhash64(vector)` — a 64-bit
+    * old/new hash collision on one id reads as "unchanged" and silently
+    * skips that update (later diffs compare the same hashes, so it is
+    * never revisited). Probability is negligible at any real corpus
+    * size — the same no-collision argument every hash-keyed oracle in
+    * this library rests on — but callers needing exact comparison must
+    * diff vectors themselves and feed I/U/D sets directly.
+    * (2) `base.centroid_id` must equal [[ivfAssign]] of each row's prev
+    * vector at `centroids` — true of every index this library builds
+    * (ivfAssign-derived, maintained at frozen centroids). A base whose
+    * stored assignments drifted from that function could keep a deleted
+    * row alive in an unaffected bucket; REBUILD such an index rather
+    * than upserting it.
     */
   def ivfIndexUpsert(base: DataFrame, prevEmb: DataFrame, currEmb: DataFrame,
                      centroids: DataFrame, idCol: String, vecCol: String,
@@ -906,17 +930,10 @@ object Ann {
     // Composed from the parts split (the knnEdgeIndexUpsert pattern), so
     // the entry's rebuild oracle gates BOTH forms: carry-over is exact
     // because a removed row's stored assignment equals the deterministic
-    // re-assignment of its old vector at the frozen centroids — i.e.
-    // every removed/changed row lies inside an affected bucket, making
-    // (base − affected buckets) ∪ affectedRows ≡ (base − removed) ∪
-    // freshly-assigned incoming.
-    // PRECONDITION (part of the index contract, now load-bearing for
-    // removal too): base.centroid_id must equal ivfAssign of each row's
-    // prev vector at `centroids` — true of every index this library
-    // builds (ivfAssign-derived, maintained at frozen centroids). A
-    // base whose stored assignments drifted from that function could
-    // keep a deleted row alive in an unaffected bucket; rebuild such an
-    // index rather than upserting it.
+    // re-assignment of its old vector at the frozen centroids (scaladoc
+    // assumption 2) — i.e. every removed/changed row lies inside an
+    // affected bucket, making (base − affected buckets) ∪ affectedRows
+    // ≡ (base − removed) ∪ freshly-assigned incoming.
     val (affected, affectedRows) = ivfIndexUpsertParts(base, prevEmb,
       currEmb, centroids, idCol, vecCol, centroidIdCol, centroidVecCol)
     base.join(broadcast(affected), Seq("centroid_id"), "left_anti")
@@ -924,24 +941,6 @@ object Ann {
       .unionByName(affectedRows)
   }
 
-  /** [[ivfIndexUpsert]] split at its carry-over boundary for the
-    * DELTA-COST PUBLISH: (affected centroid ids, the new full content of
-    * exactly those buckets). A bucket is affected when a changed id maps
-    * into it under its OLD or NEW vector — the old-side probe re-assigns
-    * the leaving vectors at the same frozen centroids, which reproduces
-    * the stored assignment exactly (assignment is a deterministic
-    * function of vector × frozen centroid set, tie-broken on centroid
-    * id). Affected-bucket content = the base rows of those buckets minus
-    * removed/changed ids, plus the freshly assigned incoming rows; rows
-    * of every other bucket are untouched by the diff, so a publish that
-    * references their files in place is row-identical to
-    * [[ivfIndexUpsert]] (oracle-gated through the entry).
-    *
-    * Scale shape: both probes and the anti-join sets are delta-sized at
-    * broadcast centroids; the base-side read of affected buckets prunes
-    * to affected partitions when `base` is the partitioned standing
-    * table (isin on the partition key pushes to partition pruning).
-    */
   /** The (inserts ∪ updates ∪ deletes) slice of an embedding snapshot
     * diff, CONTENT-HASHED: the full-outer pk join compares
     * xxhash64(vector) — 8 bytes per row cross the corpus-sized diff
@@ -988,6 +987,26 @@ object Ann {
   private def localCut(df: DataFrame, eager: Boolean): DataFrame =
     if (eager) df.localCheckpoint(true) else df
 
+  /** [[ivfIndexUpsert]] split at its carry-over boundary for the
+    * DELTA-COST PUBLISH: (affected centroid ids, the new full content of
+    * exactly those buckets). A bucket is affected when a changed id maps
+    * into it under its OLD or NEW vector — the old-side probe re-assigns
+    * the leaving vectors at the same frozen centroids, which reproduces
+    * the stored assignment exactly (assignment is a deterministic
+    * function of vector × frozen centroid set, tie-broken on centroid
+    * id). Affected-bucket content = the base rows of those buckets minus
+    * removed/changed ids, plus the freshly assigned incoming rows; rows
+    * of every other bucket are untouched by the diff, so a publish that
+    * references their files in place is row-identical to
+    * [[ivfIndexUpsert]] (oracle-gated through the entry). Inherits both
+    * of [[ivfIndexUpsert]]'s contract assumptions (hash-compared diff,
+    * ivfAssign-consistent stored assignments).
+    *
+    * Scale shape: both probes and the anti-join sets are delta-sized at
+    * broadcast centroids; the base-side read of affected buckets prunes
+    * to affected partitions when `base` is the partitioned standing
+    * table (isin on the partition key pushes to partition pruning).
+    */
   def ivfIndexUpsertParts(base: DataFrame, prevEmb: DataFrame,
                           currEmb: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,

@@ -318,6 +318,45 @@ object ParquetSink {
     catch { case _: IllegalStateException => false }
   }
 
+  /** Single-writer publish lock: `warehouse/<v2 table>__publish.lock`,
+    * taken with an atomic create-if-absent before any publish state is
+    * read. Two concurrent publishers of one version name would race the
+    * generation scan and the `__stage` table/ledger names — the second
+    * acquirer is REFUSED instead (the single-writer-per-index contract
+    * of any snapshot-format commit, now detected rather than assumed).
+    * A publisher that dies mid-run leaves its lock behind: recovery is
+    * explicit — delete the lock file, or [[dropIndexVersion]], which
+    * clears it along with the version.
+    */
+  private def publishLockPath(spark: org.apache.spark.sql.SparkSession,
+                              v2Table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      v2Table.toLowerCase + "__publish.lock")
+
+  private def acquirePublishLock(spark: org.apache.spark.sql.SparkSession,
+                                 v2Table: String): org.apache.hadoop.fs.Path = {
+    val p = publishLockPath(spark, v2Table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    // create(overwrite = false) is the CAS: exactly one concurrent
+    // caller wins on any Hadoop filesystem
+    val out = try fs.create(p, false)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot acquire the publish lock for '$v2Table' ($p): a " +
+          "concurrent publish appears to be in progress (publishes are " +
+          "single-writer per index). If the prior publisher crashed, " +
+          "delete the lock file (or dropIndexVersion the version) and " +
+          s"rerun. Underlying: ${e.getMessage}")
+    }
+    try out.write((s"pid=${ProcessHandle.current().pid()} " +
+      s"ts=${System.currentTimeMillis()}").getBytes("UTF-8"))
+    finally out.close()
+    p
+  }
+
   /** Existing generation numbers of `v2Table`'s delta/root directories
     * (`<v2>_delta_g<N>` / `<v2>_g<N>` under the warehouse).
     */
@@ -355,7 +394,13 @@ object ParquetSink {
     * `v2Table`, rename staging) is the LAST step, so a failure
     * mid-publish leaves the previous version's files and ledger intact
     * (rerun to recover — the staging name is reclaimed). Single-writer
-    * per index is assumed, as with any snapshot-format commit.
+    * per index is ENFORCED, not assumed: a warehouse lock file taken
+    * with an atomic create-if-absent refuses a second concurrent
+    * publisher (see [[acquirePublishLock]]); a crashed publisher's lock
+    * is cleared by deleting the file or [[dropIndexVersion]]. The
+    * commit also persists a per-version partition MANIFEST, so the
+    * published version survives JVM restarts via
+    * [[adoptPublishedVersion]] instead of needing a republish.
     *
     * @param baseTable the standing index ([[writePartitionedSnapshot]]
     *                  layout, or a previously published version —
@@ -373,60 +418,218 @@ object ParquetSink {
                            baseTable: String, v2Table: String,
                            partCol: String, affected: Set[String],
                            deltaRows: DataFrame,
-                           sortCols: Seq[String] = Nil): Unit = {
+                           sortCols: Seq[String] = Nil,
+                           timer: graft.PhaseTimer = graft.NoTimer): Unit = {
     require(baseTable.toLowerCase != v2Table.toLowerCase,
       "publish target must differ from the base table")
+    val lock = acquirePublishLock(spark, v2Table)
+    try publishPartitionSwapLocked(spark, baseTable, v2Table, partCol,
+      affected, deltaRows, sortCols, timer)
+    finally lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+  }
+
+  private def publishPartitionSwapLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, v2Table: String,
+      partCol: String, affected: Set[String],
+      deltaRows: DataFrame, sortCols: Seq[String],
+      timer: graft.PhaseTimer): Unit = {
+    val t = timer
     val fsConf = spark.sparkContext.hadoopConfiguration
     val gen = generations(spark, v2Table).lastOption.getOrElse(0) + 1
     val deltaRoot = tableLocation(spark, s"${v2Table}_delta_g$gen")
     val v2Root = tableLocation(spark, s"${v2Table}_g$gen")
     val fs = deltaRoot.getFileSystem(fsConf)
-    deltaRows.repartition(col(partCol))
-      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
-      .parquet(deltaRoot.toString)
+    t("delta_write") {
+      deltaRows.repartition(col(partCol))
+        .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(deltaRoot.toString)
+    }
     // v2 = (base partitions − affected) in place ∪ delta partitions
-    val keptParts = partitionLocations(spark, baseTable, partCol) -- affected
-    val deltaParts = partitionDirs(spark, deltaRoot, partCol)
+    val (keptParts, deltaParts) = t("resolve_parts") {
+      val kept = partitionLocations(spark, baseTable, partCol) -- affected
+      val fresh = partitionDirs(spark, deltaRoot, partCol)
+      (kept, fresh)
+    }
     val strayParts = deltaParts.keySet -- affected
     require(strayParts.isEmpty,
       s"deltaRows contain partition values outside `affected` — they would " +
       s"shadow kept partitions: ${strayParts.toSeq.sorted.take(5).mkString(", ")}")
     val stage = v2Table + "__stage"
-    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
-    val dataCols = deltaRows.schema.fields.filterNot(_.name == partCol)
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    val partType = deltaRows.schema(partCol).dataType.sql
-    spark.sql(s"""CREATE TABLE `$stage` ($dataCols, `$partCol` $partType)
-      USING PARQUET PARTITIONED BY (`$partCol`) LOCATION ${sqlLit(v2Root.toString)}""")
-    (keptParts ++ deltaParts).toSeq.grouped(500).foreach { chunk =>
-      val specs = chunk.map { case (v, p) =>
-        s"PARTITION (`$partCol`=${sqlLit(v)}) LOCATION ${sqlLit(p.toString)}"
-      }.mkString(" ")
-      spark.sql(s"ALTER TABLE `$stage` ADD $specs")
+    t("stage_ddl") {
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      // the v2 root itself stays EMPTY by construction (every partition
+      // points elsewhere) but must physically exist: Spark's
+      // FileStreamSink metadata probe resolves it on every read of the
+      // published table and logs a full FileNotFoundException stack
+      // per resolution when it is missing
+      fs.mkdirs(v2Root)
+      val dataCols = deltaRows.schema.fields.filterNot(_.name == partCol)
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val partType = deltaRows.schema(partCol).dataType.sql
+      spark.sql(s"""CREATE TABLE `$stage` ($dataCols, `$partCol` $partType)
+        USING PARQUET PARTITIONED BY (`$partCol`) LOCATION ${sqlLit(v2Root.toString)}""")
+      (keptParts ++ deltaParts).toSeq.grouped(500).foreach { chunk =>
+        val specs = chunk.map { case (v, p) =>
+          s"PARTITION (`$partCol`=${sqlLit(v)}) LOCATION ${sqlLit(p.toString)}"
+        }.mkString(" ")
+        spark.sql(s"ALTER TABLE `$stage` ADD $specs")
+      }
     }
-    // Protect the kept directories BEFORE the commit: if the publish
-    // dies between the re-point and the final ledger write, the staged
-    // ledger still guards the base dirs the new version references (the
-    // guard honors ANY ledger file, live table or not; a rerun
-    // overwrites it).
-    val owned = Set(qualified(spark, deltaRoot).toString,
-      qualified(spark, v2Root).toString)
-    val foreignRefs = (keptParts ++ deltaParts).values.filterNot(p =>
-      owned.contains(qualified(spark, p).toString))
-    writeRefs(spark, stage, foreignRefs)
-    // THE COMMIT: re-point the name, then advance the ledger and GC the
-    // superseded generations this version owned (skipping any a chained
-    // version still references).
-    spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
-    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$v2Table`")
-    writeRefs(spark, v2Table, foreignRefs)
-    fs.delete(refsPath(spark, stage), false)
-    generations(spark, v2Table).filter(_ < gen).foreach { g =>
-      deleteUnlessReferenced(spark,
-        tableLocation(spark, s"${v2Table}_delta_g$g"), Some(v2Table))
-      deleteUnlessReferenced(spark,
-        tableLocation(spark, s"${v2Table}_g$g"), Some(v2Table))
+    t("commit") {
+      // Protect the kept directories BEFORE the commit: if the publish
+      // dies between the re-point and the final ledger write, the staged
+      // ledger still guards the base dirs the new version references (the
+      // guard honors ANY ledger file, live table or not; a rerun
+      // overwrites it).
+      val owned = Set(qualified(spark, deltaRoot).toString,
+        qualified(spark, v2Root).toString)
+      val foreignRefs = (keptParts ++ deltaParts).values.filterNot(p =>
+        owned.contains(qualified(spark, p).toString))
+      writeRefs(spark, stage, foreignRefs)
+      // THE COMMIT: re-point the name, then advance the ledger, persist
+      // the version MANIFEST (what a fresh JVM adopts from), and GC the
+      // superseded generations this version owned (skipping any a
+      // chained version still references).
+      spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$v2Table`")
+      writeRefs(spark, v2Table, foreignRefs)
+      fs.delete(refsPath(spark, stage), false)
+      writeVersionManifest(spark, v2Table, gen, partCol,
+        deltaRows.schema(partCol).dataType.sql,
+        deltaRows.schema.fields.filterNot(_.name == partCol),
+        keptParts ++ deltaParts)
+    }
+    t("gc_superseded") {
+      generations(spark, v2Table).filter(_ < gen).foreach { g =>
+        deleteUnlessReferenced(spark,
+          tableLocation(spark, s"${v2Table}_delta_g$g"), Some(v2Table))
+        deleteUnlessReferenced(spark,
+          tableLocation(spark, s"${v2Table}_g$g"), Some(v2Table))
+      }
+    }
+  }
+
+  /** Per-version partition manifest:
+    * `warehouse/<v2 table>__manifest.txt`. The catalog entry a
+    * [[publishPartitionSwap]] creates is in-memory state — it dies with
+    * the JVM — while the version's FILES (delta generations plus the
+    * base partitions it references in place) persist, protected by the
+    * refs ledger. The manifest persists the missing piece: the
+    * `partition value → location` map plus schema and generation, so
+    * [[adoptPublishedVersion]] can re-register the version in a fresh
+    * session WITHOUT re-running maintenance — the parquet-native
+    * equivalent of reopening a snapshot format's table metadata file
+    * (the reference gets this durability from Iceberg's persisted
+    * manifests: /root/reference/glue/sbin/keyspaces/
+    * CQLReplicator.scala:1249-1462). Committed via temp-file + rename
+    * (the SnapshotStore `_MANIFEST` discipline) so readers never see a
+    * torn map; a crash between delete and rename leaves NO manifest,
+    * which reads as "not adoptable" and falls back to republish.
+    */
+  private def manifestPath(spark: org.apache.spark.sql.SparkSession,
+                           tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase + "__manifest.txt")
+
+  private def writeVersionManifest(spark: org.apache.spark.sql.SparkSession,
+                                   v2Table: String, gen: Int,
+                                   partCol: String, partColTypeSql: String,
+                                   dataCols: Seq[org.apache.spark.sql.types.StructField],
+                                   parts: Map[String, org.apache.hadoop.fs.Path]): Unit = {
+    val p = manifestPath(spark, v2Table)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".__tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition values hide behind the same %XX escaping the hive dir
+    // names use (covers tab/newline/quote), locations are qualified URIs
+    val lines = Seq(
+      "graft-swap-manifest v1",
+      s"generation=$gen",
+      s"partCol=$partCol",
+      s"partColType=$partColTypeSql",
+      s"cols=${dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")}"
+    ) ++ parts.toSeq.sortBy(_._1).map { case (v, loc) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v) + "\t" + qualified(spark, loc).toString
+    }
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Re-registers a swap-published version from its persisted MANIFEST
+    * alone — the fresh-JVM recovery [[adoptPartitionedTable]] cannot
+    * provide (a swap-published table's own root is empty by
+    * construction; its partitions live under prior bases' roots, which
+    * only the manifest records). Returns false — caller republishes —
+    * when no manifest exists, it fails to parse, or any referenced
+    * partition directory has vanished (one `exists` probe per
+    * partition: O(partitions) metadata calls, the floor for validating
+    * any manifest). On success the catalog entry is bit-equivalent to
+    * the one the original publish registered: same root, same
+    * partition→location map, so reads, partition pruning, and chained
+    * publishes behave identically (spec-proven).
+    */
+  def adoptPublishedVersion(spark: org.apache.spark.sql.SparkSession,
+                            v2Table: String): Boolean = {
+    val p = manifestPath(spark, v2Table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val parsed = scala.util.Try {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8").split("\n", -1)
+                  finally in.close()
+      require(lines.head == "graft-swap-manifest v1",
+        s"unknown manifest header: ${lines.head}")
+      def field(i: Int, key: String): String = {
+        require(lines(i).startsWith(key + "="), s"expected $key= at line ${i + 1}")
+        lines(i).stripPrefix(key + "=")
+      }
+      val gen = field(1, "generation").toInt
+      val partCol = field(2, "partCol")
+      val partColType = field(3, "partColType")
+      val cols = field(4, "cols")
+      val parts = lines.drop(5).filter(_.nonEmpty).map { l =>
+        val cut = l.indexOf('\t')
+        require(cut > 0, s"malformed partition line: $l")
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(l.substring(0, cut)) ->
+          new org.apache.hadoop.fs.Path(l.substring(cut + 1))
+      }.toSeq
+      (gen, partCol, partColType, cols, parts)
+    }
+    parsed match {
+      case scala.util.Failure(e) =>
+        // torn/alien manifests read as "not adoptable" (caller
+        // republishes), but say why — silence here cost a debug session
+        System.err.println(
+          s"[parquet-sink] manifest $p unreadable, not adopting: ${e.getMessage}")
+        false
+      case scala.util.Success((gen, partCol, partColType, cols, parts)) =>
+        val missing = parts.find(pt => !fs.exists(pt._2))
+        missing.foreach { pt =>
+          System.err.println(s"[parquet-sink] manifest $p references a " +
+            s"vanished partition directory (${pt._1} -> ${pt._2}); not adopting")
+        }
+        if (missing.nonEmpty) return false
+        val v2Root = tableLocation(spark, s"${v2Table}_g$gen")
+        fs.mkdirs(v2Root) // see the publish-side note on FileStreamSink
+        spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+        spark.sql(s"""CREATE TABLE `$v2Table` ($cols, `$partCol` $partColType)
+          USING PARQUET PARTITIONED BY (`$partCol`)
+          LOCATION ${sqlLit(v2Root.toString)}""")
+        parts.grouped(500).foreach { chunk =>
+          val specs = chunk.map { case (v, loc) =>
+            s"PARTITION (`$partCol`=${sqlLit(v)}) LOCATION ${sqlLit(loc.toString)}"
+          }.mkString(" ")
+          spark.sql(s"ALTER TABLE `$v2Table` ADD $specs")
+        }
+        true
     }
   }
 
@@ -479,9 +682,27 @@ object ParquetSink {
     val loc = tableLocation(spark, tableName)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) return false
-    val leaf = fs.listStatus(loc).iterator
-      .find(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
-    leaf match {
+    val leaves = fs.listStatus(loc)
+      .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+    // Bucket-count sanity: Spark's bucketed writers stamp the bucket id
+    // into each file name (`part-…_00003.c000…`); an id >= `buckets`
+    // PROVES the directory was written under a different CLUSTERED BY
+    // count, and adopting it would serve silently wrong shuffle-free
+    // joins. Necessary-not-sufficient (a 4-bucket dir passes a 16-bucket
+    // check), so callers' fingerprint stamps remain the freshness
+    // authority — this catches the mis-wired-caller class cheaply from
+    // listing already in hand.
+    val bucketIdRe = "_(\\d{5})\\.".r
+    val badId = leaves.iterator
+      .flatMap(f => bucketIdRe.findFirstMatchIn(f.getPath.getName)
+        .map(m => f.getPath.getName -> m.group(1).toInt))
+      .find(_._2 >= buckets)
+    require(badId.isEmpty,
+      s"adoptBucketedTable('$tableName', buckets=$buckets): on-disk file " +
+      s"${badId.map(_._1).getOrElse("")} carries bucket id " +
+      s"${badId.map(_._2).getOrElse(-1)} — the directory was written " +
+      "under a different bucket count; rebuild instead of adopting")
+    leaves.headOption match {
       case None => false
       case Some(f) =>
         val dataCols = spark.read.parquet(f.getPath.toString).schema.fields
@@ -511,6 +732,12 @@ object ParquetSink {
     val fs = dirs.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(refsPath(spark, v2Table), false)
     fs.delete(refsPath(spark, v2Table + "__stage"), false)
+    val mf = manifestPath(spark, v2Table)
+    fs.delete(mf, false)
+    fs.delete(new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".__tmp"), false)
+    // a lock left by a crashed publisher: dropping the version IS the
+    // documented recovery, so clear it here
+    fs.delete(publishLockPath(spark, v2Table), false)
     dirs.foreach(d => if (fs.exists(d)) fs.delete(d, true))
   }
 

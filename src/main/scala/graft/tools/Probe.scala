@@ -53,9 +53,15 @@ object Probe {
           case Seq(one) => one
           case many => greatest(many: _*)
         }
-        val maxKey = base.agg(maxAgg).head().getLong(0)
-        require(maxKey < shift,
-          s"$table max key $maxKey >= replica shift $shift — replicas would overlap")
+        // max over an EMPTY table is NULL, and a non-BIGINT key column
+        // arrives as Int/Decimal — read null-safely via Number (an empty
+        // source trivially cannot overlap, so the guard is vacuous there)
+        val maxRow = base.agg(maxAgg).head()
+        if (!maxRow.isNullAt(0)) {
+          val maxKey = maxRow.getAs[Number](0).longValue
+          require(maxKey < shift,
+            s"$table max key $maxKey >= replica shift $shift — replicas would overlap")
+        }
         val parts = (0 until k).map { i =>
           perturb(keyCols.foldLeft(base) { (d, c) =>
             d.withColumn(c, col(c) + lit(i * shift)) }, i)

@@ -289,6 +289,138 @@ class PartitionSwapSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  /** An EXTERNAL base at the conventional location: `DROP TABLE` then
+    * only forgets the catalog entry (data persists) — the honest
+    * simulation of a JVM restart, where managed-table data also
+    * persists because nothing drops it.
+    */
+  private def mkBaseExternal(tbl: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val loc = ParquetSink.tableLocation(spark, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    if (fs.exists(loc)) fs.delete(loc, true)
+    baseRows.toDF("id", "payload", "bucket")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(loc.toString)
+    assert(ParquetSink.adoptPartitionedTable(spark, tbl, "bucket", "BIGINT"))
+  }
+
+  test("manifest: a published version survives a catalog restart (adopt-by-manifest)") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v3m", "pswap_v2m")
+    mkBaseExternal("pswap_base_m")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_m", "pswap_v2m",
+      "bucket", Set("20"), Seq((9L, "i", 20L)).toDF("id", "payload", "bucket"))
+    val want = asSet("pswap_v2m")
+    val wantFiles = spark.table("pswap_v2m").inputFiles.toSet
+    // simulate the fresh JVM: the in-memory catalog forgets every entry
+    // while data files and sidecar manifests persist
+    spark.sql("DROP TABLE IF EXISTS `pswap_v2m`")
+    spark.sql("DROP TABLE IF EXISTS `pswap_base_m`")
+    assert(ParquetSink.adoptPublishedVersion(spark, "pswap_v2m"),
+      "adopt-by-manifest should succeed with files and manifest intact")
+    // row-identical, SAME underlying files (base partitions still
+    // referenced in place — nothing was copied or rebuilt)
+    assert(asSet("pswap_v2m") === want)
+    assert(spark.table("pswap_v2m").inputFiles.toSet === wantFiles)
+    // partition pruning is alive on the adopted entry
+    val pruned = spark.table("pswap_v2m").filter(col("bucket") === 30L)
+    assert(pruned.inputFiles.forall(_.contains("bucket=30")),
+      s"expected pruning on adopted version, scanned: ${pruned.inputFiles.toSeq}")
+    // and a chained publish can use the ADOPTED version as its base —
+    // the catalog entry the manifest rebuilt is publish-equivalent
+    ParquetSink.publishPartitionSwap(spark, "pswap_v2m", "pswap_v3m",
+      "bucket", Set("10"), Seq((1L, "a2", 10L)).toDF("id", "payload", "bucket"))
+    val wantV3 = want -- Set((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)) +
+      ((1L, "a2", 10L))
+    assert(asSet("pswap_v3m") === wantV3)
+    // the chained version adopts too (its manifest references BOTH the
+    // original base's dirs and v2's delta dirs)
+    spark.sql("DROP TABLE IF EXISTS `pswap_v3m`")
+    assert(ParquetSink.adoptPublishedVersion(spark, "pswap_v3m"))
+    assert(asSet("pswap_v3m") === wantV3)
+    val v3Files = spark.table("pswap_v3m").inputFiles.toSeq
+    assert(v3Files.exists(_.contains("pswap_v2m_delta_g1")), s"got: $v3Files")
+    val baseLoc = ParquetSink.tableLocation(spark, "pswap_base_m").toUri.getPath
+    assert(v3Files.exists(f => new java.net.URI(f).getPath.startsWith(baseLoc)),
+      s"got: $v3Files")
+  }
+
+  test("manifest: adopt refuses when the manifest or referenced files are gone") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2n")
+    mkBase("pswap_base_n")
+    val delta = Seq((9L, "i", 20L)).toDF("id", "payload", "bucket")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_n", "pswap_v2n",
+      "bucket", Set("20"), delta)
+    // dropIndexVersion retires the manifest with the version
+    ParquetSink.dropIndexVersion(spark, "pswap_v2n")
+    assert(!ParquetSink.adoptPublishedVersion(spark, "pswap_v2n"),
+      "a dropped version must not adopt back")
+    // a manifest whose referenced partition dir vanished out-of-band
+    // must NOT register a dangling table
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_n", "pswap_v2n",
+      "bucket", Set("20"), delta)
+    spark.sql("DROP TABLE IF EXISTS `pswap_v2n`")
+    val b10 = new org.apache.hadoop.fs.Path(
+      ParquetSink.tableLocation(spark, "pswap_base_n"), "bucket=10")
+    val fs = b10.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(b10, true)
+    assert(!ParquetSink.adoptPublishedVersion(spark, "pswap_v2n"),
+      "adopt must refuse a manifest pointing at vanished files")
+    reclaim("pswap_v2n")
+  }
+
+  test("publish lock: concurrent publisher refused; success and failure both release") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2l")
+    mkBase("pswap_base_l")
+    val delta = Seq((9L, "i", 20L)).toDF("id", "payload", "bucket")
+    val lock = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "pswap_v2l__publish.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close() // a concurrent publisher holds the lock
+    val ex = intercept[IllegalStateException] {
+      ParquetSink.publishPartitionSwap(spark, "pswap_base_l", "pswap_v2l",
+        "bucket", Set("20"), delta)
+    }
+    assert(ex.getMessage.contains("pswap_v2l") && ex.getMessage.contains("lock"))
+    // recovery path 1: delete the stale lock and rerun
+    fs.delete(lock, false)
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_l", "pswap_v2l",
+      "bucket", Set("20"), delta)
+    assert(!fs.exists(lock), "a successful publish must release its lock")
+    // a FAILED publish (stray-partition reject) must release it too
+    intercept[IllegalArgumentException] {
+      ParquetSink.publishPartitionSwap(spark, "pswap_base_l", "pswap_v2l",
+        "bucket", Set("20"), Seq((9L, "x", 30L)).toDF("id", "payload", "bucket"))
+    }
+    assert(!fs.exists(lock), "a failed publish must release its lock")
+    // recovery path 2: dropIndexVersion clears a crashed publisher's lock
+    fs.create(lock, false).close()
+    ParquetSink.dropIndexVersion(spark, "pswap_v2l")
+    assert(!fs.exists(lock))
+  }
+
+  test("published v2 root exists on disk (no FileStreamSink probe noise)") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2r")
+    mkBase("pswap_base_r")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_r", "pswap_v2r",
+      "bucket", Set("20"), Seq((9L, "i", 20L)).toDF("id", "payload", "bucket"))
+    val root = ParquetSink.tableLocation(spark, "pswap_v2r_g1")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(root),
+      "the v2 root must physically exist — Spark's FileStreamSink " +
+      "metadata probe logs a FileNotFoundException stack per read otherwise")
+  }
+
   test("sortCols lays affected partitions out in the snapshot's sort order") {
     val s = spark
     import s.implicits._
