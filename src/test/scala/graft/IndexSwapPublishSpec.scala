@@ -78,6 +78,54 @@ class IndexSwapPublishSpec extends SparkSpec {
     checkEntry("knn_graph_index_upsert", s"knn_edge_upsert_base_$sfx")
   }
 
+  test("ann_ivf_index_upsert_chain: v3 publishes FROM v2 with mixed-provenance partitions") {
+    val base = s"ivf_upsert_base_$sfx"
+    val rows = SparkEntry.queries("ann_ivf_index_upsert_chain")(spark, sfDir)
+      .count()
+    assert(rows > 0)
+    // the chained version's partitions resolve into the ORIGINAL base's
+    // directories (untouched by both hops), v2's delta directories
+    // (touched by hop 1 only), and v3's own delta (touched by hop 2) —
+    // the catalog resolution a filesystem listing cannot give
+    val v3Files = spark.table(base + "_v3").inputFiles.toSeq
+    val baseLoc = ParquetSink.tableLocation(spark, base).toUri.getPath + "/"
+    assert(v3Files.exists(f => new URI(f).getPath.startsWith(baseLoc)),
+      s"v3 should carry original-base partitions in place: $v3Files")
+    assert(v3Files.exists(_.contains(base + "_v2_delta")),
+      s"v3 should carry v2's delta partitions in place: $v3Files")
+    assert(v3Files.exists(_.contains(base + "_v3_delta")),
+      s"v3 should serve hop-2's affected partitions from its delta: $v3Files")
+  }
+
+  test("entries ADOPT a fresh published version instead of republishing") {
+    val base = s"ivf_upsert_base_$sfx"
+    val v2 = base + "_v2"
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaGens: Set[String] = fs.listStatus(wh).iterator
+      .map(_.getPath.getName).filter(_.startsWith(v2 + "_delta_g")).toSet
+
+    SparkEntry.queries("ann_ivf_index_upsert")(spark, sfDir).count()
+    val gens = deltaGens
+    assert(gens.nonEmpty)
+    val deltaStamps = gens.map(g => g -> fileStamps(g)).toMap
+
+    // same-JVM rerun: fresh stamp + live catalog entry ⇒ pure read —
+    // no new generation, delta files byte-stable
+    SparkEntry.queries("ann_ivf_index_upsert")(spark, sfDir).count()
+    assert(deltaGens === gens, "a warm rerun must not republish")
+    assert(gens.map(g => g -> fileStamps(g)).toMap === deltaStamps)
+
+    // catalog restart: the manifest re-registers the version — still no
+    // republish (v2 is EXTERNAL, so the drop keeps its files)
+    spark.sql(s"DROP TABLE IF EXISTS `$v2`")
+    SparkEntry.queries("ann_ivf_index_upsert")(spark, sfDir).count()
+    assert(deltaGens === gens, "an adopted rerun must not republish")
+    assert(gens.map(g => g -> fileStamps(g)).toMap === deltaStamps)
+    assert(spark.catalog.tableExists(v2), "the version should be re-registered")
+  }
+
   test("dedup_cluster_index_upsert swap-publishes all three standing tables") {
     val tbls = Seq(s"dedup_upsert_pairs_$sfx", s"dedup_upsert_lsh_$sfx",
       s"dedup_upsert_clusters_$sfx")
