@@ -1247,18 +1247,22 @@ object Queries {
     // The touched slice is delta-sized, so the eager cut keeps every
     // downstream consumer off the corpus plan.
     val (stale, bandedChanged, added) = t("parts_compute") {
-      val diff = prev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
-        .join(curr.select(col("doc_id"), xxhash64(col("text")).as("ch")),
-          Seq("doc_id"), "full_outer")
-      val touched = diff.filter(!(col("ph") <=> col("ch")))
-        .select("doc_id", "ph", "ch").localCheckpoint(true)
+      val sub = t.sub("parts")
+      val touched = sub("diff_cut") {
+        val diff = prev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
+          .join(curr.select(col("doc_id"), xxhash64(col("text")).as("ch")),
+            Seq("doc_id"), "full_outer")
+        diff.filter(!(col("ph") <=> col("ch")))
+          .select("doc_id", "ph", "ch").localCheckpoint(true)
+      }
       val changed = touched.filter(col("ch").isNotNull).select("doc_id")
       val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
         .select("doc_id")
       TextDedup.upsertLshPairsParts(
         s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
         curr, changed, removed,
-        "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+        "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8,
+        t = sub)
     }
     // PAIRS publish: a base pair leaves iff either endpoint is stale,
     // so the affected partitions are those of stale-touching base pairs
@@ -1306,9 +1310,11 @@ object Queries {
       val seeds = stale
         .unionByName(added.select(col("doc_a").as("doc_id")))
         .unionByName(added.select(col("doc_b").as("doc_id")))
-      val (affDocs, reclosed) = Clustering.upsertClustersParts(
-        s.table(clusTbl).drop("dc_part"),
-        s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
+      val (affDocs, reclosed) = t.sub("publish_clusters")("reclose") {
+        Clustering.upsertClustersParts(
+          s.table(clusTbl).drop("dc_part"),
+          s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
+      }
       val affClusParts = affDocs.select(pmod(col("doc_id"), p).as("dc_part"))
         .distinct().collect().map(_.getLong(0)).toSet
       val clusDelta = s.table(clusTbl)

@@ -674,7 +674,8 @@ object TextDedup {
                           removedIds: DataFrame, idCol: String,
                           textCol: String, n: Int, numPerm: Int, bands: Int,
                           threshold: Double,
-                          eagerCheckpoint: Boolean = true)
+                          eagerCheckpoint: Boolean = true,
+                          t: graft.PhaseTimer = graft.NoTimer)
       : (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     // Eager localCheckpoints TRUNCATE LINEAGE on the delta-sized
@@ -687,17 +688,35 @@ object TextDedup {
     // `bandedChanged` or `cand`. All are delta/candidate-sized by
     // the operator's contract, so the cached blocks stay small at any
     // corpus scale.
-    def cut(df: DataFrame): DataFrame =
-      if (eagerCheckpoint) df.localCheckpoint(true) else df
-    val stale = cut(changedIds.select(col("doc_id"))
+    // With eagerCheckpoint the cuts RUN at call time, so wrapping each
+    // in a phase label gives the probe the true stage attribution
+    // (banding vs candidate join vs exact verify) of the SAME code the
+    // entries ship.
+    def cut(label: String)(df: DataFrame): DataFrame =
+      if (eagerCheckpoint) t(label)(df.localCheckpoint(true)) else df
+    val stale = cut("stale_cut")(changedIds.select(col("doc_id"))
       .unionByName(removedIds.select(col("doc_id"))).distinct())
-    val keptBanded = prevBanded.join(stale, Seq("doc_id"), "left_anti")
+    val keptBanded = prevBanded.join(broadcast(stale), Seq("doc_id"), "left_anti")
     val changedDocs = currDocs.join(
       changedIds.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-    val bandedChanged = cut(
+    val bandedChanged = cut("band_changed")(
       bandedKeys(shingleHashTable(changedDocs, idCol, textCol, n), numPerm, bands))
     val newBanded = keptBanded.unionByName(bandedChanged)
-    val cand = cut(bandedChanged.as("a").join(newBanded.as("b"),
+    // BROADCAST the delta side of the candidate join: bandedChanged is
+    // |changed docs| × bands rows (delta-sized by this operator's
+    // contract — an ingest batch, never the corpus), while newBanded is
+    // corpus-sized. The explicit hint PINS what AQE already picks from
+    // the checkpointed relation's exact stats (at 100 TB plan-time
+    // stats can mislead; a fallback to sort-merge would shuffle+sort
+    // the corpus side): the standing banded relation streams through
+    // ONE column-pruned scan, no exchange. sf100 attribution
+    // (BENCH_SF100_SWAP_r14.json): this scan IS the dedup delta
+    // compute's dominant term (~17.6 s of 24.6 s) — the honest floor
+    // for file-based storage, since the delta's ~|delta|·bands random
+    // hash keys saturate any row-group pruning; embarrassingly
+    // parallel at cluster scale, one corpus scan per maintenance batch.
+    val cand = cut("candidate_join")(
+      broadcast(bandedChanged).as("a").join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -708,7 +727,7 @@ object TextDedup {
     // shVer feeds three subplans (sizes + both sides of the
     // intersection self-join); it is candidate-endpoint-sized, so the
     // cut trades a bounded cache for two re-shingling passes.
-    val shVer = cut(shingleHashTable(
+    val shVer = cut("verify_shingle")(shingleHashTable(
       currDocs.join(endpoints, Seq(idCol), "left_semi"), idCol, textCol, n))
     val sizes = shVer.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -718,7 +737,7 @@ object TextDedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // added feeds the delta content, the affected-partition set and the
     // re-close seeds — cut so the verify join runs once
-    val added = cut(withJaccard(inter, sizes, threshold))
+    val added = cut("verify_jaccard")(withJaccard(inter, sizes, threshold))
     (stale, bandedChanged, added)
   }
 

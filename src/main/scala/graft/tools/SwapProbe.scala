@@ -99,6 +99,69 @@ object SwapProbe {
       Queries.dedupUpsertApply(s, pairsTbl, lshTbl, clusTbl, dPrev, dCurr,
         nParts, phases("dedup")))
 
+    // ---------- chained maintenance steady state (round 14) ----------
+    // Three consecutive deltas through the chained path: base → v2
+    // (published above) → v3 → v4, each hop publishing FROM the prior
+    // swap-published version. Then dropIndexVersion between chains and
+    // a rerun, asserting warm cost AND the warehouse's version-dir
+    // population stay flat (no leak of superseded delta dirs).
+    val emb = Tables.embeddings(s, d)
+    val eMod = Queries.upsertDiffModulus(emb.count())
+    def snap(del: Int, rev: Int) = emb.filter(col("vec_id") % eMod =!= del)
+      .withColumn("embedding",
+        when(col("vec_id") % eMod === rev, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val t2 = snap(5, 11)
+    val t3 = snap(13, 17)
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def versionDirs(): Set[String] = whFs.listStatus(wh).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(ivfBase + "_v3") || n.startsWith(ivfBase + "_v4"))
+      .toSet
+    def runChain(tag: String): Unit = {
+      timed(s"chain_hop2_$tag") {
+        Queries.ivfUpsertApply(s, ivfBase + "_v2", curr, t2, cents,
+          outTbl = Some(ivfBase + "_v3")).count()
+      }
+      timed(s"chain_hop3_$tag") {
+        Queries.ivfUpsertApply(s, ivfBase + "_v3", t2, t3, cents,
+          outTbl = Some(ivfBase + "_v4")).count()
+      }
+    }
+    // start from a clean slate: REPUBLISHING a version name that has a
+    // live dependent legitimately retains one superseded delta dir for
+    // an extra cycle (v3's GC runs while the OLD v4 ledger still
+    // references v3_delta_g1; dropIndexVersion reclaims it) — a probe
+    // inheriting a prior run's v3/v4 would count that retention as a
+    // leak. Dropping first makes run1/run2 like-for-like.
+    graft.sources.ParquetSink.dropIndexVersion(s, ivfBase + "_v4")
+    graft.sources.ParquetSink.dropIndexVersion(s, ivfBase + "_v3")
+    runChain("run1")
+    val dirs1 = versionDirs()
+    timed("chain_drop_versions") {
+      graft.sources.ParquetSink.dropIndexVersion(s, ivfBase + "_v4")
+      graft.sources.ParquetSink.dropIndexVersion(s, ivfBase + "_v3")
+    }
+    runChain("run2")
+    val dirs2 = versionDirs()
+    println(s"[swap-probe] chain version dirs run1=${dirs1.size} run2=${dirs2.size}")
+    require(dirs1 == dirs2,
+      s"generation GC leaked dirs across chains: ${dirs1.diff(dirs2)} vs ${dirs2.diff(dirs1)}")
+    // scale correctness cross-check: the 3-hop chained v4 must equal a
+    // SINGLE delta application base→t3 (the 2-hop ≡ rebuild equality is
+    // oracle-gated at small sf; this proves hop composition at sf100
+    // without paying a full n^1.5 rebuild)
+    timed("chain_v4_crosscheck") {
+      val oneHop = graft.operators.Ann.ivfIndexUpsert(s.table(ivfBase),
+        prev, t3, cents, "vec_id", "embedding", "vec_id", "embedding")
+        .select("vec_id", "centroid_id")
+      val v4 = s.table(ivfBase + "_v4").select("vec_id", "centroid_id")
+      val mismatch = v4.exceptAll(oneHop).count() + oneHop.exceptAll(v4).count()
+      require(mismatch == 0, s"chained v4 != one-hop apply: $mismatch rows differ")
+    }
+
     val json = results.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\"sf_dir\": \"" + d + "\", ", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
