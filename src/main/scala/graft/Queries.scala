@@ -1210,7 +1210,7 @@ object Queries {
     */
   private[graft] def knnUpsertApply(s: SparkSession, ivfBase: String,
       edgeBase: String, prev: DataFrame, curr: DataFrame, cents: DataFrame,
-      t: PhaseTimer = NoTimer): DataFrame = {
+      t: PhaseTimer = NoTimer, outTbl: Option[String] = None): DataFrame = {
     val (affSet, recomputed) = t("parts_compute") {
       val (affected, affectedRows) = Ann.ivfIndexUpsertParts(
         s.table(ivfBase), prev, curr, cents,
@@ -1218,7 +1218,8 @@ object Queries {
       (affected.collect().map(_.getLong(0).toString).toSet,
         Ann.knnEdgeRecompute(affectedRows, k = 3))
     }
-    val tbl2 = edgeBase + "_v2"
+    // outTbl: the CHAINED entry's second hop publishes edgeBase(_v2)→_v3
+    val tbl2 = outTbl.getOrElse(edgeBase + "_v2")
     t("publish_swap") {
       graft.sources.ParquetSink.publishPartitionSwap(s, edgeBase, tbl2,
         "centroid_id", affSet, recomputed,
@@ -1236,7 +1237,13 @@ object Queries {
     */
   private[graft] def dedupUpsertApply(s: SparkSession, pairsTbl: String,
       lshTbl: String, clusTbl: String, prev: DataFrame, curr: DataFrame,
-      nParts: Int, t: PhaseTimer = NoTimer): DataFrame = {
+      nParts: Int, t: PhaseTimer = NoTimer,
+      from: String = "", to: String = "_v2"): DataFrame = {
+    // from/to generalize the hop for CHAINED maintenance: hop 1 reads
+    // the bases (from = "") and publishes _v2; hop 2 reads the _v2
+    // versions as its bases and publishes _v3. The partition math
+    // (pmod(doc_id, p)) is layout-invariant across versions, so the
+    // same affected-set derivations serve every hop.
     val sink = graft.sources.ParquetSink
     val p = lit(nParts)
     // snapshot diff on (doc_id, xxhash64(text)) — ONE full-outer pk
@@ -1259,7 +1266,8 @@ object Queries {
       val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
         .select("doc_id")
       TextDedup.upsertLshPairsParts(
-        s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
+        s.table(pairsTbl + from).drop("pa_part"),
+        s.table(lshTbl + from).drop("dk_part"),
         curr, changed, removed,
         "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8,
         t = sub)
@@ -1270,7 +1278,7 @@ object Queries {
     // plus the added pairs' own partitions. Partition-value collects
     // are bounded by the partition count.
     t("publish_pairs") {
-      val pairsBase = s.table(pairsTbl)
+      val pairsBase = s.table(pairsTbl + from)
       val staleA = stale.select(col("doc_id").as("doc_a"))
       val staleB = stale.select(col("doc_id").as("doc_b"))
       val affPairParts = pairsBase
@@ -1284,7 +1292,7 @@ object Queries {
         .join(broadcast(staleA), Seq("doc_a"), "left_anti")
         .join(broadcast(staleB), Seq("doc_b"), "left_anti")
         .unionByName(added.withColumn("pa_part", pmod(col("doc_a"), p)))
-      sink.publishPartitionSwap(s, pairsTbl, pairsTbl + "_v2", "pa_part",
+      sink.publishPartitionSwap(s, pairsTbl + from, pairsTbl + to, "pa_part",
         affPairParts.map(_.toString), pairsDelta,
         sortCols = Seq("doc_a", "doc_b"), timer = t.sub("publish_pairs"))
     }
@@ -1293,12 +1301,12 @@ object Queries {
     t("publish_bands") {
       val affBandParts = stale.select(pmod(col("doc_id"), p).as("dk_part"))
         .distinct().collect().map(_.getLong(0)).toSet
-      val bandedDelta = s.table(lshTbl)
+      val bandedDelta = s.table(lshTbl + from)
         .filter(col("dk_part").isInCollection(affBandParts))
         .join(broadcast(stale), Seq("doc_id"), "left_anti")
         .unionByName(bandedChanged.withColumn("dk_part",
           pmod(col("doc_id"), p)))
-      sink.publishPartitionSwap(s, lshTbl, lshTbl + "_v2", "dk_part",
+      sink.publishPartitionSwap(s, lshTbl + from, lshTbl + to, "dk_part",
         affBandParts.map(_.toString), bandedDelta,
         sortCols = Seq("doc_id", "band"), timer = t.sub("publish_bands"))
     }
@@ -1312,21 +1320,58 @@ object Queries {
         .unionByName(added.select(col("doc_b").as("doc_id")))
       val (affDocs, reclosed) = t.sub("publish_clusters")("reclose") {
         Clustering.upsertClustersParts(
-          s.table(clusTbl).drop("dc_part"),
-          s.table(pairsTbl + "_v2").drop("pa_part"), seeds)
+          s.table(clusTbl + from).drop("dc_part"),
+          s.table(pairsTbl + to).drop("pa_part"), seeds)
       }
       val affClusParts = affDocs.select(pmod(col("doc_id"), p).as("dc_part"))
         .distinct().collect().map(_.getLong(0)).toSet
-      val clusDelta = s.table(clusTbl)
+      val clusDelta = s.table(clusTbl + from)
         .filter(col("dc_part").isInCollection(affClusParts))
         .join(broadcast(affDocs), Seq("doc_id"), "left_anti")
         .unionByName(reclosed.withColumn("dc_part", pmod(col("doc_id"), p)))
-      sink.publishPartitionSwap(s, clusTbl, clusTbl + "_v2", "dc_part",
+      sink.publishPartitionSwap(s, clusTbl + from, clusTbl + to, "dc_part",
         affClusParts.map(_.toString), clusDelta, sortCols = Seq("doc_id"),
         timer = t.sub("publish_clusters"))
     }
-    s.table(clusTbl + "_v2").select("doc_id", "cluster_id")
+    s.table(clusTbl + to).select("doc_id", "cluster_id")
   }
+
+  /** The dedup upsert conventions' shared context: (prev = t0 corpus,
+    * curr = t1 corpus, pairs/lsh/clusters table names, partition
+    * count) — one definition so the upsert entry and the chained entry
+    * exercise the SAME diff and standing tables.
+    */
+  private def dedupUpsertCtx(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, String, String, String, Int) = {
+    val docs = Tables.documents(s, d)
+    // ingest-batch-sized diff classes (see upsertEmbCorpora): ids
+    // ≡ 3/2/7 mod ~16·√n — a delta that stays below the partition
+    // count at every scale, so the swap publish stays delta-sized
+    val sMod = upsertDiffModulus(docs.count())
+    val prev = docs.filter(col("doc_id") % sMod =!= 3)
+      .withColumn("text", when(col("doc_id") % sMod === 2,
+        concat_ws(" ", reverse(split(col("text"), " "))))
+        .otherwise(col("text")))
+    val curr = docs.filter(col("doc_id") % sMod =!= 7)
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    (prev, curr, s"dedup_upsert_pairs_$sfx", s"dedup_upsert_lsh_$sfx",
+      s"dedup_upsert_clusters_$sfx", dedupUpsertParts(docs.count()))
+  }
+
+  /** Adopt-or-apply for the dedup published version trio (hop
+    * bases→v2) — shared by `dedup_cluster_index_upsert` and the
+    * chained entry's first hop. Membership is the read surface, but
+    * pairs/bands must stay consistent for downstream chaining.
+    */
+  private def ensureDedupUpsertV2(s: SparkSession, d: String,
+      prev: DataFrame, curr: DataFrame, pairsTbl: String, lshTbl: String,
+      clusTbl: String, nParts: Int): DataFrame =
+    ensurePublishedVersion(s,
+      Seq(pairsTbl + "_v2", lshTbl + "_v2", clusTbl + "_v2"),
+      "dedup_upsert_v2_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+      corpusFingerprint(s, d) ^ 0x44445632L ^ nParts.toLong)(
+      dedupUpsertApply(s, pairsTbl, lshTbl, clusTbl, prev, curr, nParts))(
+      s.table(clusTbl + "_v2").select("doc_id", "cluster_id"))
 
   private[graft] def ensureUpsertBaseIndex(s: SparkSession, d: String,
       prev: DataFrame, pairsTbl: String, lshTbl: String,
@@ -1347,7 +1392,10 @@ object Queries {
       val fp = salted
       val p = lit(parts)
       // rebuilding the bases retires their published versions first
-      // (the ownership ledger refuses to overwrite referenced files)
+      // (the ownership ledger refuses to overwrite referenced files);
+      // the chained v3 references v2's deltas, so it drops FIRST
+      Seq(pairsTbl, lshTbl, clusTbl).foreach(t =>
+        graft.sources.ParquetSink.dropIndexVersion(s, t + "_v3"))
       Seq(pairsTbl, lshTbl, clusTbl).foreach(t =>
         graft.sources.ParquetSink.dropIndexVersion(s, t + "_v2"))
       // all three standing tables hive-partition on a pmod of the doc id
@@ -5673,35 +5721,16 @@ object Queries {
       // every other partition's files are referenced in place. Oracle =
       // full rebuild of the new corpus's transitive closure, proving the
       // swap-published membership ≡ rebuild row-for-row.
+      // Adopt-preference over all three published versions; standing
+      // index (verified pairs, banded keys, membership) ensure-built
+      // ONCE per corpus — the benched body prices the steady-state
+      // read, SwapProbe prices the raw delta apply.
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // ingest-batch-sized diff classes (see upsertEmbCorpora): ids
-        // ≡ 3/2/7 mod ~16·√n — a delta that stays below the partition
-        // count at every scale, so the swap publish stays delta-sized
-        val sMod = upsertDiffModulus(docs.count())
-        val prev = docs.filter(col("doc_id") % sMod =!= 3)
-          .withColumn("text", when(col("doc_id") % sMod === 2,
-            concat_ws(" ", reverse(split(col("text"), " "))))
-            .otherwise(col("text")))
-        val curr = docs.filter(col("doc_id") % sMod =!= 7)
-        val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-        val pairsTbl = s"dedup_upsert_pairs_$sfx"
-        val lshTbl = s"dedup_upsert_lsh_$sfx"
-        val clusTbl = s"dedup_upsert_clusters_$sfx"
-        // standing index (verified pairs, banded keys, membership):
-        // ensure-built ONCE per corpus — the benched body prices the
-        // delta apply, not yesterday's index build
-        val nParts = dedupUpsertParts(docs.count())
+        val (prev, curr, pairsTbl, lshTbl, clusTbl, nParts) =
+          dedupUpsertCtx(s, d)
         ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl, nParts)
-        // Adopt-preference over all THREE published versions (membership
-        // is the read surface, but pairs/bands must stay consistent for
-        // downstream chaining) — see ann_ivf_index_upsert.
-        ensurePublishedVersion(s,
-          Seq(pairsTbl + "_v2", lshTbl + "_v2", clusTbl + "_v2"),
-          "dedup_upsert_v2_fprint_" + sfx,
-          corpusFingerprint(s, d) ^ 0x44445632L ^ nParts.toLong)(
-          dedupUpsertApply(s, pairsTbl, lshTbl, clusTbl, prev, curr, nParts))(
-          s.table(clusTbl + "_v2").select("doc_id", "cluster_id"))
+        ensureDedupUpsertV2(s, d, prev, curr, pairsTbl, lshTbl, clusTbl,
+          nParts)
       },
       Some(s"""WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -5878,6 +5907,20 @@ object Queries {
     tbl
   }
 
+  /** [[ensureIvfUpsertV2]]'s twin for the kNN-edge version (hop
+    * edgeBase→v2) — shared by `knn_graph_index_upsert` and the chained
+    * entry's first hop.
+    */
+  private def ensureKnnUpsertV2(s: SparkSession, d: String, ivfBase: String,
+      edgeBase: String, prev: DataFrame, curr: DataFrame,
+      cents: DataFrame): DataFrame =
+    ensurePublishedVersion(s, Seq(edgeBase + "_v2"),
+      "knn_upsert_v2_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+      tableFingerprint(s, d, "embeddings.parquet") ^ 0x4B4E5632L)(
+      knnUpsertApply(s, ivfBase, edgeBase, prev, curr, cents))(
+      s.table(edgeBase + "_v2").select(col("query_id"),
+        col("neighbor_id"), col("rank"), col("cosine")))
+
   /** Standing centroid-carrying kNN edge relation of the upsert
     * conventions' PREV corpus, bucketed on centroid_id — the carry-over
     * key [[graft.operators.Ann.knnEdgeIndexUpsert]] anti-joins on, so
@@ -5887,7 +5930,7 @@ object Queries {
                                   prev: DataFrame, cents: DataFrame): String = {
     val tbl = "knn_edge_upsert_base_" + d.replaceAll("[^A-Za-z0-9]", "_")
     ensurePartitionedIndex(s, tbl, tableFingerprint(s, d, "embeddings.parquet"),
-        "centroid_id", Seq("query_id", "rank"), Seq(tbl + "_v2")) {
+        "centroid_id", Seq("query_id", "rank"), Seq(tbl + "_v3", tbl + "_v2")) {
       Ann.knnGraphWithCentroid(prev,
         Ann.ivfAssign(prev, cents, "vec_id", "embedding", "vec_id", "embedding"),
         "vec_id", "embedding", k = 3)
@@ -6001,12 +6044,7 @@ object Queries {
         val (prev, curr, cents) = upsertEmbCorpora(s, d)
         val ivfBase = ensureIvfUpsertBase(s, d, prev, cents)
         val edgeBase = ensureKnnUpsertBase(s, d, prev, cents)
-        ensurePublishedVersion(s, Seq(edgeBase + "_v2"),
-          "knn_upsert_v2_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
-          tableFingerprint(s, d, "embeddings.parquet") ^ 0x4B4E5632L)(
-          knnUpsertApply(s, ivfBase, edgeBase, prev, curr, cents))(
-          s.table(edgeBase + "_v2").select(col("query_id"),
-            col("neighbor_id"), col("rank"), col("cosine")))
+        ensureKnnUpsertV2(s, d, ivfBase, edgeBase, prev, curr, cents)
       },
       Some(s"""WITH prev AS (SELECT vec_id,
         |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
@@ -6090,7 +6128,121 @@ object Queries {
         |SELECT vec_id, centroid_id
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
         |        ORDER BY cos DESC, centroid_id) AS rn FROM scored)
-        |WHERE rn = 1""".stripMargin))
+        |WHERE rn = 1""".stripMargin)),
+
+    Q("knn_graph_index_upsert_chain",
+      // The kNN-edge face of chained maintenance: the SAME two-hop diff
+      // as ann_ivf_index_upsert_chain applies to the materialized edge
+      // relation — hop 2 recomputes affected buckets over the MAINTAINED
+      // assignment version (ivf _v2) and publishes FROM the edge _v2,
+      // so the second hop's inputs are BOTH published versions, not the
+      // bases. Oracle = full edge rebuild of the final corpus at the
+      // frozen centroid set; exact by the single-hop bucket-partition
+      // argument applied to edge-v2 ≡ rebuild(mid) (itself oracle-gated).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val sMod = upsertDiffModulus(emb.count())
+        val (prev, mid, cents) = upsertEmbCorpora(s, d)
+        val curr2 = emb.filter(col("vec_id") % sMod =!= 5)
+          .withColumn("embedding",
+            when(col("vec_id") % sMod === 11, reverse(col("embedding")))
+              .otherwise(col("embedding")))
+        val ivfBase = ensureIvfUpsertBase(s, d, prev, cents)
+        val edgeBase = ensureKnnUpsertBase(s, d, prev, cents)
+        ensurePublishedVersion(s, Seq(edgeBase + "_v3"),
+          "knn_upsert_v3_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          tableFingerprint(s, d, "embeddings.parquet") ^ 0x4B4E5633L) {
+          // hop 1: both maintained indexes advance to their v2s
+          ensureIvfUpsertV2(s, d, ivfBase, prev, mid, cents)
+          ensureKnnUpsertV2(s, d, ivfBase, edgeBase, prev, mid, cents)
+          // hop 2: assignments read ivf _v2, edges publish FROM edge _v2
+          knnUpsertApply(s, ivfBase + "_v2", edgeBase + "_v2", mid, curr2,
+            cents, outTbl = Some(edgeBase + "_v3"))
+        }(s.table(edgeBase + "_v3").select(col("query_id"),
+          col("neighbor_id"), col("rank"), col("cosine")))
+      },
+      Some(s"""WITH prev AS (SELECT vec_id,
+        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 3),
+        |curr AS (SELECT vec_id,
+        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 11 THEN list_reverse(embedding)
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 5),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
+        |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
+        |scored AS (SELECT e.vec_id, c.centroid_id,
+        |    ${cosSql("e.embedding", "c.cv")} AS cos
+        |  FROM curr e CROSS JOIN c),
+        |assign AS (SELECT vec_id, centroid_id
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, centroid_id) AS rn FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, e.embedding
+        |  FROM assign a JOIN curr e USING (vec_id)),
+        |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "n.embedding")} AS cos
+        |  FROM av q JOIN av n ON q.centroid_id = n.centroid_id
+        |    AND n.vec_id <> q.vec_id),
+        |knn AS (SELECT query_id, neighbor_id, rank, cos
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+        |  WHERE rank <= 3)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(cos, 4) AS cosine
+        |FROM knn""".stripMargin)),
+
+    Q("dedup_cluster_index_upsert_chain",
+      // The text face of chained maintenance: hop 2's snapshot diff
+      // (7 re-insert / 11 word-reversed update / 5 delete) applies with
+      // ALL THREE standing tables read from their _v2 published
+      // versions and published to _v3 — the affected-set semi-joins,
+      // the candidate join against the maintained banded index, and the
+      // membership re-close all run against swap-published versions.
+      // Oracle = the final corpus's transitive closure from raw text.
+      (s, d) => {
+        val (prev, mid, pairsTbl, lshTbl, clusTbl, nParts) =
+          dedupUpsertCtx(s, d)
+        val docs = Tables.documents(s, d)
+        val sMod = upsertDiffModulus(docs.count())
+        val curr2 = docs.filter(col("doc_id") % sMod =!= 5)
+          .withColumn("text", when(col("doc_id") % sMod === 11,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")))
+        ensureUpsertBaseIndex(s, d, prev, pairsTbl, lshTbl, clusTbl, nParts)
+        ensurePublishedVersion(s,
+          Seq(pairsTbl + "_v3", lshTbl + "_v3", clusTbl + "_v3"),
+          "dedup_upsert_v3_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          corpusFingerprint(s, d) ^ 0x44445633L ^ nParts.toLong) {
+          ensureDedupUpsertV2(s, d, prev, mid, pairsTbl, lshTbl, clusTbl,
+            nParts)
+          dedupUpsertApply(s, pairsTbl, lshTbl, clusTbl, mid, curr2, nParts,
+            from = "_v2", to = "_v3")
+        }(s.table(clusTbl + "_v3").select("doc_id", "cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % ${upsertModSql("documents")} = 11
+        |         THEN list_reverse(string_split(text, ' '))
+        |         ELSE string_split(text, ' ') END AS ws
+        |  FROM documents WHERE doc_id % ${upsertModSql("documents")} <> 5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b
+        |  FROM ip JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |closure(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
+        |SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |FROM closure GROUP BY node""".stripMargin))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven ++ roundEight ++ roundEleven ++ roundFourteen

@@ -574,6 +574,13 @@ object ParquetSink {
     * the one the original publish registered: same root, same
     * partition→location map, so reads, partition pruning, and chained
     * publishes behave identically (spec-proven).
+    *
+    * Concurrency: adoption takes NO lock. The manifest is replaced
+    * atomically (temp + rename), so an adopt racing a publish sees
+    * either the previous version's complete map or the new one; a
+    * reader adopting while the publish's GC deletes a superseded
+    * generation can transiently get `false` (vanished-dir refusal) —
+    * callers treat that as "republish or retry", never as corruption.
     */
   def adoptPublishedVersion(spark: org.apache.spark.sql.SparkSession,
                             v2Table: String): Boolean = {

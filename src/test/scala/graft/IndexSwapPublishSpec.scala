@@ -97,6 +97,28 @@ class IndexSwapPublishSpec extends SparkSpec {
       s"v3 should serve hop-2's affected partitions from its delta: $v3Files")
   }
 
+  test("knn and dedup chains publish v3 FROM the v2 versions (mixed provenance)") {
+    val edgeBase = s"knn_edge_upsert_base_$sfx"
+    assert(SparkEntry.queries("knn_graph_index_upsert_chain")(spark, sfDir)
+      .count() > 0)
+    val e3 = spark.table(edgeBase + "_v3").inputFiles.toSeq
+    assert(e3.exists(_.contains(edgeBase + "_v3_delta")),
+      s"edge v3 should serve hop-2 partitions from its delta: $e3")
+    assert(e3.exists(_.contains(edgeBase + "_v2_delta")),
+      s"edge v3 should carry v2's delta partitions in place: $e3")
+    val clusBase = s"dedup_upsert_clusters_$sfx"
+    assert(SparkEntry.queries("dedup_cluster_index_upsert_chain")(spark, sfDir)
+      .count() > 0)
+    val c3 = spark.table(clusBase + "_v3").inputFiles.toSeq
+    assert(c3.exists(_.contains(clusBase + "_v3_delta")),
+      s"membership v3 should serve hop-2 partitions from its delta: $c3")
+    // carried partitions resolve OUTSIDE v3's own directories (into the
+    // base or v2's delta — which one depends on the tiny corpus's
+    // overlap pattern, so only the carry-over itself is asserted)
+    assert(c3.exists(f => !f.contains(clusBase + "_v3")),
+      s"membership v3 should carry unaffected partitions in place: $c3")
+  }
+
   test("entries ADOPT a fresh published version instead of republishing") {
     val base = s"ivf_upsert_base_$sfx"
     val v2 = base + "_v2"

@@ -50,6 +50,34 @@ class DedupIndexUpsertSpec extends SparkSpec {
     (prevPairs, pairsUp, bandedUp, added, curr, changed, removed)
   }
 
+  test("candidate join broadcasts the delta side even with auto-broadcast off") {
+    // The 100 TB contract of the upsert path: the standing banded
+    // relation is only ever SCANNED, never shuffled — the delta side is
+    // broadcast by an explicit hint, not by stats AQE may lack at plan
+    // time. Teeth: with auto-broadcast disabled, only hinted joins can
+    // broadcast, so this fails if the hint is dropped.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val prev = df(prevDocs)
+      val curr = df(currDocs)
+      val prevPairs = TextDedup.minhashLshPairs(prev, "doc_id", "text",
+        n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+      val prevBanded = TextDedup.bandedKeys(
+        TextDedup.shingleHashTable(prev, "doc_id", "text", 3), 128, 32)
+      val (_, _, added) = TextDedup.upsertLshPairsParts(
+        prevPairs, prevBanded, curr,
+        df(Seq(40L -> "", 50L -> "")).select("doc_id"),
+        df(Seq(3L -> "")).select("doc_id"),
+        "doc_id", "text", n = 3, numPerm = 128, bands = 32, threshold = 0.8,
+        eagerCheckpoint = false)
+      val plan = added.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[band#\\d+".r.findFirstIn(plan).nonEmpty,
+        s"the (band, bh) candidate join should be a hinted broadcast:\n${plan.take(2500)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("upserted pairs and banded keys equal a full rebuild of the new corpus") {
     val (_, pairsUp, bandedUp, _, curr, _, _) = run()
     val rebuilt = TextDedup.minhashLshPairs(curr, "doc_id", "text",

@@ -421,6 +421,27 @@ class PartitionSwapSpec extends SparkSpec {
       "metadata probe logs a FileNotFoundException stack per read otherwise")
   }
 
+  test("empty-diff publish: zero affected partitions gives a pure carry-over v2") {
+    val s = spark
+    import s.implicits._
+    reclaim("pswap_v2e0")
+    mkBase("pswap_base_e0")
+    val delta = Seq.empty[(Long, String, Long)].toDF("id", "payload", "bucket")
+    ParquetSink.publishPartitionSwap(spark, "pswap_base_e0", "pswap_v2e0",
+      "bucket", Set.empty, delta)
+    assert(asSet("pswap_v2e0") === baseRows.toSet)
+    // every partition references the base in place; nothing was written
+    val baseLoc = ParquetSink.tableLocation(spark, "pswap_base_e0").toUri.getPath
+    val files = spark.table("pswap_v2e0").inputFiles.toSeq
+    assert(files.nonEmpty &&
+      files.forall(f => new java.net.URI(f).getPath.startsWith(baseLoc)),
+      s"pure carry-over expected: $files")
+    // and the manifest round-trips it like any other version
+    spark.sql("DROP TABLE IF EXISTS `pswap_v2e0`")
+    assert(ParquetSink.adoptPublishedVersion(spark, "pswap_v2e0"))
+    assert(asSet("pswap_v2e0") === baseRows.toSet)
+  }
+
   test("sortCols lays affected partitions out in the snapshot's sort order") {
     val s = spark
     import s.implicits._
