@@ -43,7 +43,11 @@ object VerifySlice {
     // round-8 additions sharing the capped-containment oracle family
     "shingle_index_roundtrip", "shingle_containment_indexed",
     // round-11 additions sharing the knn-edge CTE oracle family
-    "knn_graph_index_roundtrip", "knn_graph_index_upsert")
+    "knn_graph_index_roundtrip", "knn_graph_index_upsert",
+    // round-14 chained entries: same oracle cost families as their
+    // single-hop parents (knn-edge CTE / quadratic closure / IVF assign)
+    "ann_ivf_index_upsert_chain", "knn_graph_index_upsert_chain",
+    "dedup_cluster_index_upsert_chain")
 
   private val sliced = Seq("documents" -> "doc_id", "embeddings" -> "vec_id")
   private val passthrough = Seq("region", "nation", "customer", "supplier",
@@ -86,6 +90,12 @@ object VerifySlice {
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set.empty)
     def keep(name: String): Boolean = only.isEmpty || only(name)
+    def q0(s: String): String = "\"" + s + "\"" // names are identifier-safe
+    // Attempted manifest BEFORE the loop (the Verify convention): a
+    // crashed entry scores FAIL, a not-in-subset entry scores skip —
+    // without this, a subset smoke run mis-flags every other tail entry.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      tailEntries.filter(keep).sorted.map(q0).mkString("[", ",", "]"))
     for (name <- tailEntries if keep(name)) {
       val t0 = System.nanoTime()
       try {

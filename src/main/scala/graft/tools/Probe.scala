@@ -146,6 +146,36 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("WINSCAN")) {
+      // Structural audit: which entries' PHYSICAL plans contain a
+      // window with an EMPTY partition spec (the "moving all data to a
+      // single partition" class)? Bounded relations (vocab tops,
+      // 1-row aggregates, ≤63-range digests) may use one legitimately —
+      // the report exists so each hit is a DECISION, not a surprise in
+      // a bench log. AQE off so the executed plan is concrete.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      var total = 0
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val hits = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w.windowExpression.mkString(";").take(90)
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.partitionSpec.isEmpty => s"grouplimit ${w.rankLikeFunction}".take(90)
+          }
+          if (hits.nonEmpty) {
+            total += hits.size
+            println(s"[winscan] $name: ${hits.size} global window(s): ${hits.mkString(" | ")}")
+          }
+        } catch {
+          case e: Throwable =>
+            println(s"[winscan] $name failed to plan: ${e.getMessage}")
+        }
+      }
+      println(s"[winscan] total global-window sites: $total")
+      spark.stop(); return
+    }
     if (sys.env.contains("SCALEGEN")) {
       // Persistent scale-up dir: SCALEGEN="10:/root/repo/target/sf1"
       // builds a content-perturbed 10x replica of SPARK_GRAFT_SF_DIR
