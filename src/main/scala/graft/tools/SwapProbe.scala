@@ -7,10 +7,19 @@ import graft.{Queries, SparkEntry, Tables}
 
 /** Dev probe: the maintained-index upsert trio at scale with the publish
   * cost DECOMPOSED — standing-base ensure (cold once per corpus, then
-  * adopted from disk in ~1 s), delta compute (the parts forms), swap
-  * publish per table, version read-back, and the full warm entry for
-  * cross-checking. Run against target/sf100 to price the delta-cost
-  * publish.
+  * adopted from disk in ~1 s), delta compute (the parts forms, with
+  * per-stage attribution via the shared PhaseTimer), swap publish per
+  * table (delta write / DDL / commit / GC), version read-back, and the
+  * full warm entry (which, with a fresh stamp, prices the ADOPT path —
+  * the production steady state). Run against target/sf100 to price the
+  * delta-cost publish.
+  *
+  * Round-14 chain sections: three consecutive IVF deltas through the
+  * chained path (v2→v3→v4) with a version-dir flatness check across
+  * dropIndexVersion'd reruns and a 3-hop ≡ 1-hop exceptAll crosscheck;
+  * then the kNN-edge and dedup CHAIN ENTRIES timed apply-vs-adopt, each
+  * crosschecked against an operator-level one-hop application of the
+  * combined diff.
   *
   * The phase bodies are the ENTRIES' OWN apply functions
   * (Queries.ivfUpsertApply / knnUpsertApply / dedupUpsertApply) driven
@@ -160,6 +169,71 @@ object SwapProbe {
       val v4 = s.table(ivfBase + "_v4").select("vec_id", "centroid_id")
       val mismatch = v4.exceptAll(oneHop).count() + oneHop.exceptAll(v4).count()
       require(mismatch == 0, s"chained v4 != one-hop apply: $mismatch rows differ")
+    }
+
+    // ---------- family chains through the REAL entries ----------
+    // Price the kNN-edge and dedup chained entries' hop-2 apply at
+    // scale: drop the v3 versions first so the timed run APPLIES
+    // (publishes) rather than adopting, then time the adopt rerun too.
+    graft.sources.ParquetSink.dropIndexVersion(s, edgeBase + "_v3")
+    timed("knn_chain_entry_apply") {
+      SparkEntry.queries("knn_graph_index_upsert_chain")(s, d).count()
+    }
+    timed("knn_chain_entry_adopt") {
+      SparkEntry.queries("knn_graph_index_upsert_chain")(s, d).count()
+    }
+    // value crosscheck at scale: chained edge v3 ≡ one-hop edge apply
+    // over the base with the combined diff (t0 → t2e), where t2e is the
+    // entries' final corpus (snap(5, 11))
+    timed("knn_chain_crosscheck") {
+      val t2e = snap(5, 11)
+      val oneHopIdx = graft.operators.Ann.ivfIndexUpsert(s.table(ivfBase),
+        prev, t2e, cents, "vec_id", "embedding", "vec_id", "embedding")
+      val oneHop = graft.operators.Ann.knnEdgeIndexUpsert(
+        s.table(edgeBase), oneHopIdx, prev, t2e, cents,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+      val v3 = s.table(edgeBase + "_v3")
+        .select("query_id", "neighbor_id", "rank", "cosine")
+      val mismatch = v3.exceptAll(oneHop).count() + oneHop.exceptAll(v3).count()
+      require(mismatch == 0, s"knn chained v3 != one-hop apply: $mismatch rows differ")
+    }
+    Seq(pairsTbl, lshTbl, clusTbl).foreach(tn =>
+      graft.sources.ParquetSink.dropIndexVersion(s, tn + "_v3"))
+    timed("dedup_chain_entry_apply") {
+      SparkEntry.queries("dedup_cluster_index_upsert_chain")(s, d).count()
+    }
+    timed("dedup_chain_entry_adopt") {
+      SparkEntry.queries("dedup_cluster_index_upsert_chain")(s, d).count()
+    }
+    // value crosscheck: chained membership v3 ≡ the operator-level
+    // one-hop upsert over the bases with the combined doc diff t0 → t2d
+    timed("dedup_chain_crosscheck") {
+      val t2d = docs.filter(col("doc_id") % sMod =!= 5)
+        .withColumn("text", when(col("doc_id") % sMod === 11,
+          concat_ws(" ", reverse(split(col("text"), " "))))
+          .otherwise(col("text")))
+      val diff = dPrev.select(col("doc_id"), xxhash64(col("text")).as("ph"))
+        .join(t2d.select(col("doc_id"), xxhash64(col("text")).as("ch")),
+          Seq("doc_id"), "full_outer")
+      val touched = diff.filter(!(col("ph") <=> col("ch")))
+        .select("doc_id", "ph", "ch").localCheckpoint(true)
+      val changed = touched.filter(col("ch").isNotNull).select("doc_id")
+      val removed = touched.filter(col("ph").isNotNull && col("ch").isNull)
+        .select("doc_id")
+      val (oneHopPairs, _, added) = graft.operators.TextDedup.upsertLshPairs(
+        s.table(pairsTbl).drop("pa_part"), s.table(lshTbl).drop("dk_part"),
+        t2d, changed, removed, "doc_id", "text",
+        n = 3, numPerm = 128, bands = 32, threshold = 0.8)
+      val seeds = changed.unionByName(removed)
+        .unionByName(added.select(col("doc_a").as("doc_id")))
+        .unionByName(added.select(col("doc_b").as("doc_id")))
+      val oneHop = graft.operators.Clustering.upsertClusters(
+        s.table(clusTbl).drop("dc_part"), oneHopPairs, seeds)
+        .select("doc_id", "cluster_id")
+      val v3 = s.table(clusTbl + "_v3").select("doc_id", "cluster_id")
+      val mismatch = v3.exceptAll(oneHop).count() + oneHop.exceptAll(v3).count()
+      require(mismatch == 0, s"dedup chained v3 != one-hop apply: $mismatch rows differ")
     }
 
     val json = results.map { case (k, v) => s""""$k": $v""" }
