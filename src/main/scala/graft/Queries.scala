@@ -5888,6 +5888,40 @@ object Queries {
       ivfUpsertApply(s, tbl, prev, curr, cents))(
       s.table(tbl + "_v2").select(col("vec_id"), col("centroid_id")))
 
+  /** The chain conventions' THIRD corpus (hop 2's target): the raw
+    * table minus the %sMod=5 deletes, with the %sMod=11 class reversed —
+    * mirrored by the chain oracles' `curr` CTE.
+    */
+  private def chainCurr2(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sMod = upsertDiffModulus(emb.count())
+    emb.filter(col("vec_id") % sMod =!= 5)
+      .withColumn("embedding",
+        when(col("vec_id") % sMod === 11, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+  }
+
+  /** Ensure-or-adopt the CHAINED IVF version (hops base→v2→v3, two
+    * successive delta publishes) — shared by `ann_ivf_index_upsert_chain`
+    * and the compaction entry, so whichever runs first publishes and
+    * the other adopts. Returns the v3 read (vec_id, centroid_id).
+    */
+  private def ensureIvfUpsertV3(s: SparkSession, d: String, tbl: String,
+      prev: DataFrame, mid: DataFrame, curr2: DataFrame,
+      cents: DataFrame): DataFrame =
+    ensurePublishedVersion(s, Seq(tbl + "_v3"),
+      "ivf_upsert_v3_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+      tableFingerprint(s, d, "embeddings.parquet") ^ 0x49565633L) {
+      // hop 1: base → v2 (shared with ann_ivf_index_upsert — whichever
+      // entry runs first publishes, the other adopts)
+      ensureIvfUpsertV2(s, d, tbl, prev, mid, cents)
+      // hop 2 reads the v2 TABLE as its base: partition locations
+      // resolve from the catalog, so the carried partitions point
+      // into the original base's dirs AND v2's delta dirs
+      ivfUpsertApply(s, tbl + "_v2", mid, curr2, cents,
+        outTbl = Some(tbl + "_v3"))
+    }(s.table(tbl + "_v3").select(col("vec_id"), col("centroid_id")))
+
   /** Standing IVF index (vec_id, v, centroid_id) of the upsert
     * conventions' PREV corpus — in production yesterday's index EXISTS,
     * so the benched upsert bodies price the delta apply, not the base
@@ -6075,6 +6109,31 @@ object Queries {
         |FROM knn""".stripMargin))
   )
 
+  /** Full-rebuild oracle of the chained IVF conventions' FINAL corpus
+    * at the frozen centroid set — gates both the chain entry and the
+    * compaction entry (compaction is row-identical by construction, so
+    * rebuild-equality is exactly its contract too).
+    */
+  private def ivfChainOracle: String =
+    s"""WITH prev AS (SELECT vec_id,
+      |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 3),
+      |curr AS (SELECT vec_id,
+      |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 11 THEN list_reverse(embedding)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 5),
+      |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
+      |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
+      |scored AS (SELECT e.vec_id, c.centroid_id,
+      |    ${cosSql("e.embedding", "c.cv")} AS cos
+      |  FROM curr e CROSS JOIN c)
+      |SELECT vec_id, centroid_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY cos DESC, centroid_id) AS rn FROM scored)
+      |WHERE rn = 1""".stripMargin
+
   private val roundFourteen: Seq[Q] = Seq(
     Q("ann_ivf_index_upsert_chain",
       // CHAINED incremental maintenance — the iterate-forever story the
@@ -6090,45 +6149,11 @@ object Queries {
       // rebuild of the FINAL corpus at the frozen centroid set, proving
       // two chained delta publishes ≡ rebuild.
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val sMod = upsertDiffModulus(emb.count())
         val (prev, mid, cents) = upsertEmbCorpora(s, d)
-        val curr2 = emb.filter(col("vec_id") % sMod =!= 5)
-          .withColumn("embedding",
-            when(col("vec_id") % sMod === 11, reverse(col("embedding")))
-              .otherwise(col("embedding")))
         val tbl = ensureIvfUpsertBase(s, d, prev, cents)
-        ensurePublishedVersion(s, Seq(tbl + "_v3"),
-          "ivf_upsert_v3_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
-          tableFingerprint(s, d, "embeddings.parquet") ^ 0x49565633L) {
-          // hop 1: base → v2 (shared with ann_ivf_index_upsert —
-          // whichever entry runs first publishes, the other adopts)
-          ensureIvfUpsertV2(s, d, tbl, prev, mid, cents)
-          // hop 2 reads the v2 TABLE as its base: partition locations
-          // resolve from the catalog, so the carried partitions point
-          // into the original base's dirs AND v2's delta dirs
-          ivfUpsertApply(s, tbl + "_v2", mid, curr2, cents,
-            outTbl = Some(tbl + "_v3"))
-        }(s.table(tbl + "_v3").select(col("vec_id"), col("centroid_id")))
+        ensureIvfUpsertV3(s, d, tbl, prev, mid, chainCurr2(s, d), cents)
       },
-      Some(s"""WITH prev AS (SELECT vec_id,
-        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 2 THEN list_reverse(embedding)
-        |         ELSE embedding END AS embedding
-        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 3),
-        |curr AS (SELECT vec_id,
-        |    CASE WHEN vec_id % ${upsertModSql("embeddings")} = 11 THEN list_reverse(embedding)
-        |         ELSE embedding END AS embedding
-        |  FROM embeddings WHERE vec_id % ${upsertModSql("embeddings")} <> 5),
-        |c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM prev
-        |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // GREATEST(16,
-        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM prev) = 0),
-        |scored AS (SELECT e.vec_id, c.centroid_id,
-        |    ${cosSql("e.embedding", "c.cv")} AS cos
-        |  FROM curr e CROSS JOIN c)
-        |SELECT vec_id, centroid_id
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |        ORDER BY cos DESC, centroid_id) AS rn FROM scored)
-        |WHERE rn = 1""".stripMargin)),
+      Some(ivfChainOracle)),
 
     Q("knn_graph_index_upsert_chain",
       // The kNN-edge face of chained maintenance: the SAME two-hop diff
@@ -6242,7 +6267,38 @@ object Queries {
         |  UNION
         |  SELECT c.node, e.dst FROM closure c JOIN edges e ON c.reach = e.src)
         |SELECT node AS doc_id, MIN(reach) AS cluster_id
-        |FROM closure GROUP BY node""".stripMargin))
+        |FROM closure GROUP BY node""".stripMargin)),
+
+    Q("ann_ivf_index_compact",
+      // COMPACTION closes the maintained-index lifecycle (publish /
+      // adopt / compact): after the chained hops base→v2→v3 the live
+      // version references the original base's directories plus one
+      // delta generation per hop, all pinned forever by its refs
+      // ledger — reads fan out over ever more roots and neither the
+      // base nor the intermediate version can ever be retired.
+      // ParquetSink.compactPublishedVersion folds v3's live rows into a
+      // SELF-OWNED generation root at O(index) read+write cost (one
+      // shuffle on the partition key, no maintenance recompute — the
+      // parquet-native rewrite_data_files + expire_snapshots), emptying
+      // the ledger, GCing superseded generations and rewriting the
+      // durable manifest. Compaction runs once per corpus (fingerprint-
+      // stamped); warm calls adopt the compacted version like any other.
+      // Rows are identical by construction, so the oracle is the SAME
+      // full rebuild of the final corpus that gates the chain entry —
+      // here proving chain + compact ≡ rebuild.
+      (s, d) => {
+        val (prev, mid, cents) = upsertEmbCorpora(s, d)
+        val tbl = ensureIvfUpsertBase(s, d, prev, cents)
+        ensurePublishedVersion(s, Seq(tbl + "_v3"),
+          "ivf_upsert_v3c_fprint_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          tableFingerprint(s, d, "embeddings.parquet") ^ 0x49565643L) {
+          ensureIvfUpsertV3(s, d, tbl, prev, mid, chainCurr2(s, d), cents)
+          graft.sources.ParquetSink.compactPublishedVersion(s, tbl + "_v3",
+            "centroid_id", Seq("vec_id"))
+          s.table(tbl + "_v3").select(col("vec_id"), col("centroid_id"))
+        }(s.table(tbl + "_v3").select(col("vec_id"), col("centroid_id")))
+      },
+      Some(ivfChainOracle))
   )
 
   val all: Seq[Q] = coreCdc ++ reconcilePipeline ++ transforms ++ llmPipeline ++ multimodalFrames ++ streamingBatch ++ asofBlock ++ rangeJoinBlock ++ sketchBlock ++ curation ++ analytics ++ roundFive ++ roundFiveB ++ roundSix ++ roundSeven ++ roundEight ++ roundEleven ++ roundFourteen

@@ -47,7 +47,7 @@ object VerifySlice {
     // round-14 chained entries: same oracle cost families as their
     // single-hop parents (knn-edge CTE / quadratic closure / IVF assign)
     "ann_ivf_index_upsert_chain", "knn_graph_index_upsert_chain",
-    "dedup_cluster_index_upsert_chain")
+    "dedup_cluster_index_upsert_chain", "ann_ivf_index_compact")
 
   private val sliced = Seq("documents" -> "doc_id", "embeddings" -> "vec_id")
   private val passthrough = Seq("region", "nation", "customer", "supplier",

@@ -358,7 +358,11 @@ object ParquetSink {
   }
 
   /** Existing generation numbers of `v2Table`'s delta/root directories
-    * (`<v2>_delta_g<N>` / `<v2>_g<N>` under the warehouse).
+    * (`<v2>_delta_g<N>` / `<v2>_g<N>` under the warehouse). BOTH dir
+    * forms count: a publish generation always has a delta dir, but a
+    * COMPACTION generation has only its self-owned root — scanning
+    * deltas alone would reuse a live compacted generation's number and
+    * let [[dropIndexVersion]] leak its root.
     */
   private def generations(spark: org.apache.spark.sql.SparkSession,
                           v2Table: String): Seq[Int] = {
@@ -366,11 +370,17 @@ object ParquetSink {
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(wh)) Nil
     else {
-      val prefix = v2Table.toLowerCase + "_delta_g"
+      val deltaPrefix = v2Table.toLowerCase + "_delta_g"
+      val rootPrefix = v2Table.toLowerCase + "_g"
       fs.listStatus(wh).iterator.map(_.getPath.getName)
-        .filter(_.startsWith(prefix))
-        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
-        .toSeq.sorted
+        .flatMap { n =>
+          val suffix =
+            if (n.startsWith(deltaPrefix)) Some(n.stripPrefix(deltaPrefix))
+            else if (n.startsWith(rootPrefix)) Some(n.stripPrefix(rootPrefix))
+            else None
+          suffix.flatMap(sfx => scala.util.Try(sfx.toInt).toOption)
+        }
+        .toSeq.distinct.sorted
     }
   }
 
@@ -722,6 +732,139 @@ object ParquetSink {
           LOCATION ${sqlLit(loc.toString)}""")
         true
     }
+  }
+
+  /** Folds a swap-published version back into a SELF-OWNED clean base —
+    * the missing third verb of the version lifecycle (publish / adopt /
+    * COMPACT), and the parquet-native form of a snapshot format's
+    * data-file rewrite plus snapshot expiry in one commit (Iceberg's
+    * `rewrite_data_files` + `expire_snapshots`; the reference leans on
+    * exactly those for its Iceberg targets,
+    * /root/reference/glue/sbin/keyspaces/CQLReplicator.scala:1249-1462).
+    *
+    * Why it must exist for an index maintained FOREVER: every chained
+    * [[publishPartitionSwap]] leaves the new version referencing a
+    * deeper mix of directories (the original base's partitions plus one
+    * delta generation per hop), and the refs ledger then PINS all of
+    * them — the original base can never be rebuilt or dropped while any
+    * descendant version lives, reads fan out over ever more roots, and
+    * delta generations accumulate without bound. Compaction rewrites
+    * the version's LIVE rows once into a fresh generation root it owns
+    * outright (real hive layout, one sorted file per partition — the
+    * [[writePartitionedSnapshot]] discipline), re-points the catalog
+    * entry, EMPTIES the refs ledger (releasing every pin on prior
+    * bases' and generations' directories), rewrites the durable
+    * manifest, and GCs its superseded generations. Cost is O(live
+    * index) read+write — no maintenance recompute, embarrassingly
+    * parallel, one shuffle on the partition key — against the unbounded
+    * alternative. Run it on the chain-depth/dead-fraction cadence any
+    * LSM-ish structure uses.
+    *
+    * Crash discipline mirrors the publish: all writes land in a fresh
+    * generation directory, the catalog re-point is last, and a death
+    * mid-compaction leaves the previous version (files, ledger,
+    * manifest) fully intact — rerun to recover. Takes the same
+    * single-writer publish lock, so a compaction and a publish of one
+    * version cannot interleave.
+    *
+    * @param v2Table  a live swap-published (or previously compacted)
+    *                 version, registered this JVM or adoptable
+    * @param sortCols within-partition sort, matching the family's
+    *                 [[writePartitionedSnapshot]] layout
+    */
+  def compactPublishedVersion(spark: org.apache.spark.sql.SparkSession,
+                              v2Table: String, partCol: String,
+                              sortCols: Seq[String] = Nil,
+                              timer: graft.PhaseTimer = graft.NoTimer): Unit = {
+    require(spark.catalog.tableExists(v2Table) ||
+        adoptPublishedVersion(spark, v2Table),
+      s"compactPublishedVersion('$v2Table'): no such live version (not " +
+      "registered this JVM and no adoptable manifest)")
+    val lock = acquirePublishLock(spark, v2Table)
+    try compactPublishedVersionLocked(spark, v2Table, partCol, sortCols, timer)
+    finally lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+  }
+
+  private def compactPublishedVersionLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      v2Table: String, partCol: String, sortCols: Seq[String],
+      timer: graft.PhaseTimer): Unit = {
+    val t = timer
+    val schema = spark.table(v2Table).schema
+    require(schema.fieldNames.contains(partCol),
+      s"compactPublishedVersion('$v2Table'): no partition column $partCol " +
+      s"in ${schema.fieldNames.mkString(", ")}")
+    val gen = generations(spark, v2Table).lastOption.getOrElse(0) + 1
+    val newRoot = tableLocation(spark, s"${v2Table}_g$gen")
+    val fs = newRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t("rewrite") {
+      spark.table(v2Table)
+        .repartition(col(partCol))
+        .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(newRoot.toString)
+    }
+    val parts = t("resolve_parts")(partitionDirs(spark, newRoot, partCol))
+    val dataCols = schema.fields.filterNot(_.name == partCol)
+    val stage = v2Table + "__stage"
+    t("stage_ddl") {
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      val colsSql = dataCols
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"""CREATE TABLE `$stage` ($colsSql,
+        `$partCol` ${schema(partCol).dataType.sql}) USING PARQUET
+        PARTITIONED BY (`$partCol`) LOCATION ${sqlLit(newRoot.toString)}""")
+      // real hive dirs under the root this time, so partition discovery
+      // is one RECOVER instead of per-partition ADD ... LOCATION DDL
+      spark.sql(s"ALTER TABLE `$stage` RECOVER PARTITIONS")
+    }
+    t("commit") {
+      spark.sql(s"DROP TABLE IF EXISTS `$v2Table`")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$v2Table`")
+      // manifest BEFORE the ledger delete: a crash between the two
+      // leaves the new manifest with the old pins still in place
+      // (conservative — adopt sees the compacted version, the base
+      // stays guarded), where the reverse order would briefly unpin
+      // directories the still-adoptable OLD generation references
+      writeVersionManifest(spark, v2Table, gen, partCol,
+        schema(partCol).dataType.sql, dataCols, parts)
+      // every partition now lives under the version's own root: an
+      // ABSENT ledger releases the pins on prior bases' directories
+      fs.delete(refsPath(spark, v2Table), false)
+    }
+    t("gc_superseded") {
+      generations(spark, v2Table).filter(_ < gen).foreach { g =>
+        deleteUnlessReferenced(spark,
+          tableLocation(spark, s"${v2Table}_delta_g$g"), Some(v2Table))
+        deleteUnlessReferenced(spark,
+          tableLocation(spark, s"${v2Table}_g$g"), Some(v2Table))
+      }
+    }
+  }
+
+  /** Janitor for a crashed publisher's lock — the documented "delete the
+    * lock file" recovery made safe-by-default: deletes the lock and
+    * returns true only when its last filesystem modification is at
+    * least `maxAgeMs` old; a younger lock (a publish presumed live) is
+    * left in place (false), as is an absent one. Modification time is
+    * the authority — the pid/ts payload [[acquirePublishLock]] writes
+    * is informational only (a pid means nothing across hosts). Pick a
+    * threshold comfortably above the family's longest observed publish;
+    * a publisher alive-but-stalled past it loses its lock, the same
+    * operator judgment every lease-style lock delegates. This does NOT
+    * roll back a half-staged generation — the next successful publish
+    * reclaims the stage name and GCs orphaned generation directories.
+    */
+  def breakStalePublishLock(spark: org.apache.spark.sql.SparkSession,
+                            v2Table: String, maxAgeMs: Long): Boolean = {
+    val p = publishLockPath(spark, v2Table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scala.util.Try {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      age >= maxAgeMs && fs.delete(p, false)
+    }.getOrElse(false) // vanished between probe and stat = already freed
   }
 
   /** Drops a swap-published version COMPLETELY: catalog entry, ledger,

@@ -236,6 +236,25 @@ object SwapProbe {
       require(mismatch == 0, s"dedup chained v3 != one-hop apply: $mismatch rows differ")
     }
 
+    // ---------- compaction at scale (round 14) ----------
+    // Fold the 3-hop chained IVF v4 (the widest provenance mix above:
+    // original base + v2/v3/v4 delta generations) into a SELF-OWNED
+    // root and price the phases — the O(index) rewrite dominates by
+    // design; everything else is metadata. Then prove the pin release
+    // does its job at scale: the intermediate v3 drops cleanly UNDER
+    // the live compacted v4, and v4 still reads the same rows.
+    val preCompact = timed("ivf_compact_precount") {
+      s.table(ivfBase + "_v4").count()
+    }
+    graft.sources.ParquetSink.compactPublishedVersion(s, ivfBase + "_v4",
+      "centroid_id", Seq("vec_id"), timer = phases("ivf_compact"))
+    read("ivf_compact_read")(s.table(ivfBase + "_v4"))
+    timed("ivf_compact_drop_intermediate") {
+      graft.sources.ParquetSink.dropIndexVersion(s, ivfBase + "_v3")
+    }
+    require(s.table(ivfBase + "_v4").count() == preCompact,
+      "compacted v4 row count drifted")
+
     val json = results.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\"sf_dir\": \"" + d + "\", ", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)

@@ -80,6 +80,11 @@ class IndexSwapPublishSpec extends SparkSpec {
 
   test("ann_ivf_index_upsert_chain: v3 publishes FROM v2 with mixed-provenance partitions") {
     val base = s"ivf_upsert_base_$sfx"
+    // this test pins the CHAIN-PUBLISHED state of v3; if another spec
+    // already ran ann_ivf_index_compact in this warehouse, v3 is
+    // legitimately self-owned — drop it so the entry republishes the
+    // chain (the manifest goes with it, so adopt can't short-circuit)
+    ParquetSink.dropIndexVersion(spark, base + "_v3")
     val rows = SparkEntry.queries("ann_ivf_index_upsert_chain")(spark, sfDir)
       .count()
     assert(rows > 0)
