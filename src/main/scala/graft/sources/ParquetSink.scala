@@ -572,6 +572,46 @@ object ParquetSink {
     fs.rename(tmp, p)
   }
 
+  /** Parsed form of a version manifest: (generation, partCol,
+    * partCol SQL type, data-columns SQL, partition value → location).
+    */
+  private type ParsedManifest =
+    (Int, String, String, String, Seq[(String, org.apache.hadoop.fs.Path)])
+
+  /** Reads and parses a version's manifest. `None` = no manifest file;
+    * `Some(Failure)` = present but torn/alien (the caller decides whether
+    * that is "republish" — adopt — or a finding — fsck).
+    */
+  private def readVersionManifest(spark: org.apache.spark.sql.SparkSession,
+      v2Table: String): Option[scala.util.Try[ParsedManifest]] = {
+    val p = manifestPath(spark, v2Table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    Some(scala.util.Try {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8").split("\n", -1)
+                  finally in.close()
+      require(lines.head == "graft-swap-manifest v1",
+        s"unknown manifest header: ${lines.head}")
+      def field(i: Int, key: String): String = {
+        require(lines(i).startsWith(key + "="), s"expected $key= at line ${i + 1}")
+        lines(i).stripPrefix(key + "=")
+      }
+      val gen = field(1, "generation").toInt
+      val partCol = field(2, "partCol")
+      val partColType = field(3, "partColType")
+      val cols = field(4, "cols")
+      val parts = lines.drop(5).filter(_.nonEmpty).map { l =>
+        val cut = l.indexOf('\t')
+        require(cut > 0, s"malformed partition line: $l")
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(l.substring(0, cut)) ->
+          new org.apache.hadoop.fs.Path(l.substring(cut + 1))
+      }.toSeq
+      (gen, partCol, partColType, cols, parts)
+    })
+  }
+
   /** Re-registers a swap-published version from its persisted MANIFEST
     * alone — the fresh-JVM recovery [[adoptPartitionedTable]] cannot
     * provide (a swap-published table's own root is empty by
@@ -596,29 +636,9 @@ object ParquetSink {
                             v2Table: String): Boolean = {
     val p = manifestPath(spark, v2Table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
-    val parsed = scala.util.Try {
-      val in = fs.open(p)
-      val lines = try new String(in.readAllBytes(), "UTF-8").split("\n", -1)
-                  finally in.close()
-      require(lines.head == "graft-swap-manifest v1",
-        s"unknown manifest header: ${lines.head}")
-      def field(i: Int, key: String): String = {
-        require(lines(i).startsWith(key + "="), s"expected $key= at line ${i + 1}")
-        lines(i).stripPrefix(key + "=")
-      }
-      val gen = field(1, "generation").toInt
-      val partCol = field(2, "partCol")
-      val partColType = field(3, "partColType")
-      val cols = field(4, "cols")
-      val parts = lines.drop(5).filter(_.nonEmpty).map { l =>
-        val cut = l.indexOf('\t')
-        require(cut > 0, s"malformed partition line: $l")
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(l.substring(0, cut)) ->
-          new org.apache.hadoop.fs.Path(l.substring(cut + 1))
-      }.toSeq
-      (gen, partCol, partColType, cols, parts)
+    val parsed = readVersionManifest(spark, v2Table) match {
+      case None => return false
+      case Some(t) => t
     }
     parsed match {
       case scala.util.Failure(e) =>
@@ -865,6 +885,259 @@ object ParquetSink {
         fs.getFileStatus(p).getModificationTime
       age >= maxAgeMs && fs.delete(p, false)
     }.getOrElse(false) // vanished between probe and stat = already freed
+  }
+
+  /** Lines of a table's refs ledger, or None when no ledger exists (a
+    * compacted version owns every partition and legitimately has none).
+    */
+  private def readRefs(spark: org.apache.spark.sql.SparkSession,
+                       tableName: String): Option[Seq[String]] = {
+    val p = refsPath(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
+                  finally in.close()
+      Some(lines.toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  /** True when any live ledger (any version's, including `owner`'s own if
+    * `owner` is None) pins `dir` — the boolean face of [[guardReferenced]]
+    * for reporting rather than refusing.
+    */
+  private def isReferenced(spark: org.apache.spark.sql.SparkSession,
+                           dir: org.apache.hadoop.fs.Path,
+                           owner: Option[String]): Boolean =
+    try { guardReferenced(spark, dir, owner); false }
+    catch { case _: IllegalStateException => true }
+
+  /** Integrity check (`fsck`) of one swap-published version — the
+    * health probe an operator runs before trusting an adopt, on the
+    * janitor cadence, or after any crash: every agreement the publish
+    * commit discipline is supposed to maintain between the CATALOG
+    * entry, the durable MANIFEST, the refs LEDGER and the FILESYSTEM is
+    * verified and each violation reported as a row
+    * `(severity, check, detail)` — an empty result is a clean bill.
+    * Read-only: nothing is repaired, deleted, or re-registered
+    * (recovery stays with the explicit verbs — republish,
+    * [[adoptPublishedVersion]], [[compactPublishedVersion]],
+    * [[dropIndexVersion]], [[breakStalePublishLock]]). The snapshot
+    * formats ship the same verb as a metadata validation over manifests
+    * vs data files; the reference delegates it to Iceberg.
+    *
+    * Checks and the real failure each one catches:
+    *  - `manifest-missing` / `version-unknown` / `manifest-unreadable`
+    *    (error): the version is not durable — a deleted or torn
+    *    manifest, or a name that never published.
+    *  - `partition-missing` (error): a manifest partition directory
+    *    vanished — a base rebuilt out from under the version despite the
+    *    ledger, or manual deletion.
+    *  - `unpinned-reference` (error): a foreign directory the manifest
+    *    references has NO covering ledger line — the crash window
+    *    between catalog re-point and final ledger write, or a hand-edited
+    *    ledger; a base rebuild would silently delete live data.
+    *  - `catalog-drift` (error): the registered table's partition map
+    *    disagrees with the manifest — a death between the commit's
+    *    RENAME and its manifest write leaves exactly this.
+    *  - `dangling-pin` / `over-pin` (warn): ledger lines whose directory
+    *    is gone / which no manifest partition needs — they block base
+    *    rebuilds for nothing.
+    *  - `stage-leftover` / `manifest-tmp-leftover` (warn): debris of a
+    *    crashed publish (reclaimed by the next successful one).
+    *  - `publish-lock` (warn when older than `lockMaxAgeMs`, info when
+    *    younger): a publish in flight, or a crashed publisher's lock for
+    *    [[breakStalePublishLock]].
+    *  - `orphan-generation` (warn): a generation directory neither
+    *    current nor pinned by any ledger — GC debt from a crashed or
+    *    refused cleanup.
+    *  - `root-missing` (warn): the version's (empty-by-construction)
+    *    root directory is gone — harmless to data but every read logs
+    *    the FileStreamSink probe stack until an adopt recreates it.
+    *
+    * Cost is O(partitions) driver-side metadata probes — the same bound
+    * [[adoptPublishedVersion]] pays, and the result (a findings list) is
+    * inherently driver-sized. Takes no lock: racing a live publish can
+    * transiently report stage debris or a young `publish-lock`, which is
+    * exactly what an operator wants to see during a publish.
+    */
+  def fsckPublishedVersion(spark: org.apache.spark.sql.SparkSession,
+                           v2Table: String,
+                           lockMaxAgeMs: Long = 30L * 60 * 1000): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(hconf)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def report(sev: String, check: String, detail: String): Unit =
+      findings += ((sev, check, detail))
+
+    val registered = spark.catalog.tableExists(v2Table)
+    val manifest = readVersionManifest(spark, v2Table)
+    manifest match {
+      case None if registered =>
+        report("error", "manifest-missing",
+          s"'$v2Table' is registered this JVM but has no durable manifest; " +
+          "a restart loses the version (republish to restore durability)")
+      case None =>
+        report("error", "version-unknown",
+          s"'$v2Table' has no manifest and is not registered — nothing to adopt")
+      case Some(scala.util.Failure(e)) =>
+        report("error", "manifest-unreadable",
+          s"${manifestPath(spark, v2Table)}: ${e.getMessage}")
+      case Some(scala.util.Success((gen, partCol, _, _, parts))) =>
+        // Filesystem side: every referenced partition directory exists
+        parts.foreach { case (v, loc) =>
+          if (!fs.exists(loc))
+            report("error", "partition-missing", s"$partCol=$v -> $loc")
+        }
+        // Ledger side: foreign dirs pinned, pins all needed and alive.
+        // "Own" = under this version's generation roots (any generation:
+        // a republish's parts may still reference an older own delta).
+        val ownPrefixes = generations(spark, v2Table).flatMap(g => Seq(
+          qualified(spark, tableLocation(spark, s"${v2Table}_delta_g$g")).toString,
+          qualified(spark, tableLocation(spark, s"${v2Table}_g$g")).toString))
+        def isOwn(q: String) =
+          ownPrefixes.exists(p => q == p || q.startsWith(p + "/"))
+        val partQ = parts.map { case (v, loc) =>
+          v -> qualified(spark, loc).toString }
+        val foreign = partQ.filterNot { case (_, q) => isOwn(q) }
+        val refs = readRefs(spark, v2Table).getOrElse(Nil)
+        def pinned(q: String) =
+          refs.exists(r => q == r || q.startsWith(r + "/"))
+        foreign.foreach { case (v, q) =>
+          if (!pinned(q))
+            report("error", "unpinned-reference",
+              s"$partCol=$v -> $q has no covering ledger line — a base " +
+              "rebuild would delete live data of this version")
+        }
+        refs.foreach { r =>
+          val rp = new org.apache.hadoop.fs.Path(r)
+          if (!fs.exists(rp)) report("warn", "dangling-pin", r)
+          else if (!partQ.exists { case (_, q) => q == r || q.startsWith(r + "/") })
+            report("warn", "over-pin",
+              s"$r pinned but referenced by no manifest partition")
+        }
+        // Catalog side: a registered entry must agree with the manifest
+        if (registered) {
+          val cat = partitionLocations(spark, v2Table, partCol)
+            .map { case (v, loc) => v -> qualified(spark, loc).toString }
+          val man = partQ.toMap
+          val drift = (cat.keySet ++ man.keySet).iterator.filter(v =>
+            cat.get(v) != man.get(v)).toSeq.sorted
+          if (drift.nonEmpty)
+            report("error", "catalog-drift",
+              s"${drift.size} partition(s) disagree between catalog and " +
+              s"manifest (e.g. $partCol=${drift.head}: catalog=" +
+              s"${cat.get(drift.head).getOrElse("absent")}, manifest=" +
+              s"${man.get(drift.head).getOrElse("absent")})")
+        }
+        // Generation hygiene: current root exists; others pinned or debt
+        val curRoot = tableLocation(spark, s"${v2Table}_g$gen")
+        if (!fs.exists(curRoot))
+          report("warn", "root-missing",
+            s"$curRoot (reads log FileStreamSink probe stacks; adopt recreates it)")
+        generations(spark, v2Table).filterNot(_ == gen).foreach { g =>
+          Seq(tableLocation(spark, s"${v2Table}_delta_g$g"),
+              tableLocation(spark, s"${v2Table}_g$g"))
+            .filter(d => fs.exists(d))
+            .filterNot(d => partQ.exists { case (_, q) =>
+              val dq = qualified(spark, d).toString
+              q == dq || q.startsWith(dq + "/") })
+            .filterNot(d => isReferenced(spark, d, None))
+            .foreach(d => report("warn", "orphan-generation",
+              s"$d is neither the current generation nor pinned by any ledger"))
+        }
+    }
+    // Debris of a crashed publish (version-state independent)
+    if (spark.catalog.tableExists(v2Table + "__stage"))
+      report("warn", "stage-leftover", s"staging table '${v2Table}__stage'")
+    if (fs.exists(refsPath(spark, v2Table + "__stage")))
+      report("warn", "stage-leftover",
+        s"staging ledger ${refsPath(spark, v2Table + "__stage")}")
+    val mf = manifestPath(spark, v2Table)
+    val mfTmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".__tmp")
+    if (fs.exists(mfTmp))
+      report("warn", "manifest-tmp-leftover", mfTmp.toString)
+    val lock = publishLockPath(spark, v2Table)
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age >= lockMaxAgeMs)
+        report("warn", "publish-lock",
+          s"$lock is ${age} ms old (stale past $lockMaxAgeMs ms — " +
+          "breakStalePublishLock if the publisher is dead)")
+      else
+        report("info", "publish-lock", s"$lock is ${age} ms old (publish in flight)")
+    }
+    findings.toSeq.toDF("severity", "check", "detail")
+  }
+
+  /** Rebuilds a version's refs ledger from its durable MANIFEST — the
+    * recovery for fsck's `unpinned-reference` / `over-pin` /
+    * `dangling-pin` findings (a hand-damaged or lost ledger; the commit
+    * discipline itself never leaves this state, because a staged ledger
+    * guards the commit window). The manifest is the authority: the
+    * correct pin set is exactly its foreign partition directories —
+    * locations outside the version's own generation roots. Returns false
+    * without touching anything when no readable manifest exists (there
+    * is then no authority to rebuild from — republish instead). Takes
+    * the publish lock so a repair cannot interleave with a live publish
+    * rewriting the same ledger.
+    */
+  def repairVersionLedger(spark: org.apache.spark.sql.SparkSession,
+                          v2Table: String): Boolean = {
+    val parsed = readVersionManifest(spark, v2Table) match {
+      case Some(scala.util.Success(m)) => m
+      case _ => return false
+    }
+    val lock = acquirePublishLock(spark, v2Table)
+    try {
+      val (_, _, _, _, parts) = parsed
+      val ownPrefixes = generations(spark, v2Table).flatMap(g => Seq(
+        qualified(spark, tableLocation(spark, s"${v2Table}_delta_g$g")).toString,
+        qualified(spark, tableLocation(spark, s"${v2Table}_g$g")).toString))
+      def isOwn(q: String) =
+        ownPrefixes.exists(p => q == p || q.startsWith(p + "/"))
+      val foreign = parts.map(_._2)
+        .filterNot(p => isOwn(qualified(spark, p).toString))
+      if (foreign.isEmpty) {
+        // the compacted (self-owned) form: absent ledger, not empty file
+        val rp = refsPath(spark, v2Table)
+        rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(rp, false)
+      } else writeRefs(spark, v2Table, foreign)
+      true
+    } finally lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, false)
+  }
+
+  /** Warehouse-wide [[fsckPublishedVersion]]: every version with a
+    * durable manifest, one findings row per violation with the version
+    * name prepended — the single call an unattended janitor schedules.
+    * Versions are discovered by their manifest files, so a version whose
+    * manifest was deleted is invisible here (it shows up as
+    * `manifest-missing` only when probed by name); the per-version form
+    * remains the targeted diagnostic.
+    */
+  def fsckAllPublishedVersions(spark: org.apache.spark.sql.SparkSession,
+                               lockMaxAgeMs: Long = 30L * 60 * 1000): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(wh)) Seq.empty[String]
+      else fs.listStatus(wh).iterator.map(_.getPath.getName)
+        .filter(n => n.endsWith("__manifest.txt"))
+        .map(_.stripSuffix("__manifest.txt")).toSeq.sorted
+    versions.map { v =>
+      fsckPublishedVersion(spark, v, lockMaxAgeMs)
+        .select(lit(v).as("version"), col("severity"), col("check"), col("detail"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, String, String, String)]
+        .toDF("version", "severity", "check", "detail"))
   }
 
   /** Drops a swap-published version COMPLETELY: catalog entry, ledger,

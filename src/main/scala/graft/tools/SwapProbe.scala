@@ -255,6 +255,30 @@ object SwapProbe {
     require(s.table(ivfBase + "_v4").count() == preCompact,
       "compacted v4 row count drifted")
 
+    // ---------- fsck at scale (round 14) ----------
+    // Price the read-only integrity probe at real partition counts: the
+    // kNN edge v2 (the widest layout, ~700 partitions → ~700 exists
+    // probes + ledger/catalog reconciliation) and the compacted IVF v4
+    // (ledger-free self-owned form), both required CLEAN; then the
+    // warehouse-wide sweep an unattended janitor would schedule,
+    // reported but not required (a prior run's debris is a finding for
+    // the operator, not a probe failure).
+    def fsckClean(label: String, tbl: String): Unit = timed(label) {
+      val bad = graft.sources.ParquetSink.fsckPublishedVersion(s, tbl)
+        .filter(col("severity") === "error").collect()
+      require(bad.isEmpty,
+        s"fsck errors on $tbl: ${bad.toSeq.take(5).mkString("; ")}")
+    }
+    fsckClean("fsck_knn_v2", edgeBase + "_v2")
+    fsckClean("fsck_ivf_v4_compacted", ivfBase + "_v4")
+    timed("fsck_all_sweep") {
+      val all = graft.sources.ParquetSink.fsckAllPublishedVersions(s)
+        .collect()
+      println(s"[swap-probe] fsck sweep: ${all.length} findings" +
+        (if (all.isEmpty) "" else all.take(10).map(r =>
+          s"\n[swap-probe]   ${r.mkString(" | ")}").mkString))
+    }
+
     val json = results.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\"sf_dir\": \"" + d + "\", ", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
