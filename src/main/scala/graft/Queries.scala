@@ -2594,7 +2594,11 @@ object Queries {
       // portable SQL oracle: rows-only here; init determinism/coverage
       // and refine exactness are spec-tested in AnnSpec.
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        // r14: spread the narrow single-file scan once — the sampling
+        // rounds, both Lloyd iterations and the final assign all do their
+        // per-vector cosine work pre-exchange, which otherwise ran on the
+        // one scan task (scale-adaptive: a wide real layout skips this).
+        val emb = Scans.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
         val init = Ann.initCentroids(emb, "vec_id", "embedding",
           k = 20, seed = 42L)
         val refined = Ann.kmeansRefine(emb, init,
@@ -2883,9 +2887,13 @@ object Queries {
       // folded by `aggregate` and oracle-covered). Text is ASCII, so
       // the oracle's text-substring header equals the byte slice; the
       // checksum oracle reads true payload bytes via hex-pair slicing.
+      // r14: scale-adaptive spread — the chunked-checksum HOF evaluates
+      // interpreted per row and otherwise ran on the one scan task of the
+      // single-file corpus (skipped on wide layouts, where the extra
+      // text-bytes exchange would be pure overhead).
       (s, d) => Multimodal.payloadMeta(
-        Tables.documents(s, d).select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
+        Scans.spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload"),
       Some("""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

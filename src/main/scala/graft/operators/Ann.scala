@@ -1062,7 +1062,11 @@ object Ann {
     // (2 joins x iters); persist it once instead of re-deriving it from
     // the scan each time — at 100 TB this is the difference between
     // 2·iters corpus scans and one.
-    val v = emb.filter(size(col(vecCol)) === dims)
+    // r14: scale-adaptive spread of the narrow single-file scan — the
+    // exploded matvec build and every iteration's map side otherwise ran
+    // on the one scan task (Scans.spreadIfNarrow skips on wide layouts).
+    val v = Scans.spreadIfNarrow(emb, col(idCol))
+      .filter(size(col(vecCol)) === dims)
       .select(col(idCol).as("rid"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("rid"), col("dim").cast("long").as("dim"),

@@ -44,14 +44,17 @@ object Clustering {
     }
     def unpersistIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    // Checkpoint the PAIR relation before mirroring it: the union's two
-    // branches would otherwise each evaluate the (expensive) pair
-    // generation — the LSH pipeline runs twice for one edge list.
-    val (p, pIds) = checkpointTracked(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // Mirror through explode(array(struct..)) rather than union-of-two-
+    // selects: one generator evaluates the (expensive) pair upstream — the
+    // LSH pipeline — exactly once, where the union's branches would each
+    // re-run it; that previously forced an extra intermediate checkpoint
+    // of the un-mirrored pairs (r14 optimization: one materialization job
+    // at loop entry instead of two).
     val (edges, edgeIds) = checkpointTracked(
-      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"))))
-    unpersistIds(pIds) // edges now hold the data; the un-mirrored copy can go
+      pairs.select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var (labels, labelIds) = checkpointTracked(
       edges.groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("mind"))
@@ -59,31 +62,37 @@ object Clustering {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbour propagation: candidate = min over neighbours' components
-      val viaEdges = edges
+      // One round = min over {own label} ∪ {neighbours' labels} ∪
+      // {label's own label} (pointer jumping), expressed as a UNION into
+      // a single min-aggregate rather than candidate relations joined
+      // back onto labels (r14 optimization: the join-back passes and the
+      // neighbour pre-aggregate fold into the one groupBy — map-side
+      // partial min keeps the shuffle at the same O(E) bytes, and two
+      // label-set passes per round disappear). The self row (exactly one
+      // per node — labels is unique by node) carries the previous label
+      // through the aggregate so the convergence check needs no probe:
+      // an Observation counts changed rows DURING the round's checkpoint
+      // job (probed in tools/Probe DECOMP=obs, spec-gated in
+      // ClusteringSpec's long-chain test).
+      val neighbour = edges
         .join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("comp")).as("ncomp"))
-      // pointer jumping: candidate = component of my component
-      val viaPointer = labels.as("l")
+        .select(col("src").as("node"), col("comp"), lit(0).as("self"))
+      val pointer = labels.as("l")
         .join(labels.as("p"), col("l.comp") === col("p.node"))
-        .select(col("l.node").as("node"), col("p.comp").as("pcomp"))
+        .select(col("l.node").as("node"), col("p.comp").as("comp"),
+          lit(0).as("self"))
+      val obs = org.apache.spark.sql.Observation()
       val (next, nextIds) = checkpointTracked(labels
-        .join(viaEdges, Seq("node"), "left")
-        .join(viaPointer, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp")),
-            coalesce(col("pcomp"), col("comp"))).as("comp")))
-      // One driver-side count per round decides termination only (the
-      // iterative-algorithm pattern, as in ML training loops); both
-      // inputs are checkpointed, so it scans two tiny label sets.
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
+        .select(col("node"), col("comp"), lit(1).as("self"))
+        .unionByName(neighbour).unionByName(pointer)
+        .groupBy("node")
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("self") === 1, col("comp"))).as("prev"))
+        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed")))
+      val changed = obs.get("changed").asInstanceOf[Long]
       unpersistIds(labelIds) // superseded round's blocks
-      labels = next
+      labels = next.select("node", "comp")
       labelIds = nextIds
       converged = changed == 0
       iter += 1
@@ -171,10 +180,14 @@ object Clustering {
         .filter(col("src") =!= col("dst"))
       viaNbr.unionByName(viaSelf).distinct()
     }
+    // Initial emptiness rides an Observation on the same checkpoint job
+    // (r14: the old edges.isEmpty probe was one more driver job).
+    val initObs = org.apache.spark.sql.Observation()
     var (edges, edgeIds) = checkpointTracked(
       pairs.select(least(col(aCol), col(bCol)).as("src"),
           greatest(col(aCol), col(bCol)).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")).distinct()
+        .observe(initObs, count(lit(1)).as("n")))
     // Nodes with no surviving edge after a star round are their own
     // component OR have already been attached to their min; track the
     // full node set once so the final labelling covers singleton-ified
@@ -184,17 +197,23 @@ object Clustering {
       edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct())
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = initObs.get("n").asInstanceOf[Long] == 0
     while (iter < maxIter && !converged) {
       val (next, nextIds) = checkpointTracked(smallStar(largeStar(edges)))
       // Fixpoint = identical edge SETS (both sides are distinct() by
-      // construction): two left-anti emptiness probes over the tiny
-      // checkpointed relations. (exceptAll would also work semantically,
-      // but its Union-based rewrite trips Catalyst constraint
-      // propagation when the two sides share a checkpointed subplan.)
-      val changed = next.join(edges, Seq("src", "dst"), "left_anti")
-        .limit(1).count() +
-        edges.join(next, Seq("src", "dst"), "left_anti").limit(1).count()
+      // construction): ONE symmetric-difference probe — union with ±1
+      // weights, grouped sum ≠ 0 ⟺ an edge on exactly one side — in
+      // place of the former two left-anti probes (r14: one driver job
+      // and one co-grouping pass per round instead of two join probes;
+      // joins would sort or broadcast, the weighted union is a plain
+      // partial-aggregated count shuffle). Safe against the exceptAll
+      // constraint-propagation trap because both sides are rebased
+      // checkpoints with fresh lineage (see checkpointTracked above).
+      val changed = next.select(col("src"), col("dst"), lit(1).as("w"))
+        .unionByName(edges.select(col("src"), col("dst"), lit(-1).as("w")))
+        .groupBy("src", "dst").agg(sum(col("w")).as("d"))
+        .filter(col("d") =!= 0)
+        .limit(1).count()
       unpersistIds(edgeIds)
       edges = next
       edgeIds = nextIds

@@ -206,16 +206,38 @@ object Multimodal {
     * sample integer functions of the id — n = 200 + id % 300 samples,
     * byte j = (id·31 + j²·7 + j·13) mod 256 — so a codec-free oracle
     * reproduces frame energies and gradient signs arithmetically, the
-    * [[syntheticPngs]] discipline. Construction is pure relational
-    * (transform → hex → unhex): no UDF, no mapPartitions, scan-parallel.
+    * [[syntheticPngs]] discipline. Construction is pure relational and
+    * fully codegen'd (r14 optimization): j²·7 + j·13 mod 256 has period
+    * 256 in j, so byte j = P_c[j] where c = (id·31) mod 256 and P_c is
+    * one of 256 plan-time-constant 512-byte patterns (n ≤ 499 < 512) —
+    * the payload is one array lookup + one substring per row, where the
+    * former transform(sequence…, j -> lpad(hex(…))) lambda evaluated
+    * INTERPRETED per byte (HOFs are CodegenFallback; the probe measured
+    * the construction alone at ~0.9 s of the ~2.2 s audio entry at
+    * sf0.1). Byte-identity with the formula is spec-gated.
     */
-  def syntheticPcm(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"))
-      .withColumn("payload", expr(
-        """unhex(array_join(transform(
-          |  sequence(0L, 200 + doc_id % 300 - 1),
-          |  j -> lpad(hex((doc_id * 31 + j * j * 7 + j * 13) % 256), 2, '0')),
-          |''))""".stripMargin))
+  def syntheticPcm(df: DataFrame, idCol: String): DataFrame = {
+    val patterns: Seq[Array[Byte]] = Seq.tabulate(256) { c =>
+      Array.tabulate(512) { j =>
+        ((c + (7L * j * j + 13L * j) % 256) % 256).toByte
+      }
+    }
+    // Repartition the BARE IDS before constructing payloads (r14): the
+    // sf corpus is one single-row-group parquet file, so the scan is one
+    // task and everything until the first exchange ran on one core; the
+    // id shuffle is 8 bytes/row at any scale, the payload construction
+    // and every downstream per-byte stage parallelize, and a downstream
+    // groupBy(doc_id, …) — audioFrameEnergy's — is already satisfied by
+    // this partitioning, so its exchange DISAPPEARS (net exchanges
+    // unchanged, moved from after the per-sample explode to before
+    // payload construction: strictly fewer bytes).
+    Scans.spreadByKey(df.select(col(idCol).cast("long").as("doc_id")),
+        col("doc_id"))
+      .withColumn("payload",
+        element_at(typedLit(patterns),
+            pmod(col("doc_id") * 31, lit(256)).cast("int") + 1)
+          .substr(lit(1), (lit(200) + col("doc_id") % 300).cast("int")))
+  }
 
   /** Perceptual hash (dHash family) over a decoded byte stream: sample
     * `nBits`+1 evenly-strided bytes, bit j = sample(j+1) > sample(j),
@@ -226,26 +248,27 @@ object Multimodal {
     * read byte-by-byte via hex/conv ([[byteAtSql]]), exact for all 256
     * byte values on any engine.
     *
-    * Pure projection over a sequence explode-free HOF `aggregate` — no
-    * shuffle, scan-parallel; the interpreted lambda is acceptable on this
-    * render-like path (bounded nBits iterations per row). nBits ≤ 62 keeps
-    * the signature non-negative in an int64. Payloads shorter than
-    * nBits+1 bytes carry no gradient signal and are dropped (stride 0
-    * would re-read byte 1).
+    * ONE codegen'd plan node (r14 optimization): the strided gradient
+    * loop runs as a plain JVM kernel behind a StaticInvoke
+    * ([[org.apache.spark.sql.graft.GraftByteOps.phash]], the srpSign
+    * discipline) with direct byte access. The former HOF `aggregate`
+    * lambda evaluated interpreted (CodegenFallback, substring+hex+conv
+    * against the payload twice per bit, ~0.9 s/trial at sf0.1); an
+    * intermediate unrolled-63-column form executed fast but cost ~1 s of
+    * Catalyst PLANNING per query (tools/Probe DECOMP=pcm3: planning
+    * 1.03 s vs 0.06 s warm execution — see ByteOps.scala). Bit-for-bit
+    * equality of the kernel with the relational byte-read form is
+    * spec-gated. nBits ≤ 62 keeps the signature non-negative in an
+    * int64. Payloads shorter than nBits+1 bytes carry no gradient signal
+    * and are dropped (stride 0 would re-read byte 1).
     */
   def perceptualHash(df: DataFrame, idCol: String, payloadCol: String,
                      nBits: Int = 62): DataFrame = {
     require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
     df.filter(octet_length(col(payloadCol)) >= nBits + 1)
-      .select(col(idCol).as("doc_id"), col(payloadCol).as("b"))
-      .withColumn("stride", expr(s"(octet_length(b) - 1) div $nBits"))
-      .select(col("doc_id"),
-        expr(s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint),
-          |(acc, j) -> acc + if(
-          |  ${byteAtSql("b", "1 + (j+1) * stride")} >
-          |  ${byteAtSql("b", "1 + j * stride")},
-          |  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
-          .as("phash"))
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.ByteOpsFunctions
+          .phash(col(payloadCol), nBits).as("phash"))
   }
 
   /** Exact-signature duplicate groups over [[perceptualHash]]: the first
@@ -270,10 +293,16 @@ object Multimodal {
     * the full 0-255 sample range on any engine, where the former ASCII
     * text proxy capped at 7 bits.
     *
-    * Per-SAMPLE explode + one grouped aggregate: the explode stays in
-    * whole-stage codegen and partial aggregation collapses it map-side,
-    * so the shuffle carries one row per (doc, frame) — n_bytes/frameBytes
-    * rows — not per byte. All integer arithmetic.
+    * ONE codegen'd kernel pass per payload (r14 optimization): the
+    * per-frame triples come from [[org.apache.spark.sql.graft.GraftByteOps
+    * .frameEnergies]] (StaticInvoke, direct byte access — the srpSign
+    * discipline) and posexplode emits one row per FRAME — where the
+    * former shape exploded one row per BYTE (copying the whole payload
+    * into every per-sample row), read each byte through
+    * conv∘hex∘substring, and re-grouped the samples through a
+    * (doc, frame) shuffle. No shuffle remains; values are identical and
+    * the kernel-vs-relational equality is spec-gated. All integer
+    * arithmetic.
     */
   def audioFrameEnergy(df: DataFrame, idCol: String, payloadCol: String,
                        frameBytes: Int = 64): DataFrame = {
@@ -281,15 +310,13 @@ object Multimodal {
     df.select(col(idCol).as("doc_id"), col(payloadCol).as("b"))
       .filter(octet_length(col("b")) > 0)
       .select(col("doc_id"),
-        explode(expr("sequence(1L, cast(octet_length(b) as bigint))")).as("pos"),
-        col("b"))
+        posexplode(org.apache.spark.sql.graft.ByteOpsFunctions
+          .frameEnergies(col("b"), frameBytes)).as(Seq("fi", "st")))
       .select(col("doc_id"),
-        expr(s"(pos - 1) div $frameBytes").as("frame_idx"),
-        (expr(byteAtSql("b", "pos")) - 128).cast("long").as("s"))
-      .groupBy("doc_id", "frame_idx")
-      .agg(count(lit(1)).cast("long").as("n_samples"),
-        sum(col("s") * col("s")).cast("long").as("energy"),
-        max(abs(col("s"))).cast("long").as("peak"))
+        col("fi").cast("long").as("frame_idx"),
+        col("st").getItem(0).as("n_samples"),
+        col("st").getItem(1).as("energy"),
+        col("st").getItem(2).as("peak"))
   }
 
   /** STUB per-frame decode/feature-extract (batched mapPartitions — where a
@@ -325,7 +352,12 @@ object Multimodal {
   def syntheticPngs(ids: Dataset[java.lang.Long]): Dataset[MediaRow] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions { it =>
+    // Repartition the BARE IDS before encoding (r14): the single-file
+    // test corpus scans as one task, which serialized the whole PNG
+    // encode (and the caller's decode) onto one core; ids are 8
+    // bytes/row at any scale, the codec work parallelizes.
+    Scans.spreadByKey(ids.toDF(), col(ids.columns.head)).as[java.lang.Long]
+      .mapPartitions { it =>
       it.map { idBoxed =>
         val id = idBoxed.longValue()
         val w = (8 + id % 5).toInt

@@ -229,7 +229,7 @@ object TextAnalysis {
     // One exchange, before the explode: hash-partitioning on doc_id
     // satisfies both downstream groupings (doc_id,tok) and (doc_id), so
     // the un-exploded docs shuffle once and both aggregations are local.
-    val toks = docs.repartition(col(idCol))
+    val toks = Scans.spreadByKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -316,8 +316,15 @@ object TextAnalysis {
     */
   def classifierScore(docs: DataFrame, idCol: String, textCol: String,
                       weights: DataFrame, dims: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
+    // Exchange BEFORE the explode (r14; the gramRows rationale): the
+    // final groupBy(doc_id) needed a doc_id exchange anyway — moving it
+    // ahead of the explode shuffles one row per DOC instead of one per
+    // matched token, and the per-token md5 feature hashing runs at full
+    // parallelism instead of inside the single-task scan stage of the
+    // one-file test corpus.
+    val toks = Scans.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
     toks.select(col("doc_id"), hashedFeature(col("tok"), dims).as("feature"))
       .join(broadcast(weights), "feature")
       .groupBy("doc_id")

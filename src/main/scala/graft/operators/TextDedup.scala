@@ -106,7 +106,17 @@ object TextDedup {
     // 64-bit hash key (not md5 hex strings): the boilerplate-set shuffle
     // and the anti join move 8-byte longs; collision argument as in
     // [[minhashLshPairs]]
-    val segs = segmentRows(docs, idCol, textCol, wordsPerPara)
+    //
+    // Exchange BEFORE the interpreted chunking transform (r14): the HOF
+    // runs per row outside codegen — on the single-file test corpus the
+    // whole segmentation otherwise serialized onto the one scan task —
+    // and this operator's per-doc groupings (totals, reassembly) are
+    // satisfied by the doc_id partitioning, so their exchanges disappear
+    // (net exchange count unchanged; paragraphDedup keys only on
+    // para_hash and deliberately does NOT take this repartition — its
+    // single-exchange plan is spec-pinned).
+    val segs = segmentRows(Scans.spreadByKey(docs, col(idCol)), idCol, textCol,
+        wordsPerPara)
       .withColumn("para_hash", xxhash64(col("para")))
     val boiler = segs.groupBy("para_hash")
       .agg(count_distinct(col("doc_id")).as("n_docs"))
@@ -139,13 +149,22 @@ object TextDedup {
   private[operators] def gramRows(docs: DataFrame, idCol: String, textCol: String,
                                   n: Int): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    val base = docs.select(col(idCol).as("doc_id"),
+    // n ≥ 2 needs the lead() window, i.e. an exchange on doc_id — put it
+    // BEFORE the token explode (r14 optimization): the shuffle then moves
+    // each document's text once (one row per doc) instead of one row per
+    // token (~5x the bytes in row overhead), and the explode itself runs
+    // at full parallelism instead of inside the scan stage — the sf
+    // corpus is one single-row-group parquet file, so the scan is one
+    // task. Same exchange count, strictly fewer shuffled bytes, the
+    // repetitionProfile discipline.
+    def base(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    if (n == 1) base.select(col("doc_id"), col("tok").as("s"))
+    if (n == 1) base(docs).select(col("doc_id"), col("tok").as("s"))
     else {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
-      base.select(col("doc_id") +: col("tok") +: leads: _*)
+      base(Scans.spreadByKey(docs, col(idCol)))
+        .select(col("doc_id") +: col("tok") +: leads: _*)
         .filter(col(s"l${n - 1}").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"l$i")): _*).as("s"))
@@ -418,8 +437,13 @@ object TextDedup {
                     windowTokens: Int): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val l = windowTokens
-    val base = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    // Exchange BEFORE the token explode (r14; the gramRows rationale):
+    // the window needs doc_id partitioning anyway — shuffling whole
+    // documents moves ~5x fewer bytes than shuffling token rows, and the
+    // explode leaves the single-task scan stage.
+    val base = Scans.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until l).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
     val win = base.select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)

@@ -260,6 +260,117 @@ object Probe {
       }
       spark.stop(); return
     }
+    // DECOMP=lsh|spans|pcm — stage-level attribution of the hot operator
+    // families: each listed sub-plan times through the noop sink, median
+    // of DECOMP_TRIALS (default 3), so the expensive stage inside a
+    // composed entry is identified by measurement, not guesswork.
+    if (sys.env.contains("DECOMP")) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      import graft.operators._
+      val trials = sys.env.get("DECOMP_TRIALS").map(_.toInt).getOrElse(3)
+      // Spark-job counter: the iterative operators' cost is partly DRIVER
+      // jobs (eager checkpoints, convergence probes) that no plan shows —
+      // count them per trial so job-count claims are measured.
+      val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCounter.incrementAndGet()
+        })
+      def med(label: String)(df: => DataFrame): Unit = {
+        var jobs = 0
+        val ts = (1 to trials).map { _ =>
+          System.gc()
+          val j0 = jobCounter.get()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the async listener bus drain
+          jobs = jobCounter.get() - j0
+          dt
+        }.sorted
+        val m = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+        println(f"[decomp] $label%-28s median=$m%6.2f s  jobs=$jobs  (${ts.map(t => f"$t%.2f").mkString(" ")})")
+      }
+      sys.env("DECOMP") match {
+        case "lsh" =>
+          def sh = TextDedup.shingleHashTable(docs, "doc_id", "text", 3)
+          med("shingleHashTable")(sh)
+          med("sizes(groupBy doc)")(sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+          med("bandedKeys")(TextDedup.bandedKeys(sh, 128, 32))
+          med("lshCandidates")(TextDedup.lshCandidatesFromHashes(sh, 128, 32))
+          med("minhashLshPairs(full)")(TextDedup.minhashLshPairs(
+            docs, "doc_id", "text", 3, 128, 32, 0.8))
+          med("dedupClusters(pairs)")(Clustering.dedupClusters(
+            TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.8),
+            "doc_a", "doc_b"))
+        case "spans" =>
+          med("repeatedSpans(full)")(TextDedup.repeatedSpans(
+            docs, "doc_id", "text", 15))
+          med("removeRepeatedSpans")(TextDedup.removeRepeatedSpans(
+            docs, "doc_id", "text", 15))
+        case "pcm" =>
+          med("syntheticPcm")(Multimodal.syntheticPcm(docs, "doc_id"))
+          med("audioFrameEnergy")(Multimodal.audioFrameEnergy(
+            Multimodal.syntheticPcm(docs, "doc_id"), "doc_id", "payload", 64))
+          med("perceptualHash")(Multimodal.perceptualHash(
+            Multimodal.syntheticPcm(docs, "doc_id"), "doc_id", "payload", 62))
+        case "pcm2" =>
+          val pcm = Multimodal.syntheticPcm(docs, "doc_id")
+          med("phash nBits=8")(Multimodal.perceptualHash(pcm, "doc_id", "payload", 8))
+          med("phash nBits=31")(Multimodal.perceptualHash(pcm, "doc_id", "payload", 31))
+          med("phash nBits=62")(Multimodal.perceptualHash(pcm, "doc_id", "payload", 62))
+          med("hex only")(pcm.select(col("doc_id"), hex(col("payload")).as("hx")))
+        case "pcm3" =>
+          // split planning cost from execution cost for the unrolled phash
+          val pcm = Multimodal.syntheticPcm(docs, "doc_id")
+          val ph = Multimodal.perceptualHash(pcm, "doc_id", "payload", 62)
+          val tp0 = System.nanoTime()
+          val exec = ph.queryExecution.executedPlan
+          println(f"[decomp] phash planning: ${(System.nanoTime() - tp0) / 1e9}%.2f s")
+          for (i <- 1 to 3) {
+            val t0 = System.nanoTime()
+            exec.execute().foreachPartition(
+              (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+            println(f"[decomp] phash execute#$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        case "obs" =>
+          // sanity probe: does an Observation attached below an EAGER
+          // localCheckpoint fire during the checkpoint job? (the planned
+          // CC convergence-check fusion depends on it)
+          val obs = org.apache.spark.sql.Observation()
+          val df = spark.range(1000).toDF("x")
+            .observe(obs, count(when(col("x") % 2 === 0, 1)).as("c"))
+          val ck = df.localCheckpoint(true)
+          println(s"[decomp] obs value = ${obs.get("c")} (expect 500), ck rows = ${ck.count()}")
+        case other => println(s"[decomp] unknown family: $other")
+      }
+      spark.stop(); return
+    }
+    // PLANS=q1,q2 PLANDIR=plans/r14 PLANSUFFIX=before — dump each entry's
+    // explain("formatted") (plus the executed/finalized adaptive plan) to
+    // <PLANDIR>/<name>_<PLANSUFFIX>.txt for the round's plan artifacts.
+    if (sys.env.contains("PLANS")) {
+      val dir = java.nio.file.Paths.get(sys.env.getOrElse("PLANDIR", "plans/r14"))
+      java.nio.file.Files.createDirectories(dir)
+      val suffix = sys.env.getOrElse("PLANSUFFIX", "before")
+      for (name <- sys.env("PLANS").split(",").map(_.trim).filter(_.nonEmpty)) {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val exec = df.queryExecution.executedPlan
+        // run the plan so AQE finalizes (join strategies, coalesced reads)
+        exec.execute().foreachPartition(
+          (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val body = formatted + "\n\n== Executed (AQE-final) plan ==\n" + exec.toString
+        java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[plans] wrote ${dir.resolve(s"${name}_$suffix.txt")}")
+      }
+      spark.stop(); return
+    }
     for (name <- sys.env.getOrElse("AUDIT", "q1_pricing_agg").split(",")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // Execute THIS plan instance (a writer would build its own

@@ -728,6 +728,37 @@ class AnnSpec extends SparkSpec {
     assert(dups.toSeq === Seq(((1L << 62) - 1, 2L, 1L)))
   }
 
+  test("perceptualHash kernel equals the relational byte-read form") {
+    // r14: the signature moved from builtin byte reads to the codegen'd
+    // GraftByteOps.phash kernel — pin bit-for-bit equality against the
+    // conv∘hex∘substring formulation on payloads with non-unit strides,
+    // lengths that don't divide evenly, and full-range byte values.
+    val spark0 = spark
+    import spark0.implicits._
+    val payloads = Seq(
+      (1L, Array.tabulate(200)(j => ((j * 31 + 7) % 256).toByte)),
+      (2L, Array.tabulate(63)(j => ((255 - j * 5) % 256).toByte)),
+      (3L, Array.tabulate(499)(j => ((j * j * 7 + j * 13) % 256).toByte)),
+      (4L, Array.tabulate(64)(j => ((j % 3) * 120 % 256).toByte)))
+    val docs = payloads.toDF("doc_id", "payload")
+    for (nBits <- Seq(8, 62)) {
+      val got = Multimodal.perceptualHash(docs, "doc_id", "payload", nBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = docs
+        .filter(octet_length(col("payload")) >= nBits + 1)
+        .withColumn("stride", expr(s"(octet_length(payload) - 1) div $nBits"))
+        .select(col("doc_id"),
+          expr(s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint),
+            |(acc, j) -> acc + if(
+            |  cast(conv(hex(substring(payload, cast(1 + (j+1) * stride as int), 1)), 16, 10) as int) >
+            |  cast(conv(hex(substring(payload, cast(1 + j * stride as int), 1)), 16, 10) as int),
+            |  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+            .as("phash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ref, s"nBits=$nBits")
+    }
+  }
+
   test("filteredTopK only returns neighbors with the target label") {
     val spark0 = spark
     import spark0.implicits._

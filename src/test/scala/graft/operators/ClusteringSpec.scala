@@ -51,6 +51,25 @@ class ClusteringSpec extends SparkSpec {
     assert(got == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
   }
 
+  test("propagation converges on a long chain with the fused changed-count") {
+    // r14: the convergence probe moved into an Observation collected
+    // during each round's checkpoint job — a chain of diameter 40 needs
+    // several pointer-jumping rounds, so a changed-count that under- or
+    // over-reports would terminate early (wrong labels) or run to
+    // maxIter; exact labels prove the fused count gates identically.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = labels(Clustering.connectedComponents(chain, "a", "b"))
+    assert(got.size == 41 && got.values.toSet == Set(0L))
+  }
+
+  test("both variants handle an empty pair relation") {
+    // r14: stars' initial-emptiness probe rides an Observation on the
+    // edge checkpoint; propagation's first round must see changed = 0.
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(labels(Clustering.connectedComponents(empty, "a", "b")).isEmpty)
+    assert(labels(Clustering.connectedComponentsStars(empty, "a", "b")).isEmpty)
+  }
+
   test("stars output is identical across partitionings") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 3L))
       .toDF("a", "b")

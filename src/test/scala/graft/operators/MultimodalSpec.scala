@@ -28,6 +28,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((3L, 0L, 2L, 128L * 128 + 127L * 127, 128L)))
   }
 
+  test("audioFrameEnergy kernel equals the relational per-sample form") {
+    // r14: the per-frame stats moved from a per-byte explode + regroup to
+    // the codegen'd GraftByteOps.frameEnergies kernel — pin row-for-row
+    // equality against the relational formulation on payloads with
+    // partial tail frames, exact-multiple lengths, and full byte range.
+    val docs = Seq(
+      (1L, Array.tabulate(200)(j => ((j * 37 + 3) % 256).toByte)),
+      (2L, Array.tabulate(128)(j => ((255 - j) % 256).toByte)),
+      (3L, Array.tabulate(65)(j => ((j * j) % 256).toByte)),
+      (4L, Array[Byte]())).toDF("doc_id", "payload")
+    val got = Multimodal.audioFrameEnergy(docs, "doc_id", "payload", 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val ref = docs.filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(1L, cast(octet_length(payload) as bigint))")).as("pos"),
+        col("payload"))
+      .select(col("doc_id"), expr("(pos - 1) div 64").as("frame_idx"),
+        (expr("cast(conv(hex(substring(payload, cast(pos as int), 1)), 16, 10) as int)") - 128)
+          .cast("long").as("s"))
+      .groupBy("doc_id", "frame_idx")
+      .agg(count(lit(1)).cast("long").as("n_samples"),
+        sum(col("s") * col("s")).cast("long").as("energy"),
+        max(abs(col("s"))).cast("long").as("peak"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === ref)
+  }
+
   test("syntheticPcm generates the documented byte formula as true binary") {
     val pcm = Multimodal.syntheticPcm(
         Seq(Tuple1(42L)).toDF("doc_id"), "doc_id")
