@@ -2594,11 +2594,12 @@ object Queries {
       // portable SQL oracle: rows-only here; init determinism/coverage
       // and refine exactness are spec-tested in AnnSpec.
       (s, d) => {
-        // r14: spread the narrow single-file scan once — the sampling
-        // rounds, both Lloyd iterations and the final assign all do their
-        // per-vector cosine work pre-exchange, which otherwise ran on the
-        // one scan task (scale-adaptive: a wide real layout skips this).
-        val emb = Scans.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
+        // r14: a spreadIfNarrow of the scan was TRIED here and reverted —
+        // this entry runs many driver ACTIONS (sampling rounds, Lloyd
+        // iterations, final assign) and each action re-executes the
+        // spread shuffle, which measured x2.5 SLOWER solo than the
+        // single-task scan it replaced. Left narrow deliberately.
+        val emb = Tables.embeddings(s, d)
         val init = Ann.initCentroids(emb, "vec_id", "embedding",
           k = 20, seed = 42L)
         val refined = Ann.kmeansRefine(emb, init,

@@ -1062,11 +1062,12 @@ object Ann {
     // (2 joins x iters); persist it once instead of re-deriving it from
     // the scan each time — at 100 TB this is the difference between
     // 2·iters corpus scans and one.
-    // r14: scale-adaptive spread of the narrow single-file scan — the
-    // exploded matvec build and every iteration's map side otherwise ran
-    // on the one scan task (Scans.spreadIfNarrow skips on wide layouts).
-    val v = Scans.spreadIfNarrow(emb, col(idCol))
-      .filter(size(col(vecCol)) === dims)
+    // r14: a spreadIfNarrow before the explode was TRIED here and
+    // reverted — with the matvec persisted, the iterations' per-job task
+    // overhead on the spread 32-partition cache measured x1.2-1.6 SLOWER
+    // than the single-partition cache at bench scale; at 100 TB the scan
+    // is wide and the spread would be skipped anyway.
+    val v = emb.filter(size(col(vecCol)) === dims)
       .select(col(idCol).as("rid"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("rid"), col("dim").cast("long").as("dim"),

@@ -90,8 +90,13 @@ object CurationPipeline {
       .select(col("doc_id"), col("text"), col("lang")))
 
     // 4. near-dup clustering over the survivors; drop non-canonicals
+    // spread = false (r14): `gated` is already exchange-partitioned by
+    // the upstream joins — the shingle window rides that partitioning via
+    // ENSURE_REQUIREMENTS; an explicit spread here would insert a
+    // redundant exchange Catalyst cannot elide.
     val pairs = TextDedup.minhashLshPairs(gated, "doc_id", "text",
-      cfg.shingleN, cfg.numPerm, cfg.bands, cfg.jaccardThreshold)
+      cfg.shingleN, cfg.numPerm, cfg.bands, cfg.jaccardThreshold,
+      spread = false)
     val dropped = Clustering.dedupClusters(pairs, "doc_a", "doc_b")
       .filter(!col("keep")).select(col("doc_id"))
     val deduped = tap(3)(gated.join(dropped, Seq("doc_id"), "left_anti"))

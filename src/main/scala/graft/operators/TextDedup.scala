@@ -147,7 +147,7 @@ object TextDedup {
     * shingle relations (and TextAnalysis.ngramCounts).
     */
   private[operators] def gramRows(docs: DataFrame, idCol: String, textCol: String,
-                                  n: Int): DataFrame = {
+                                  n: Int, spread: Boolean = true): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     // n ≥ 2 needs the lead() window, i.e. an exchange on doc_id — put it
     // BEFORE the token explode (r14 optimization): the shuffle then moves
@@ -163,7 +163,7 @@ object TextDedup {
     else {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"l$i"))
-      base(Scans.spreadByKey(docs, col(idCol)))
+      base(if (spread) Scans.spreadByKey(docs, col(idCol)) else docs)
         .select(col("doc_id") +: col("tok") +: leads: _*)
         .filter(col(s"l${n - 1}").isNotNull)
         .select(col("doc_id"),
@@ -327,8 +327,8 @@ object TextDedup {
     * move longs, not shingle strings.
     */
   def shingleHashTable(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame =
-    gramRows(docs, idCol, textCol, n)
+                       n: Int, spread: Boolean = true): DataFrame =
+    gramRows(docs, idCol, textCol, n, spread)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
 
   /** Signature as one array<long> column (API/spec convenience). */
@@ -378,7 +378,7 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numPerm: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, spread: Boolean = true): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be a multiple of bands")
     // Shingles collapse to 64-bit hashes BEFORE the set-dedup: every
     // downstream shuffle/join carries 8-byte keys instead of strings, and
@@ -400,7 +400,7 @@ object TextDedup {
     // measured SLOWER than recompute at bench scale (columnar cache build
     // of array columns dominates); AQE's runtime exchange reuse already
     // dedupes the token-explode shuffle, which is the expensive part.
-    val sh = shingleHashTable(docs, idCol, textCol, n)
+    val sh = shingleHashTable(docs, idCol, textCol, n, spread)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val candidates = lshCandidatesFromHashes(sh, numPerm, bands)
     // Exact verification: join the (tiny) candidate set back to the
