@@ -165,7 +165,13 @@ object Clustering {
         .filter(col("dst") > col("src"))
         .select(least(col("dst"), col("m")).as("src"),
           greatest(col("dst"), col("m")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+      // No dedup here (r14): the only consumer is smallStar, whose min
+      // aggregate is duplicate-insensitive and whose output carries the
+      // round's distinct() — and largeStar emits at most one row per
+      // directed (u, v>u) input pair, so skipping the dedup cannot blow
+      // the relation up. One exchange per round removed; the fixpoint
+      // probe still compares DISTINCT edge sets (smallStar's output).
     }
     def smallStar(e: DataFrame): DataFrame = {
       val hiLo = e.select(greatest(col("src"), col("dst")).as("u"),
