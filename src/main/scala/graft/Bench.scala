@@ -71,6 +71,22 @@ object Bench {
 
     run("q1_pricing_agg") // warmup, untimed
 
+    // Dev aid (r14 verdict #7): SPARK_GRAFT_PREFIX=n runs the first n
+    // benched inventory entries ONCE, untimed, before the timed loop.
+    // Solo runs of an entry do not reproduce full-suite conditions
+    // (listener-bus backlog, populated heap/block manager, JIT state) —
+    // the r14 CC rewrite passed solo A/B and regressed 3x in-suite. This
+    // recreates the suite environment around a SPARK_GRAFT_ONLY subset
+    // without paying 3 timed trials of everything. Unset (every driver
+    // run), the timed path is UNCHANGED.
+    sys.env.get("SPARK_GRAFT_PREFIX").map(_.toInt).foreach { n =>
+      Queries.all.map(_.name).filterNot(exclude).take(n).foreach { nm =>
+        try run(nm)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] prefix $nm failed: ${e.getMessage}") }
+      }
+    }
+
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 benches a subset (same timing path).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = Queries.all.map(_.name).filterNot(exclude)

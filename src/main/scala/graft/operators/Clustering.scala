@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Dev-only phase timing for the CC loops (GRAFT_CC_DEBUG=1): stderr
+    * wall-clock per phase, zero overhead when unset. Exists because the
+    * r14 in-suite regression could not be attributed from solo runs.
+    */
+  private val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+  @inline private def ccTime[A](label: => String)(f: => A): A =
+    if (!ccDebug) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** (node, component) for every node in `pairs`, component = min node id
     * reachable. `pairs` columns: (aCol, bCol), one row per undirected edge.
     */
@@ -50,15 +64,15 @@ object Clustering {
     // re-run it; that previously forced an extra intermediate checkpoint
     // of the un-mirrored pairs (r14 optimization: one materialization job
     // at loop entry instead of two).
-    val (edges, edgeIds) = checkpointTracked(
+    val (edges, edgeIds) = ccTime("edges ck")(checkpointTracked(
       pairs.select(explode(array(
           struct(col(aCol).as("src"), col(bCol).as("dst")),
           struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var (labels, labelIds) = checkpointTracked(
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))))
+    var (labels, labelIds) = ccTime("labels0 ck")(checkpointTracked(
       edges.groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("mind"))
-        .select(col("node"), least(col("node"), col("mind")).as("comp")))
+        .select(col("node"), least(col("node"), col("mind")).as("comp"))))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -83,14 +97,15 @@ object Clustering {
         .select(col("l.node").as("node"), col("p.comp").as("comp"),
           lit(0).as("self"))
       val obs = org.apache.spark.sql.Observation()
-      val (next, nextIds) = checkpointTracked(labels
+      val (next, nextIds) = ccTime(s"round $iter ck")(checkpointTracked(labels
         .select(col("node"), col("comp"), lit(1).as("self"))
         .unionByName(neighbour).unionByName(pointer)
         .groupBy("node")
         .agg(min(col("comp")).as("comp"),
           max(when(col("self") === 1, col("comp"))).as("prev"))
-        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed")))
-      val changed = obs.get("changed").asInstanceOf[Long]
+        .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed"))))
+      val changed = ccTime(s"round $iter obs.get")(
+        obs.get("changed").asInstanceOf[Long])
       unpersistIds(labelIds) // superseded round's blocks
       labels = next.select("node", "comp")
       labelIds = nextIds
@@ -189,23 +204,25 @@ object Clustering {
     // Initial emptiness rides an Observation on the same checkpoint job
     // (r14: the old edges.isEmpty probe was one more driver job).
     val initObs = org.apache.spark.sql.Observation()
-    var (edges, edgeIds) = checkpointTracked(
+    var (edges, edgeIds) = ccTime("stars edges ck")(checkpointTracked(
       pairs.select(least(col(aCol), col(bCol)).as("src"),
           greatest(col(aCol), col(bCol)).as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
-        .observe(initObs, count(lit(1)).as("n")))
+        .observe(initObs, count(lit(1)).as("n"))))
     // Nodes with no surviving edge after a star round are their own
     // component OR have already been attached to their min; track the
     // full node set once so the final labelling covers singleton-ified
     // nodes (every original node appears in the output, matching
     // connectedComponents' contract).
-    val (nodes, nodeIds) = checkpointTracked(
+    val (nodes, nodeIds) = ccTime("stars nodes ck")(checkpointTracked(
       edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct())
+        .unionByName(edges.select(col("dst").as("node"))).distinct()))
     var iter = 0
-    var converged = initObs.get("n").asInstanceOf[Long] == 0
+    var converged = ccTime("stars init obs.get")(
+      initObs.get("n").asInstanceOf[Long] == 0)
     while (iter < maxIter && !converged) {
-      val (next, nextIds) = checkpointTracked(smallStar(largeStar(edges)))
+      val (next, nextIds) = ccTime(s"stars round $iter ck")(
+        checkpointTracked(smallStar(largeStar(edges))))
       // Fixpoint = identical edge SETS (both sides are distinct() by
       // construction): ONE symmetric-difference probe — union with ±1
       // weights, grouped sum ≠ 0 ⟺ an edge on exactly one side — in
@@ -215,11 +232,12 @@ object Clustering {
       // partial-aggregated count shuffle). Safe against the exceptAll
       // constraint-propagation trap because both sides are rebased
       // checkpoints with fresh lineage (see checkpointTracked above).
-      val changed = next.select(col("src"), col("dst"), lit(1).as("w"))
+      val changed = ccTime(s"stars round $iter probe")(
+        next.select(col("src"), col("dst"), lit(1).as("w"))
         .unionByName(edges.select(col("src"), col("dst"), lit(-1).as("w")))
         .groupBy("src", "dst").agg(sum(col("w")).as("d"))
         .filter(col("d") =!= 0)
-        .limit(1).count()
+        .limit(1).count())
       unpersistIds(edgeIds)
       edges = next
       edgeIds = nextIds
