@@ -4087,10 +4087,14 @@ object Queries {
       // diameter rounds — and a mega-hub sheds its whole neighbourhood in
       // one round. Shared oracle with dedup_clusters (recursive-CTE
       // transitive closure): two independent algorithms, one answer.
+      // dedupPairs = false (r15): minhashLshPairs emits one row per
+      // unordered pair (unique by its verification groupBy) already in
+      // doc_a < doc_b orientation, so the loop-entry distinct() exchange
+      // is a no-op — skipping it is row-identical (oracle-gated here).
       (s, d) => Clustering.connectedComponentsStars(
           TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
             n = 3, numPerm = 128, bands = 32, threshold = 0.8),
-          "doc_a", "doc_b")
+          "doc_a", "doc_b", dedupPairs = false)
         .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("boolean")),
       Some(s"""WITH RECURSIVE pr AS (${jaccardPairsSql(0.8)}),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr

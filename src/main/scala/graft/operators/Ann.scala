@@ -1058,49 +1058,78 @@ object Ann {
                       dims: Int, iters: Int = 2): DataFrame = {
     require(dims >= 2 && iters >= 1, "need dims >= 2, iters >= 1")
     val spark = emb.sparkSession
-    // The exploded matvec relation feeds BOTH sides of every iteration
-    // (2 joins x iters); persist it once instead of re-deriving it from
-    // the scan each time — at 100 TB this is the difference between
-    // 2·iters corpus scans and one.
-    // r14: a spreadIfNarrow before the explode was TRIED here and
-    // reverted — with the matvec persisted, the iterations' per-job task
-    // overhead on the spread 32-partition cache measured x1.2-1.6 SLOWER
-    // than the single-partition cache at bench scale; at 100 TB the scan
-    // is wide and the spread would be skipped anyway.
-    val v = emb.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).as("rid"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("rid"), col("dim").cast("long").as("dim"),
-        col("x").cast("double").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,12)")
-    var w = spark.range(dims).select(col("id").as("dim"),
-      lit(1.0 / math.sqrt(dims.toDouble)).as("w"))
-    var norm: DataFrame = null
+    import java.math.{BigDecimal => JBD}
+    // r15 (guide §1.2 step 1 — fix the distributed algorithm first): each
+    // iteration is ONE aggregation pass over the vector rows via
+    // PowerStepAgg — a row's s = Σᵢ dec12(xᵢ·wᵢ) is a function of the row
+    // itself, so z = Xᵀ(Xw) needs no exploded matvec relation, no
+    // persist, and no join. The former relational form (posexplode →
+    // persist → 2 joins + 3 exchanges per iteration) read its
+    // single-partition cache one core at a time at bench scale and paid
+    // ~10 driver jobs; this shape is iters scans, each a map-side
+    // aggregate, identical output (exact decimal semantics — see
+    // PowerStepAgg's scaladoc; kernel-vs-relational equality is
+    // spec-gated, the entry itself oracle-gated). The dims-sized
+    // normalize/update runs on the driver exactly like the former
+    // collect()-based finalize — bounded state, not data work.
+    var w: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var zNull: Array[Boolean] = null
+    var zD: Array[Double] = null
+    var nn: Double = Double.NaN
+    var nnNull = true
+    var anyRows = false
     for (_ <- 0 until iters) {
-      val s = v.join(broadcast(w), "dim")
-        .groupBy("rid")
-        .agg(sum(dec(col("x") * col("w"))).cast("double").as("s"))
-      val z = v.join(s, "rid")
-        .groupBy("dim")
-        .agg(sum(dec(col("x") * col("s"))).cast("double").as("z"))
-      val n = z.agg(
-        sqrt(sum(dec(col("z") * col("z"))).cast("double")).as("nn"))
-      norm = n
-      w = z.crossJoin(broadcast(n))
-        .select(col("dim"), (col("z") / col("nn")).as("w"))
+      val arr = emb.agg(org.apache.spark.sql.graft.PowerStepFunctions
+        .powerStep(col(vecCol), w.toSeq).as("z"))
+        .head().getSeq[JBD](0)
+      anyRows = arr(dims).longValue() > 0L
+      zNull = Array.tabulate(dims)(i => arr(i) == null)
+      zD = Array.tabulate(dims)(i => if (arr(i) == null) Double.NaN
+                                     else arr(i).doubleValue())
+      // nn = sqrt(toDouble(Σ dec12(zᵢ²))): null/NaN/∞ products skipped
+      // exactly as the relational sum's cast-to-null skips them
+      var sumZZ: JBD = null
+      var i = 0
+      while (i < dims) {
+        val p = zD(i) * zD(i)
+        if (!p.isNaN && !p.isInfinite) {
+          val d = JBD.valueOf(p).setScale(12, java.math.RoundingMode.HALF_UP)
+          sumZZ = if (sumZZ == null) d else sumZZ.add(d)
+        }
+        i += 1
+      }
+      nnNull = sumZZ == null
+      nn = if (nnNull) Double.NaN else math.sqrt(sumZZ.doubleValue())
+      // next direction: NULL cells (z or nn) become NaN — their products
+      // are skipped by the kernel exactly as null products are by the
+      // relational sum; genuine NaN/∞ divisions flow through identically
+      w = Array.tabulate(dims)(i =>
+        if (zNull(i) || nnNull) Double.NaN else zD(i) / nn)
     }
-    val out = w.crossJoin(broadcast(norm))
-      .select(col("dim"), round(col("w"), 6).as("loading"),
-        round(col("nn"), 6).as("lambda"))
-    // The result is dims-sized (bounded); finalize it eagerly so the
-    // corpus-sized persisted matvec relation is released before returning
-    // — otherwise every invocation leaks a cached relation for the
-    // session lifetime (bench harnesses call this repeatedly).
-    val rows = out.collect()
-    v.unpersist(blocking = false)
+    // Spark's round(double, 6): NaN/∞ pass through, else HALF_UP
+    def round6(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else JBD.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("lambda",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // no row passed the width gate ⇒ the relational per-dim groupBy had
+    // zero groups ⇒ empty result (NOT dims null rows)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (!anyRows) Seq.empty
+      else (0 until dims).map { i =>
+        val loading: Any =
+          if (zNull(i) || nnNull) null else round6(zD(i) / nn)
+        val lambda: Any = if (nnNull) null else round6(nn)
+        org.apache.spark.sql.Row(i.toLong, loading, lambda)
+      }
     spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Multi-probe IVF top-k: each query searches the buckets of its

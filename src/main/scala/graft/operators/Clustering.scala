@@ -69,10 +69,31 @@ object Clustering {
           struct(col(aCol).as("src"), col(bCol).as("dst")),
           struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))))
-    var (labels, labelIds) = ccTime("labels0 ck")(checkpointTracked(
-      edges.groupBy(col("src").as("node"))
-        .agg(min(col("dst")).as("mind"))
-        .select(col("node"), least(col("node"), col("mind")).as("comp"))))
+    // Size-gated broadcast of the label side of both per-round joins
+    // (r15). The label relation — one row per node — is never larger than
+    // the mirrored edge relation, whose MATERIALIZED size the block
+    // manager reports exactly now that it is checkpointed. The static
+    // planner sees checkpointed relations as unknown-size and plans
+    // sort-merge, so every round paid two O(E)+O(V) exchange stage jobs
+    // that AQE only converts to broadcast AFTER materializing them; the
+    // hint (guide §3.1: broadcast the side you KNOW is small) removes
+    // those stages up front. The gate is the session's own
+    // autoBroadcastJoinThreshold, so a 100 TB edge relation keeps the
+    // shuffle plan and nothing is tuned to local mode.
+    val labelsFit = Scans.fitsBroadcast(pairs.sparkSession,
+      Scans.materializedBytes(sc, edgeIds))
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (labelsFit) broadcast(df) else df
+    // labels0 is NOT checkpointed (r15): round 0 consumes the min-of-
+    // neighbours initialization inline. Its groupBy exchange is shared by
+    // every reference inside round 0's single query (ReuseExchange), so
+    // folding it removes one blocking materialization (and its driver
+    // jobs) per call without adding a shuffle; from round 1 on, `labels`
+    // is the previous round's checkpointed output exactly as before.
+    var labels: DataFrame = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("node"), least(col("node"), col("mind")).as("comp"))
+    var labelIds: Set[Int] = Set.empty
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -89,11 +110,11 @@ object Clustering {
       // job (probed in tools/Probe DECOMP=obs, spec-gated in
       // ClusteringSpec's long-chain test).
       val neighbour = edges
-        .join(labels.withColumnRenamed("node", "dst2"),
+        .join(maybeBcast(labels.withColumnRenamed("node", "dst2")),
           col("dst") === col("dst2"))
         .select(col("src").as("node"), col("comp"), lit(0).as("self"))
       val pointer = labels.as("l")
-        .join(labels.as("p"), col("l.comp") === col("p.node"))
+        .join(maybeBcast(labels.as("p")), col("l.comp") === col("p.node"))
         .select(col("l.node").as("node"), col("p.comp").as("comp"),
           lit(0).as("self"))
       val obs = org.apache.spark.sql.Observation()
@@ -143,8 +164,17 @@ object Clustering {
     * (doc_id, cluster_id = min reachable node) relation as
     * [[connectedComponents]].
     */
+  /** @param dedupPairs pass false when `pairs` is PROVABLY one row per
+    *   undirected edge in canonical (aCol < bCol) orientation — e.g.
+    *   minhashLshPairs output, unique by its verification groupBy with
+    *   doc_a < doc_b from candidate generation — to skip the initial
+    *   distinct()'s exchange; the canonicalized projection of such input
+    *   is already distinct, so the relation entering the loop is
+    *   row-identical either way.
+    */
   def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
-                               maxIter: Int = 32): DataFrame = {
+                               maxIter: Int = 32,
+                               dedupPairs: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     // Checkpoint, then rebase the DataFrame on the cached RDD with a
@@ -204,10 +234,12 @@ object Clustering {
     // Initial emptiness rides an Observation on the same checkpoint job
     // (r14: the old edges.isEmpty probe was one more driver job).
     val initObs = org.apache.spark.sql.Observation()
+    val canonical = pairs
+      .select(least(col(aCol), col(bCol)).as("src"),
+        greatest(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
     var (edges, edgeIds) = ccTime("stars edges ck")(checkpointTracked(
-      pairs.select(least(col(aCol), col(bCol)).as("src"),
-          greatest(col(aCol), col(bCol)).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+      (if (dedupPairs) canonical.distinct() else canonical)
         .observe(initObs, count(lit(1)).as("n"))))
     // Nodes with no surviving edge after a star round are their own
     // component OR have already been attached to their min; track the
@@ -218,11 +250,22 @@ object Clustering {
       edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()))
     var iter = 0
-    var converged = ccTime("stars init obs.get")(
-      initObs.get("n").asInstanceOf[Long] == 0)
+    var prevCount = ccTime("stars init obs.get")(
+      initObs.get("n").asInstanceOf[Long])
+    var converged = prevCount == 0
     while (iter < maxIter && !converged) {
+      // Each round's checkpoint job also observes its output row count
+      // (r15): both sides of the fixpoint comparison are DISTINCT edge
+      // sets, so differing counts prove the sets differ and the round is
+      // not converged — the symmetric-difference probe job only runs when
+      // the counts match (typically the final round), removing one driver
+      // job + one co-grouping pass from every non-final round.
+      val roundObs = org.apache.spark.sql.Observation()
       val (next, nextIds) = ccTime(s"stars round $iter ck")(
-        checkpointTracked(smallStar(largeStar(edges))))
+        checkpointTracked(smallStar(largeStar(edges))
+          .observe(roundObs, count(lit(1)).as("n"))))
+      val nextCount = ccTime(s"stars round $iter obs.get")(
+        roundObs.get("n").asInstanceOf[Long])
       // Fixpoint = identical edge SETS (both sides are distinct() by
       // construction): ONE symmetric-difference probe — union with ±1
       // weights, grouped sum ≠ 0 ⟺ an edge on exactly one side — in
@@ -232,15 +275,18 @@ object Clustering {
       // partial-aggregated count shuffle). Safe against the exceptAll
       // constraint-propagation trap because both sides are rebased
       // checkpoints with fresh lineage (see checkpointTracked above).
-      val changed = ccTime(s"stars round $iter probe")(
-        next.select(col("src"), col("dst"), lit(1).as("w"))
-        .unionByName(edges.select(col("src"), col("dst"), lit(-1).as("w")))
-        .groupBy("src", "dst").agg(sum(col("w")).as("d"))
-        .filter(col("d") =!= 0)
-        .limit(1).count())
+      val changed =
+        if (nextCount != prevCount) 1L
+        else ccTime(s"stars round $iter probe")(
+          next.select(col("src"), col("dst"), lit(1).as("w"))
+          .unionByName(edges.select(col("src"), col("dst"), lit(-1).as("w")))
+          .groupBy("src", "dst").agg(sum(col("w")).as("d"))
+          .filter(col("d") =!= 0)
+          .limit(1).count())
       unpersistIds(edgeIds)
       edges = next
       edgeIds = nextIds
+      prevCount = nextCount
       converged = changed == 0
       iter += 1
     }

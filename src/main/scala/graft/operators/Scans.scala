@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Scan-parallelism plumbing shared by operators and query bodies (r14
   * optimization round).
@@ -45,4 +46,35 @@ object Scans {
   def spreadByKey(df: DataFrame, key: Column): DataFrame =
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
+  /** Exact materialized byte size of already-cached/checkpointed RDDs, from
+    * the block manager's storage report (driver-side metadata, no job).
+    * `ids` are the RDD ids a `localCheckpoint(true)` registered — e.g. the
+    * tracked set Clustering's checkpointTracked returns. Returns 0 when
+    * nothing is found (empty relation or already unpersisted).
+    */
+  def materializedBytes(sc: SparkContext, ids: Set[Int]): Long =
+    sc.getRDDStorageInfo.filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** Would a relation of `bytes` qualify for a broadcast join under the
+    * session's own `spark.sql.autoBroadcastJoinThreshold`? Used to hint
+    * `broadcast()` on relations whose TRUE size the caller has measured
+    * (guide §3.1: the planner's estimate for a checkpointed relation is
+    * "unknown", which plans sort-merge; the measured size makes the same
+    * decision the optimizer would make if it could see the bytes). `-1`
+    * (broadcast disabled) disables the hint too, so operators honor the
+    * session's configuration at any scale.
+    */
+  def fitsBroadcast(spark: SparkSession, bytes: Long): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          catch { case _: Exception => -1L }
+      }
+    threshold > 0 && bytes <= threshold
+  }
 }

@@ -409,6 +409,43 @@ object Probe {
       }
       spark.stop(); return
     }
+    // JOBS=all|q1,q2 — per-entry Spark-job and wall-clock census (one
+    // noop-sink run each after one warmup of the first entry), sorted by
+    // job count. Finds the driver-job-bound tail entries (r15 verdict #8):
+    // at sf0.1 an entry's cost is ≈ jobs × fixed per-job overhead, so the
+    // census ranks by the thing that actually matters.
+    if (sys.env.contains("JOBS")) {
+      val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCounter.incrementAndGet()
+        })
+      val sel = sys.env("JOBS")
+      val names =
+        if (sel == "all") graft.Queries.all.map(_.name)
+        else sel.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      def once(name: String): (Int, Double) = {
+        System.gc()
+        val j0 = jobCounter.get()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        (jobCounter.get() - j0, dt)
+      }
+      once(names.head) // warmup
+      val rows = names.flatMap { n =>
+        try Some((n, once(n)))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[jobs] $n failed: ${e.getMessage}"); None }
+      }
+      for ((n, (j, t)) <- rows.sortBy(-_._2._1))
+        println(f"[jobs] $n%-40s jobs=$j%3d  $t%6.2f s")
+      spark.stop(); return
+    }
     // PLANS=q1,q2 PLANDIR=plans/r14 PLANSUFFIX=before — dump each entry's
     // explain("formatted") (plus the executed/finalized adaptive plan) to
     // <PLANDIR>/<name>_<PLANSUFFIX>.txt for the round's plan artifacts.

@@ -851,6 +851,71 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(got(0L)._2 - math.sqrt(65537.0 / 257.0)) < 1e-4)
   }
 
+  test("pcaTopComponent PowerStepAgg matches the relational matvec plan") {
+    // The r15 one-pass aggregate must be BIT-identical to the former
+    // posexplode → sum(cast(x*w as decimal(38,12))) → join → per-dim sum
+    // form it replaced (the oracle gates the entry; this gates the
+    // kernel on adversarial shapes the sf data does not contain:
+    // negative/large magnitudes, null cells, wrong-width and null
+    // vectors, and an input with no valid row at all).
+    val spark0 = spark
+    import spark0.implicits._
+    def relational(emb: org.apache.spark.sql.DataFrame, dims: Int,
+                   iters: Int): Array[org.apache.spark.sql.Row] = {
+      val v = emb.filter(size(col("embedding")) === dims)
+        .select(col("vec_id").as("rid"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("rid"), col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,12)")
+      var w = spark0.range(dims).select(col("id").as("dim"),
+        lit(1.0 / math.sqrt(dims.toDouble)).as("w"))
+      var norm: org.apache.spark.sql.DataFrame = null
+      for (_ <- 0 until iters) {
+        val s = v.join(broadcast(w), "dim").groupBy("rid")
+          .agg(sum(dec(col("x") * col("w"))).cast("double").as("s"))
+        val z = v.join(s, "rid").groupBy("dim")
+          .agg(sum(dec(col("x") * col("s"))).cast("double").as("z"))
+        val n = z.agg(
+          sqrt(sum(dec(col("z") * col("z"))).cast("double")).as("nn"))
+        norm = n
+        w = z.crossJoin(broadcast(n))
+          .select(col("dim"), (col("z") / col("nn")).as("w"))
+      }
+      w.crossJoin(broadcast(norm))
+        .select(col("dim"), round(col("w"), 6).as("loading"),
+          round(col("nn"), 6).as("lambda"))
+        .collect().sortBy(_.getLong(0))
+    }
+    val rnd = new scala.util.Random(42)
+    val dims = 5
+    val rows: Seq[(Long, Array[java.lang.Float])] =
+      (0L until 40L).map { i =>
+        val a = Array.tabulate[java.lang.Float](dims)(d =>
+          java.lang.Float.valueOf(
+            ((rnd.nextDouble() - 0.3) * math.pow(10, rnd.nextInt(5))).toFloat))
+        if (i % 11 == 3) a(rnd.nextInt(dims)) = null // null cell
+        (i, a)
+      } ++ Seq(
+        (100L, Array.tabulate[java.lang.Float](dims - 1)(_ =>
+          java.lang.Float.valueOf(1f))), // wrong width: skipped
+        (101L, null) // null vector: skipped
+      )
+    val emb = rows.toDF("vec_id", "embedding")
+    for (iters <- Seq(1, 2)) {
+      val got = Ann.pcaTopComponent(emb, "vec_id", "embedding", dims, iters)
+        .collect().sortBy(_.getLong(0))
+      val want = relational(emb, dims, iters)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, e) => assert(g === e, s"iters=$iters") }
+    }
+    // no valid row at all: relational groupBy has zero groups -> empty
+    val none = Seq((1L, Array.tabulate[java.lang.Float](dims - 2)(_ =>
+      java.lang.Float.valueOf(1f)))).toDF("vec_id", "embedding")
+    assert(Ann.pcaTopComponent(none, "vec_id", "embedding", dims, 2).count() === 0L)
+    assert(relational(none, dims, 2).isEmpty)
+  }
+
   test("centroidDrift: identical slices cos 1, orthogonal slices cos 0") {
     val spark0 = spark
     import spark0.implicits._
