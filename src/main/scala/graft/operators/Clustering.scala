@@ -182,16 +182,33 @@ object Clustering {
     // plan's inferred constraints, which reference attributes the
     // checkpoint no longer outputs — re-wrapping the next round's
     // union/join over that relation trips Catalyst's constraint rewrite
-    // ("key not found: src#N"). createDataFrame(rdd, schema) starts the
-    // lineage clean; the row conversion is over the tiny edge relation.
+    // ("key not found: src#N"). r15: the rebase hands the checkpoint's
+    // InternalRow RDD straight to a fresh relation
+    // (DataFrameUtils.rebase) — the r14 createDataFrame(ck.rdd, schema)
+    // form paid an InternalRow→Row→InternalRow double conversion on
+    // EVERY downstream read of every round's edges (three per round).
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val ck = df.localCheckpoint(true)
-      (spark.createDataFrame(ck.rdd, ck.schema),
+      (org.apache.spark.sql.graft.DataFrameUtils.rebase(ck),
         sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def unpersistIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Size-gated broadcast of each star's per-node-min side (r15, guide
+    // §3.1 — broadcast the side you KNOW is small): `mins` is one
+    // (node, min) row per node, never more than twice the canonical edge
+    // relation whose exact materialized size the block manager reports
+    // after the initial checkpoint. The static planner sees the
+    // checkpoint-rebased relations as unknown-size and plans sort-merge,
+    // paying an O(E) exchange + sort per star that AQE only converts
+    // AFTER materializing; the hint removes those stages up front. Gate =
+    // the session's own autoBroadcastJoinThreshold against 2× the
+    // measured edge bytes (the |V| ≤ 2|E| bound), so at scale the
+    // shuffle plan is kept untuned.
+    var minsFit = false
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (minsFit) broadcast(df) else df
     // Large-star: group the SYMMETRIC neighbourhood by u, emit
     // (v, min(N(u) ∪ u)) for v > u. Small-star: orient edges high→low
     // (u ≥ v), group by the high end, emit (v, m) for every low
@@ -206,7 +223,7 @@ object Clustering {
       val nbr = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = nbr.groupBy("src")
         .agg(least(min(col("dst")), col("src")).as("m"))
-      nbr.join(mins, "src")
+      nbr.join(maybeBcast(mins), "src")
         .filter(col("dst") > col("src"))
         .select(least(col("dst"), col("m")).as("src"),
           greatest(col("dst"), col("m")).as("dst"))
@@ -222,7 +239,7 @@ object Clustering {
       val hiLo = e.select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       val mins = hiLo.groupBy("u").agg(min(col("v")).as("m"))
-      val viaNbr = hiLo.join(mins, "u")
+      val viaNbr = hiLo.join(maybeBcast(mins), "u")
         .select(least(col("v"), col("m")).as("src"),
           greatest(col("v"), col("m")).as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -241,14 +258,20 @@ object Clustering {
     var (edges, edgeIds) = ccTime("stars edges ck")(checkpointTracked(
       (if (dedupPairs) canonical.distinct() else canonical)
         .observe(initObs, count(lit(1)).as("n"))))
+    minsFit = Scans.fitsBroadcast(spark,
+      2L * Scans.materializedBytes(sc, edgeIds))
     // Nodes with no surviving edge after a star round are their own
-    // component OR have already been attached to their min; track the
-    // full node set once so the final labelling covers singleton-ified
-    // nodes (every original node appears in the output, matching
-    // connectedComponents' contract).
-    val (nodes, nodeIds) = ccTime("stars nodes ck")(checkpointTracked(
-      edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()))
+    // component OR have already been attached to their min; the final
+    // labelling needs the INITIAL node set so singleton-ified nodes stay
+    // covered (every original node appears in the output, matching
+    // connectedComponents' contract). r15: derive it lazily from the
+    // initial checkpointed edges inside the final labelling job instead
+    // of materializing a second checkpoint at loop entry — same
+    // union+distinct work, one blocking driver job fewer per call. The
+    // initial edge blocks are protected from the loop's unpersist and
+    // released after the labels checkpoint.
+    val edges0 = edges
+    val edges0Ids = edgeIds
     var iter = 0
     var prevCount = ccTime("stars init obs.get")(
       initObs.get("n").asInstanceOf[Long])
@@ -283,7 +306,7 @@ object Clustering {
           .groupBy("src", "dst").agg(sum(col("w")).as("d"))
           .filter(col("d") =!= 0)
           .limit(1).count())
-      unpersistIds(edgeIds)
+      unpersistIds(edgeIds -- edges0Ids)
       edges = next
       edgeIds = nextIds
       prevCount = nextCount
@@ -295,13 +318,14 @@ object Clustering {
     // the dst side are component roots labelling themselves. Checkpoint
     // the labels BEFORE releasing the edge/node blocks they derive from
     // (the caller consumes labels after this frame returns).
-    val (labels, _) = checkpointTracked(nodes
+    val nodes = edges0.select(col("src").as("node"))
+      .unionByName(edges0.select(col("dst").as("node"))).distinct()
+    val (labels, _) = ccTime("stars labels ck")(checkpointTracked(nodes
       .join(edges.select(col("dst").as("node"), col("src").as("comp")),
         Seq("node"), "left")
       .select(col("node").as("doc_id"),
-        coalesce(col("comp"), col("node")).as("cluster_id")))
-    unpersistIds(edgeIds)
-    unpersistIds(nodeIds)
+        coalesce(col("comp"), col("node")).as("cluster_id"))))
+    unpersistIds(edgeIds ++ edges0Ids)
     labels
   }
 

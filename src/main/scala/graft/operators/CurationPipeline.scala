@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *      connected components → keep cluster canonicals),
   *   5. per-language stratified sample (hash order, deterministic).
   *
-  * Every stage is the already-oracle-checked operator; the composition
-  * stays one declarative plan (no collect between stages), so Catalyst
-  * sees the whole pipeline — filters merge, column pruning reaches the
-  * scan, and the LSH stage only processes survivors of the cheap gates.
-  * Deterministic end to end: same input ⇒ same curated set on any
-  * partitioning.
+  * Every stage is the already-oracle-checked operator; stages 1-3 are one
+  * declarative plan (no collect between stages), so Catalyst sees them
+  * whole — filters merge, column pruning reaches the scan, and the LSH
+  * stage only processes survivors of the cheap gates. The gate-survivor
+  * relation is locally checkpointed (r15): the clustering loop and the
+  * final anti-join each consume it, and the checkpoint makes the gates
+  * execute once per pipeline instead of once per consumer. Deterministic
+  * end to end: same input ⇒ same curated set on any partitioning.
   */
 object CurationPipeline {
 
@@ -83,11 +85,24 @@ object CurationPipeline {
     // 2.+3. cheap per-row gates before anything quadratic-ish
     val rep = TextAnalysis.repetitionProfile(afterExact, "doc_id", "text")
       .select(col("doc_id"), col("dup_ratio"))
+    // The gate survivors feed TWO separate executions: the near-dup
+    // clustering loop materializes its edge relation (LSH over `gated`)
+    // in its own checkpoint action, and the caller's final action runs
+    // `gated` again under the anti-join. An eager localCheckpoint here
+    // makes the exact-dedup + gates subtree execute ONCE per pipeline
+    // instead of twice (r15, guide §2.4/§5 — reuse over recompute; the
+    // survivors are a filtered projection of the input, far smaller than
+    // the corpus, and the blocks are released by the context cleaner
+    // with the relation). Stage-0/1/2 observations ride the checkpoint
+    // job (CollectMetrics fires during it — same pattern as the CC
+    // loops' fused convergence counts, spec-gated by "stageCounts equals
+    // independent per-stage counts").
     val gated = tap(2)(afterExact
       .filter(TextAnalysis.qualityScore(col("text")) >= cfg.qualityMin)
       .join(rep, "doc_id")
       .filter(col("dup_ratio") <= cfg.dupRatioMax)
       .select(col("doc_id"), col("text"), col("lang")))
+      .localCheckpoint(true)
 
     // 4. near-dup clustering over the survivors; drop non-canonicals
     // spread = false (r14): `gated` is already exchange-partitioned by

@@ -231,7 +231,7 @@ object Multimodal {
     // this partitioning, so its exchange DISAPPEARS (net exchanges
     // unchanged, moved from after the per-sample explode to before
     // payload construction: strictly fewer bytes).
-    Scans.spreadByKey(df.select(col(idCol).cast("long").as("doc_id")),
+    Scans.spreadByKeyWide(df.select(col(idCol).cast("long").as("doc_id")),
         col("doc_id"))
       .withColumn("payload",
         element_at(typedLit(patterns),
@@ -356,7 +356,7 @@ object Multimodal {
     // test corpus scans as one task, which serialized the whole PNG
     // encode (and the caller's decode) onto one core; ids are 8
     // bytes/row at any scale, the codec work parallelizes.
-    Scans.spreadByKey(ids.toDF(), col(ids.columns.head)).as[java.lang.Long]
+    Scans.spreadByKeyWide(ids.toDF(), col(ids.columns.head)).as[java.lang.Long]
       .mapPartitions { it =>
       it.map { idBoxed =>
         val id = idBoxed.longValue()

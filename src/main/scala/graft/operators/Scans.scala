@@ -26,7 +26,13 @@ object Scans {
   def spreadIfNarrow(df: DataFrame, key: Column): DataFrame =
     if (df.rdd.getNumPartitions <
         df.sparkSession.sparkContext.defaultParallelism)
-      spreadByKey(df, key)
+      // full width, not the byte-capped spread: this path's consumer
+      // (multimodal_meta's chunked-checksum HOF) evaluates INTERPRETED
+      // per byte — an order of magnitude denser per input byte than the
+      // codegen'd hashing the 64 KB cap is calibrated for — and the
+      // narrowness probe above already skips the spread wherever the
+      // scan itself is wide (the 100 TB case).
+      spreadByKeyWide(df, key)
     else df
 
   /** Hash-repartition for COMPUTE spreading, pinned at the session's
@@ -43,7 +49,39 @@ object Scans {
     * core count and a cluster deployment sizes for its executors — so
     * nothing here is tuned to any fixed machine shape.
     */
-  def spreadByKey(df: DataFrame, key: Column): DataFrame =
+  def spreadByKey(df: DataFrame, key: Column): DataFrame = {
+    val confWidth =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Size cap (r15, verdict #2): a spread wider than the data can fill
+    // buys nothing and pays per-task/per-block overhead that GROWS with
+    // core count — the r14 anti-scaling cluster (the 8-core full suite
+    // beat 32 cores on dedup_minhash_lsh / dedup_threshold_report,
+    // ratios 0.63/0.69). Cap the width at one partition per 64 KB of
+    // OPTIMIZER-ESTIMATED input (driver-side metadata; for the raw scans
+    // this helper is documented for that is the on-disk file size — no
+    // job, no RDD materialization). 64 KB of compressed text is tens of
+    // milliseconds of the CPU-dense per-byte work these spreads exist to
+    // parallelize (shingling, 128-perm minhash, per-token hashing) —
+    // well above per-task overhead — while at any real scale
+    // ceil(bytes/64K) saturates confWidth immediately, so the cap is
+    // invisible at 100 TB. REPARTITION_BY_NUM (never AQE-coalesced) is
+    // kept. Per-ROW-dense generators over key-only relations use
+    // [[spreadByKeyWide]] instead: a byte estimate cannot see their CPU.
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(65536)
+    val byData = ((estBytes + target - 1) / target).min(BigInt(confWidth))
+      .max(BigInt(1)).toInt
+    df.repartition(byData, key)
+  }
+
+  /** Full-width compute spread for PER-ROW-dense work over key-only
+    * relations — the synthetic media generators, where each 8-byte id
+    * row expands into a payload construction / codec encode whose cost
+    * the byte-based cap of [[spreadByKey]] cannot see (a few hundred ids
+    * estimate under one cap unit yet carry seconds of CPU). Pinned at
+    * the session's shuffle parallelism, REPARTITION_BY_NUM as above.
+    */
+  def spreadByKeyWide(df: DataFrame, key: Column): DataFrame =
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
 

@@ -58,7 +58,12 @@ class PlanSpec extends SparkSpec {
 
   test("repetition profile shuffles once (pre-explode, on doc_id)") {
     val plan = finalPlan("doc_repetition")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // r15: the size-capped spread renders as `Exchange SinglePartition`
+    // when the test corpus caps the width at 1 — still exactly one
+    // shuffle (SinglePartition satisfies the aggregate's distribution
+    // requirement), just a different rendering than hashpartitioning.
+    val exchanges =
+      "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
