@@ -344,21 +344,48 @@ object Ann {
     // memory stays O(k·dim) however rounds·oversample scale, and every
     // membership test is a broadcast (anti-)join, never a k-sized IN-list
     // literal (whose expression tree alone costs O(k) analysis time).
-    var candDf = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(1)
-      .select(col("vec_id").as("cand_id"), col("v").as("cv"))
-      .localCheckpoint()
+    // r15: every candidate checkpoint also observes its row count, so the
+    // post-loop `nCand` read is a driver-side scalar instead of one more
+    // count job over the relation.
+    val sc = spark.sparkContext
+    def ckCounted(df: DataFrame): (DataFrame, Long) = {
+      val o = org.apache.spark.sql.Observation()
+      val ck = df.observe(o, count(lit(1)).as("n")).localCheckpoint(true)
+      (ck, o.get("n").asInstanceOf[Long])
+    }
+    var (candDf, nCandCur) = ckCounted(
+      v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+        .limit(1)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv")))
 
     val l = oversample * k
     val lCap = math.max(1, math.ceil(l).toInt)
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
       val cents = candDf.select(col("cand_id").as("centroid_id"), col("cv"))
+      // r15: ONE assign pass per round. The scored relation feeds both
+      // the round's total cost and its distance-proportional sample; the
+      // former separate `agg(sum).head()` action re-ran the whole
+      // assign-to-nearest-candidate pass (the round's CPU) just to read
+      // one scalar. Checkpoint `scored` once and read the cost from an
+      // Observation on the same job; the sample then reads cached
+      // blocks. The checkpoint is (vec_id, d) — 16 bytes/row — and is
+      // released as soon as the round's candidate set is materialized.
+      val costObs = org.apache.spark.sql.Observation()
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       val scored = ivfAssign(v, cents, "vec_id", "v", "centroid_id", "cv")
         .select(col("vec_id"), greatest(lit(0.0), lit(1.0) - col("cosine")).as("d"))
-      val cost = scored
-        .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-          .cast("double")).head().getDouble(0)
+        .observe(costObs,
+          sum(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double").as("cost"))
+        .localCheckpoint(true)
+      val scoredIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      // a null sum (empty corpus) reads as exhausted — the padding below
+      // covers it (the former head().getDouble raised on that input)
+      val cost = costObs.get("cost") match {
+        case d: java.lang.Double => d.doubleValue()
+        case _ => 0.0
+      }
       if (cost <= 0) exhausted = true // every point already at a center
       else {
         // distance-proportional sample, hard-capped at l rows per round
@@ -371,12 +398,16 @@ object Ann {
           .select(col("vec_id").as("cand_id"), col("v").as("cv"))
         // re-sampling an existing center is impossible (its d is 0), but
         // dedup anyway: the relation is O(k) rows, the safety is free
-        candDf = candDf.unionByName(sampled)
-          .dropDuplicates("cand_id").localCheckpoint()
+        val (ck, n) = ckCounted(candDf.unionByName(sampled)
+          .dropDuplicates("cand_id"))
+        candDf = ck
+        nCandCur = n
       }
+      scoredIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     // pad deterministically if sampling came up short of k
-    val nCand = candDf.count()
+    val nCand = nCandCur
     if (nCand < k) {
       val extra = v
         .join(broadcast(candDf.select(col("cand_id").as("vec_id"))),

@@ -320,8 +320,11 @@ object Clustering {
     // (the caller consumes labels after this frame returns).
     val nodes = edges0.select(col("src").as("node"))
       .unionByName(edges0.select(col("dst").as("node"))).distinct()
+    // the fixpoint forest never exceeds the initial edge relation, so the
+    // same size gate covers broadcasting it under the left join
     val (labels, _) = ccTime("stars labels ck")(checkpointTracked(nodes
-      .join(edges.select(col("dst").as("node"), col("src").as("comp")),
+      .join(maybeBcast(
+          edges.select(col("dst").as("node"), col("src").as("comp"))),
         Seq("node"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("comp"), col("node")).as("cluster_id"))))
