@@ -136,8 +136,11 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
+    // r15: tokenize after the doc_id exchange (see tfidfQueryTopK) —
+    // hash(doc_id) carries the tf aggregate and the per-doc top-k heap.
+    val toks = Scans.spreadByKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
@@ -588,13 +591,18 @@ object TextAnalysis {
   def trigramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
                           holdoutMod: Int = 10): DataFrame = {
     require(holdoutMod >= 2, "holdoutMod must be >= 2")
-    val withWs = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("ws"))
+    // r15: the train token total rides the unigram relation as a
+    // broadcast scalar instead of a separate count() driver job. (A
+    // pre-explode doc_id spread was TRIED alongside and REVERTED — the
+    // token-keyed n-gram aggregates re-exchange regardless, so the spread
+    // was a net exchange added; interleaved A/B inconclusive-to-worse.)
+    val withWs = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
     val train = withWs.filter(col("doc_id") % holdoutMod =!= 0)
     val test = withWs.filter(col("doc_id") % holdoutMod === 0)
     val trainToks = train.select(explode(col("ws")).as("w"))
     val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
-    val nTotal = trainToks.count()
+    val nTotalDf = uni.agg(sum(col("c1")).as("n_total"))
     def bigrams(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(expr("transform(sequence(1, size(ws) - 1), " +
         "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
@@ -611,6 +619,7 @@ object TextAnalysis {
           "element_at(ws, i + 2) as w3))")).as("t"))
       .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
     val scoredTri = testTri
+      .crossJoin(broadcast(nTotalDf))
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.select(col("w1"), col("w2"), col("c2").as("c12")),
         Seq("w1", "w2"), "left")
@@ -628,7 +637,8 @@ object TextAnalysis {
         .when(col("level") === 1,
           lit(0.4) * col("c23").cast("double") / col("c1w2"))
         .otherwise(lit(0.16) *
-          coalesce(col("c1w3"), lit(1L)).cast("double") / lit(nTotal.toDouble)))
+          coalesce(col("c1w3"), lit(1L)).cast("double") /
+            coalesce(col("n_total"), lit(0L)).cast("double")))
       .withColumn("term", round(log(col("p")), 9))
     scoredTri.groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
@@ -654,6 +664,12 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
+    // r15: a pre-explode doc_id spread was TRIED here and REVERTED —
+    // unlike the minhash/tfidf-top-terms paths, the per-byte work after
+    // this explode is a broadcast term filter (3 terms), so the added
+    // exchange + wide TakeOrdered cost more than the 1-task tokenize
+    // (interleaved solo A/B ×0.84/×0.72 on bm25_topk, 2 pairs,
+    // code-identical control flat).
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -689,6 +705,13 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
+    // r15: a pre-explode doc_id spread AND an in-plan broadcast fold of
+    // the corpus count were TRIED here and REVERTED (interleaved solo
+    // A/B, code-identical control flat): the post-explode work is a
+    // 3-term broadcast filter — too light to pay for an added exchange —
+    // and the bare `docs.count()` is a parquet METADATA count (near-free
+    // driver job), where the in-plan `agg(count)` fold forced a real
+    // scan plus a broadcast stage (retrieval_rrf_fusion ~+0.4 s).
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
     val nDocs = docs.count()
