@@ -351,7 +351,8 @@ object Ann {
     def ckCounted(df: DataFrame): (DataFrame, Long) = {
       val o = org.apache.spark.sql.Observation()
       val ck = df.observe(o, count(lit(1)).as("n")).localCheckpoint(true)
-      (ck, o.get("n").asInstanceOf[Long])
+      (ck, Scans.observed(o, "initCentroids candidate count")("n")
+        .asInstanceOf[Long])
     }
     var (candDf, nCandCur) = ckCounted(
       v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
@@ -382,10 +383,11 @@ object Ann {
       val scoredIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
       // a null sum (empty corpus) reads as exhausted — the padding below
       // covers it (the former head().getDouble raised on that input)
-      val cost = costObs.get("cost") match {
-        case d: java.lang.Double => d.doubleValue()
-        case _ => 0.0
-      }
+      val cost =
+        Scans.observed(costObs, "initCentroids round cost")("cost") match {
+          case d: java.lang.Double => d.doubleValue()
+          case _ => 0.0
+        }
       if (cost <= 0) exhausted = true // every point already at a center
       else {
         // distance-proportional sample, hard-capped at l rows per round

@@ -126,7 +126,8 @@ object Clustering {
           max(when(col("self") === 1, col("comp"))).as("prev"))
         .observe(obs, count(when(col("comp") =!= col("prev"), 1)).as("changed"))))
       val changed = ccTime(s"round $iter obs.get")(
-        obs.get("changed").asInstanceOf[Long])
+        Scans.observed(obs, s"cc round $iter convergence")("changed")
+          .asInstanceOf[Long])
       unpersistIds(labelIds) // superseded round's blocks
       labels = next.select("node", "comp")
       labelIds = nextIds
@@ -274,7 +275,8 @@ object Clustering {
     val edges0Ids = edgeIds
     var iter = 0
     var prevCount = ccTime("stars init obs.get")(
-      initObs.get("n").asInstanceOf[Long])
+      Scans.observed(initObs, "stars initial edge count")("n")
+        .asInstanceOf[Long])
     var converged = prevCount == 0
     while (iter < maxIter && !converged) {
       // Each round's checkpoint job also observes its output row count
@@ -288,7 +290,8 @@ object Clustering {
         checkpointTracked(smallStar(largeStar(edges))
           .observe(roundObs, count(lit(1)).as("n"))))
       val nextCount = ccTime(s"stars round $iter obs.get")(
-        roundObs.get("n").asInstanceOf[Long])
+        Scans.observed(roundObs, s"stars round $iter edge count")("n")
+          .asInstanceOf[Long])
       // Fixpoint = identical edge SETS (both sides are distinct() by
       // construction): ONE symmetric-difference probe — union with ±1
       // weights, grouped sum ≠ 0 ⟺ an edge on exactly one side — in

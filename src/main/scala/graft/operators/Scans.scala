@@ -85,6 +85,35 @@ object Scans {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
 
+  /** Bounded read of an [[org.apache.spark.sql.Observation]] whose
+    * metrics were published by an EAGER localCheckpoint rather than a
+    * caller-run action (the CC loops' fused convergence counts, the
+    * kmeans candidate counts). That publish relies on Spark-internal
+    * behavior — eager checkpoint executing under `withAction` — probed
+    * and spec-gated on this Spark version; if an upgrade changes the
+    * wrapping, the metrics never arrive and a bare `get()` would hang
+    * the operator FOREVER (r14 advice). By the time callers read, the
+    * checkpoint action has already completed, so the metrics future is
+    * normally already resolved; the deadline only fires in the
+    * broken-contract case, as a pointed error instead of a hang.
+    */
+  def observed(obs: org.apache.spark.sql.Observation, what: => String,
+               deadlineSec: Int = 600): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(deadlineSec.toLong,
+          java.util.concurrent.TimeUnit.SECONDS))
+      row.getValuesMap[Any](row.schema.fieldNames.toIndexedSeq)
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"Observation metrics for <$what> did not arrive within " +
+            s"$deadlineSec s of the checkpoint action completing — the " +
+            "eager-localCheckpoint metrics-publish contract no longer " +
+            "holds on this Spark version; revert the fused convergence " +
+            "reads to driver-side count probes.")
+    }
+
   /** Exact materialized byte size of already-cached/checkpointed RDDs, from
     * the block manager's storage report (driver-side metadata, no job).
     * `ids` are the RDD ids a `localCheckpoint(true)` registered — e.g. the
